@@ -1,0 +1,159 @@
+"""Power-iteration PageRank as DataFrame joins/aggregations.
+
+Reference semantics (pagerank.py:122-172, "Deeper Inside PageRank" Eq 5.1):
+
+    a_i   = 1 iff vertex i has no out-edges (dangling)
+    v     = personalization / ||personalization||_2   (default uniform)
+    x_0   = uniform / ||uniform||_2
+    per iteration:
+        q      = (alpha * x'a + (1 - alpha)) * v      (rank-1 dangling term)
+        x_new  = alpha * P' x + q
+        x_new /= ||x_new||_2                          (L2, NOT L1!)
+        stop when ||x_new - x_prev||_2 < epsilon
+
+Scale design (SURVEY.md §4):
+  * edges are hash-partitioned on src once (LinkGraph) and the rank vector is
+    checkpointed with the same partitioning on url, so the per-iteration
+    edges-join-ranks is co-partitioned; the only unavoidable shuffle is the
+    groupBy(dst) combine (map-side partial aggregation applies).
+  * all per-iteration scalars (dangling mass, norm, residual) come from ONE
+    fused aggregate job over the checkpointed new vector:
+        norm      = sqrt(sum(x_un^2))
+        residual  = sqrt(max(0, 2 - 2*sum(x_un*x_prev)/norm))
+                    (both x_un/norm and x_prev are unit vectors)
+        dangling  = sum(x_un * is_dangling)/norm      (for the NEXT iteration)
+    so each iteration costs exactly 2 jobs: materialize + fused stats.
+  * localCheckpoint each iteration truncates lineage (else the plan doubles
+    per iteration); persistent checkpointing to a directory (resumable, with
+    per-iteration manifests) lives in plans/checkpoint.py.
+  * driver scalars enter the next plan as lit() — Catalyst constant-folds.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _init_state(graph, v_df: DataFrame | None) -> DataFrame:
+    """Build (url, v, dangling, rank) with v L2-normalized and rank = x0.
+
+    dangling detection = LEFT ANTI JOIN of vertices against edge sources
+    (reference derives it from all-zero rows of P, pagerank.py:132-134).
+    """
+    n = graph.num_vertices()
+    srcs = graph.edges.select(F.col("src").alias("url")).distinct()
+    base = graph.vertices.join(
+        srcs.withColumn("_nd", F.lit(1)), "url", "left"
+    ).select(
+        "url",
+        F.when(F.col("_nd").isNull(), 1.0).otherwise(0.0).alias("dangling"),
+    )
+    if v_df is None:
+        base = base.withColumn("v", F.lit(1.0 / math.sqrt(n)))
+    else:
+        # v_df is (url, v) L1-normalized; re-normalize to unit L2
+        # (reference power_method does v /= torch.norm(v), pagerank.py:140)
+        l2 = v_df.agg(F.sqrt(F.sum(F.col("v") * F.col("v")))).first()[0]
+        base = base.join(v_df, "url", "left").fillna(0.0, ["v"]).withColumn(
+            "v", F.col("v") / F.lit(float(l2))
+        )
+    return base.withColumn("rank", F.lit(1.0 / math.sqrt(n)))
+
+
+def pagerank(
+    graph,
+    alpha: float = 0.85,
+    v_df: DataFrame | None = None,
+    max_iterations: int = 1000,
+    epsilon: float = 1e-6,
+    checkpointer=None,
+    metrics: list | None = None,
+) -> DataFrame:
+    """Return (url, rank) with rank the L2-normalized PageRank vector.
+
+    ``checkpointer``: optional plans.checkpoint.IterationCheckpointer for
+    durable resume; ``metrics``: optional list collecting per-iteration dicts.
+    """
+    num_parts = graph.num_partitions
+    edges = graph.edges
+
+    start_iter = 0
+    if checkpointer is not None:
+        resumed = checkpointer.try_resume()
+        if resumed is not None:
+            start_iter, x, dangling_mass = resumed
+        else:
+            x = _init_state(graph, v_df)
+    else:
+        x = _init_state(graph, v_df)
+
+    if start_iter == 0:
+        x = x.repartition(num_parts, "url").localCheckpoint(eager=True)
+        # initial dangling mass: x0 . a
+        dangling_mass = x.agg(F.sum(F.col("rank") * F.col("dangling"))).first()[0] or 0.0
+
+    prev_ck = x  # checkpointed DataFrame whose blocks back the current x
+    for it in range(start_iter, max_iterations):
+        t0 = time.monotonic()
+        q = alpha * dangling_mass + (1.0 - alpha)
+
+        contribs = (
+            edges.join(x.select(F.col("url").alias("src"), "rank"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("weight") * F.col("rank")).alias("_c"))
+        )
+        new = (
+            x.join(contribs, x.url == contribs.dst, "left")
+            .select(
+                x.url,
+                x.v,
+                x.dangling,
+                (
+                    F.lit(alpha) * F.coalesce(F.col("_c"), F.lit(0.0))
+                    + F.lit(q) * x.v
+                ).alias("_xun"),
+                x.rank.alias("_prev"),
+            )
+            .repartition(num_parts, "url")
+            .localCheckpoint(eager=True)
+        )
+
+        s = new.agg(
+            F.sum(F.col("_xun") * F.col("_xun")).alias("s2"),
+            F.sum(F.col("_xun") * F.col("_prev")).alias("sp"),
+            F.sum(F.col("_xun") * F.col("dangling")).alias("sd"),
+        ).first()
+        norm = math.sqrt(s["s2"])
+        residual = math.sqrt(max(0.0, 2.0 - 2.0 * s["sp"] / norm))
+        dangling_mass = (s["sd"] or 0.0) / norm
+
+        x = new.select(
+            "url", "v", "dangling", (F.col("_xun") / F.lit(norm)).alias("rank")
+        )
+        if metrics is not None:
+            metrics.append(
+                {
+                    "iteration": it,
+                    "residual": residual,
+                    "norm": norm,
+                    "dangling_mass": dangling_mass,
+                    "wall_s": time.monotonic() - t0,
+                }
+            )
+        if checkpointer is not None:
+            x = checkpointer.save(it, x, dangling_mass, residual)
+        # free the previous iteration's checkpoint blocks
+        if prev_ck is not None:
+            try:
+                prev_ck.unpersist()
+            except Exception:
+                pass
+        prev_ck = new
+        if residual < epsilon:
+            break
+
+    return x.select("url", "rank")

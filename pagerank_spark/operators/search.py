@@ -1,0 +1,65 @@
+"""Ranked search over a PageRank vector (reference search, pagerank.py:175-192).
+
+filter(query) -> orderBy(rank desc) -> limit(k) collapses to a single
+TakeOrderedAndProject in the physical plan — no full sort materialization.
+Rank numbers 0..k-1 are assigned after the top-k cut (reference numbers only
+emitted matches, pagerank.py:184-192).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions.url_query import url_satisfies_query_col
+
+
+def search(
+    ranks: DataFrame,
+    query: str = "",
+    max_results: int = 10,
+    url_col: str = "url",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Return (result_rank, url, pagerank) — top matches in rank order.
+
+    Ties broken by url ascending for determinism (the reference's tie order is
+    torch.topk's index order, which is unstable across backends; golden graphs
+    have distinct scores so this never changes golden output).
+    """
+    top = (
+        ranks.filter(url_satisfies_query_col(F.col(url_col), query))
+        .orderBy(F.desc(rank_col), F.col(url_col))
+        .limit(max_results)
+    )
+    w = Window.orderBy(F.desc(rank_col), F.col(url_col))
+    return top.select(
+        (F.row_number().over(w) - 1).alias("result_rank"),
+        F.col(url_col).alias("url"),
+        F.col(rank_col).alias("pagerank"),
+    )
+
+
+def rescore_with_boost(
+    ranks: DataFrame,
+    query_terms: list[str],
+    expansion: list[tuple[str, float]] | None = None,
+    s_weight: float = 0.03,
+    power: float = 30.0,
+    url_col: str = "url",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Embedding-boosted re-scoring (reference pagerank2.py:171-201, op 24).
+
+    Each url's score is boosted additively: a query-term substring match adds
+    ``s_weight``; a match of an expansion word with cosine similarity s adds
+    ``s ** power``. Pure Column arithmetic — one `contains` per term.
+    """
+    boost = F.lit(0.0)
+    for t in query_terms:
+        boost = boost + F.when(F.col(url_col).contains(t), F.lit(s_weight)).otherwise(0.0)
+    for word, sim in expansion or []:
+        boost = boost + F.when(
+            F.col(url_col).contains(word), F.lit(float(sim) ** power)
+        ).otherwise(0.0)
+    return ranks.withColumn(rank_col, F.col(rank_col) + boost)
