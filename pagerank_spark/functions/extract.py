@@ -1,0 +1,134 @@
+"""HTML -> text / link extraction over Common-Crawl-style pages.
+
+The reference repo consumes a pre-extracted edge CSV (its README describes the
+crawl: one edge per <a> tag, README.md:42-64) and ships no extractor; the
+north rule requires one. This module defines the deterministic extraction
+SPEC as pure Python (`extract_text_py`, `extract_hrefs_py`) — the reference
+path — and exposes Arrow-vectorized pandas UDFs that must produce
+byte-identical output per url (tests/test_extract.py enforces it).
+
+Spec (deterministic, a function of the html bytes + page url only):
+  * decode utf-8, errors='replace'
+  * stdlib html.parser, convert_charrefs=True (entities resolved)
+  * text: all character data outside <script>/<style>, chunks stripped,
+    empties dropped, joined with a single space
+  * links: every <a href=...> value, in document order, duplicates KEPT
+    (the reference sums duplicate edges); scheme stripped; href starting
+    with '/' resolved against the page's domain; fragment-only and empty
+    hrefs dropped
+
+Python crosses the executor boundary only as pandas UDFs over Arrow batches
+(input_hint mandate) — the per-batch loop is a pandas Series.map over the
+batch, never a Spark-row-at-a-time UDF.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SKIP_TAGS = {"script", "style"}
+
+
+class _TextAndLinks(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self.hrefs: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+                    break
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            s = data.strip()
+            if s:
+                self.chunks.append(s)
+
+
+def _parse(html: bytes | None) -> _TextAndLinks:
+    p = _TextAndLinks()
+    if html:
+        p.feed(html.decode("utf-8", errors="replace"))
+        p.close()
+    return p
+
+
+def extract_text_py(html: bytes | None) -> str:
+    """Reference extractor: deterministic text from html bytes."""
+    return " ".join(_parse(html).chunks)
+
+
+def _normalize_href(href: str, page_url: str) -> str | None:
+    h = href.strip()
+    if not h or h.startswith("#"):
+        return None
+    for scheme in ("http://", "https://"):
+        if h.startswith(scheme):
+            h = h[len(scheme):]
+            break
+    else:
+        if h.startswith("//"):
+            h = h[2:]
+        elif h.startswith("/"):
+            h = page_url.split("/", 1)[0] + h
+    return h or None
+
+
+def extract_hrefs_py(html: bytes | None, page_url: str) -> list[str]:
+    """Reference extractor: normalized link targets, document order, dups kept."""
+    out = []
+    for href in _parse(html).hrefs:
+        n = _normalize_href(href, page_url)
+        if n is not None:
+            out.append(n)
+    return out
+
+
+# -- Arrow-vectorized UDFs ----------------------------------------------------
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_hrefs_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_hrefs_py(h, u) for h, u in zip(html, url)], dtype="object"
+    )
+
+
+def extract_text_df(pages: DataFrame) -> DataFrame:
+    """(url, text) — vectorized extraction; only url+html columns are scanned
+    (Catalyst prunes the rest out of the parquet read)."""
+    return pages.select("url", extract_text_udf(F.col("html")).alias("text"))
+
+
+def extract_edges_df(pages: DataFrame) -> DataFrame:
+    """(src, dst) — one row per <a href>, duplicates kept.
+
+    explode() runs JVM-side after the Arrow batch returns, so the Python hop
+    carries one array per page, not one row per link.
+    """
+    return (
+        pages.select(
+            F.col("url").alias("src"),
+            F.explode(extract_hrefs_udf(F.col("html"), F.col("url"))).alias("dst"),
+        )
+    )

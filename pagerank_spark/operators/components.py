@@ -1,0 +1,105 @@
+"""Connected components via alternating star contraction.
+
+Algorithm: Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+"Connected Components in MapReduce and Beyond" (ACM SoCC 2014), the
+large-star / small-star formulation. Converges in O(log^2 n) rounds; every
+round is a groupBy-min plus a join on the edge table — no driver-side state,
+no vertex-count-sized collect, so it survives 10^12-vertex scale.
+
+  large-star(u): for every neighbor v > u, connect v to m = min(N(u) ∪ {u})
+  small-star(u): for neighbors v <= u, connect v (and u) to m = min(N(u) ∪ {u})
+
+Vertex ids are compared as strings (lexicographic) — consistent with the
+union-find oracle (oracle/graph_np.py). Component id = min member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected pairs oriented (u=hi, v=lo), self-loops dropped, distinct."""
+    return (
+        edges.select(
+            F.greatest(F.col("src"), F.col("dst")).alias("u"),
+            F.least(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Input/output: undirected pairs. Symmetrizes internally."""
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = both.groupBy("u").agg(F.min("v").alias("_mv"))
+    m = F.least(F.col("_mv"), F.col("u"))
+    return (
+        both.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))   # u=hi, v=lo preserved
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Input: undirected (hi, lo) pairs; output the same orientation."""
+    lo = e  # already oriented u > v
+    mins = lo.groupBy("u").agg(F.min("v").alias("_mv"))
+    via_nbrs = (
+        lo.join(mins, "u")
+        .where(F.col("v") != F.col("_mv"))
+        .select(F.col("v").alias("u"), F.col("_mv").alias("v"))
+    )
+    via_self = mins.select(F.col("u"), F.col("_mv").alias("v"))
+    return (
+        via_nbrs.union(via_self)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50, num_partitions: int | None = None
+) -> DataFrame:
+    """Return (url, component) — component id = min vertex id in the component.
+
+    Isolated vertices (only self-loops) map to themselves.
+    """
+    spark = edges.sparkSession
+    num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    all_vertices = (
+        edges.select(F.col("src").alias("url"))
+        .union(edges.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+    e = _canonical(edges).repartition(num_partitions, "u").localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        e2 = _small_star(_large_star(e))
+        e2 = e2.repartition(num_partitions, "u").localCheckpoint(eager=True)
+        # convergence: the star-contracted edge set is a fixpoint.
+        # set equality via count + anti-join count (both cheap aggregates);
+        # at real scale swap for a sum-of-hash checksum to save the anti-join.
+        changed = (
+            e2.count() != e.count()
+            or e2.join(e, ["u", "v"], "left_anti").limit(1).count() > 0
+        )
+        old = e
+        e = e2
+        old.unpersist()
+        if not changed:
+            break
+    # e is now child -> root (stars); roots and isolated vertices map to self
+    labels = e.select(F.col("u").alias("url"), F.col("v").alias("component"))
+    out = (
+        all_vertices.join(labels, "url", "left")
+        .select("url", F.coalesce(F.col("component"), F.col("url")).alias("component"))
+    )
+    result = out.localCheckpoint(eager=True)
+    all_vertices.unpersist()
+    e.unpersist()
+    return result

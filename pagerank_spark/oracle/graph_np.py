@@ -45,16 +45,16 @@ def label_propagation_np(
     """Synchronous LPA (Raghavan 2007), undirected, deterministic.
 
     Per round every vertex simultaneously takes the most frequent label among
-    its neighbors (counting multi-edges); ties broken by smallest label; a
-    vertex with no neighbors keeps its label. Stops early when stable.
+    its DISTINCT neighbors (self-loops ignored); ties broken by smallest
+    label; a vertex with no neighbors keeps its label. Stops when stable.
     """
-    nbrs: dict[str, list[str]] = defaultdict(list)
+    nbrs: dict[str, set] = defaultdict(set)
     verts = set()
     for u, v in edges:
         verts.update((u, v))
         if u != v:
-            nbrs[u].append(v)
-            nbrs[v].append(u)
+            nbrs[u].add(v)
+            nbrs[v].add(u)
     labels = {v: v for v in verts}
     for _ in range(max_iter):
         new = {}

@@ -1,0 +1,64 @@
+"""Exact-match tests: star-contraction CC, synchronous LPA, degree-ordered
+triangle counting vs pure-Python oracles (SURVEY.md §7.3)."""
+
+import pytest
+
+from pagerank_spark.fixtures import synth_edges
+from pagerank_spark.oracle.graph_np import (
+    connected_components_np,
+    label_propagation_np,
+    triangle_count_np,
+)
+from pagerank_spark.operators.components import connected_components
+from pagerank_spark.operators.labelprop import label_propagation
+from pagerank_spark.operators.triangles import triangle_count
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, ["src", "dst"])
+
+
+# two disconnected communities + a path + isolated-ish structures
+HAND_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "a"),          # triangle 1
+    ("c", "d"), ("d", "e"),                      # path tail
+    ("x", "y"), ("y", "z"), ("z", "x"), ("x", "w"),  # triangle 2 + pendant
+    ("q", "q"),                                  # self-loop only
+    ("m", "n"), ("m", "n"),                      # duplicate edge
+]
+
+
+@pytest.mark.parametrize("edges", [HAND_EDGES, synth_edges(50, 120, seed=11), synth_edges(80, 150, seed=12)],
+                         ids=["hand", "synth11", "synth12"])
+def test_connected_components_exact(spark, edges):
+    got = {r["url"]: r["component"] for r in connected_components(_edges_df(spark, edges), num_partitions=4).collect()}
+    want = connected_components_np(edges)
+    assert got == want
+
+
+@pytest.mark.parametrize("edges", [HAND_EDGES, synth_edges(40, 100, seed=21)], ids=["hand", "synth21"])
+@pytest.mark.parametrize("rounds", [1, 3])
+def test_label_propagation_exact(spark, edges, rounds):
+    got = {
+        r["url"]: r["label"]
+        for r in label_propagation(
+            _edges_df(spark, edges), max_iterations=rounds, num_partitions=4,
+            stop_when_stable=True,
+        ).collect()
+    }
+    want = label_propagation_np(edges, max_iter=rounds)
+    assert got == want
+
+
+@pytest.mark.parametrize("edges", [HAND_EDGES, synth_edges(50, 200, seed=31), synth_edges(30, 180, seed=32)],
+                         ids=["hand", "synth31", "synth32"])
+def test_triangle_count_exact(spark, edges):
+    df = _edges_df(spark, edges)
+    total_want, per_want = triangle_count_np(edges)
+    total_got = triangle_count(df).first()["n_triangles"]
+    assert total_got == total_want
+    per_got = {r["url"]: r["triangles"] for r in triangle_count(df, per_vertex=True).collect()}
+    # oracle omits zero-triangle vertices; spark reports 0 for them
+    for url, t in per_got.items():
+        assert t == per_want.get(url, 0)
+    assert set(per_want) <= set(per_got)
