@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``       — flagship converged PageRank on sf0.001.
+``queries()``          — one callable per implemented operator (SURVEY.md §2
+                         plus the training-data-pipeline extensions).
+``oracle_sql()``       — DuckDB twin for every SQL-expressible query.
+
+Input derivation: the driver testdata has no edge table, so both engines
+derive one from ``events`` with the SAME SQL text (constants below) — the
+comparison therefore checks the operators, not the synthesis. Hashing uses
+the first 15 hex chars of md5 (60 bits) which Spark ``conv()`` and DuckDB
+hex-cast reproduce bit-for-bit; every float output is rounded to 6 dp on
+both sides so cross-engine summation-order noise can't flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +18,778 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# ---------------------------------------------------------------------------
+# shared derivation SQL (identical text runs on Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+# G: plain node-name graph for the graph algorithms (~997 vertices)
+G_SQL = (
+    "SELECT 'n' || CAST(event_id % 997 AS STRING) AS src, "
+    "'n' || CAST((event_id * 31 + 7) % 997 AS STRING) AS dst FROM events"
+)
+
+# U: url-shaped edges exercising the reference's ingest filters
+# (single-segment no-trailing-slash urls are kept by the regex filter;
+#  '/'-suffixed and '/x/y' multi-segment urls are dropped)
+U_SQL = (
+    "SELECT 'www.d' || CAST(user_id % 40 AS STRING) || '.test-p' || CAST(event_id % 211 AS STRING) "
+    "|| (CASE WHEN event_id % 7 = 0 THEN '/' WHEN event_id % 11 = 0 THEN '/x/y' ELSE '' END) AS src, "
+    "'www.d' || CAST((user_id * 3 + 1) % 40 AS STRING) || '.test-p' || CAST((event_id * 13 + 5) % 211 AS STRING) "
+    "|| (CASE WHEN event_id % 13 = 0 THEN '/' ELSE '' END) AS dst FROM events"
+)
+
+EDGE_FILTER_REGEX = r".*((/$)|(/.*/)).*"
+RATIO = 0.5
+
+# U-graph ingest pipeline in SQL (regex filter → ratio filter → 1/outdeg
+# weights → duplicate-edge sum), mirroring LinkGraph.from_edges exactly
+INGEST_CTE = f"""
+raw AS ({U_SQL}),
+filtered AS (
+  SELECT * FROM raw
+  WHERE NOT (regexp_matches(src, '{EDGE_FILTER_REGEX}')
+          OR regexp_matches(dst, '{EDGE_FILTER_REGEX}'))
+),
+uverts AS (
+  SELECT DISTINCT url FROM (
+    SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)
+),
+indeg AS (SELECT dst, COUNT(*) AS ind FROM filtered GROUP BY dst),
+kept AS (
+  SELECT filtered.src, filtered.dst FROM filtered JOIN indeg USING (dst)
+  WHERE ind < {RATIO} * (SELECT COUNT(*) FROM uverts)
+),
+pc AS (SELECT src, dst, COUNT(*) AS k FROM kept GROUP BY src, dst),
+od AS (SELECT src, CAST(SUM(k) AS BIGINT) AS outdeg FROM pc GROUP BY src),
+uedges AS (
+  SELECT pc.src, pc.dst, CAST(pc.k AS DOUBLE) / od.outdeg AS weight
+  FROM pc JOIN od USING (src)
+)
+"""
+
+# G-graph: weights without regex/ratio filtering (node names have no '/')
+GEDGE_CTE = f"""
+g AS ({G_SQL}),
+gverts AS (
+  SELECT DISTINCT url FROM (SELECT src AS url FROM g UNION ALL SELECT dst FROM g)
+),
+gpc AS (SELECT src, dst, COUNT(*) AS k FROM g GROUP BY src, dst),
+god AS (SELECT src, CAST(SUM(k) AS BIGINT) AS outdeg FROM gpc GROUP BY src),
+gedges AS (
+  SELECT gpc.src, gpc.dst, CAST(gpc.k AS DOUBLE) / god.outdeg AS weight
+  FROM gpc JOIN god USING (src)
+)
+"""
+
+# one full power iteration (uniform v), mirroring operators/pagerank.py
+PR1_CTE = f"""
+{GEDGE_CTE},
+nn AS (SELECT COUNT(*) AS n FROM gverts),
+x0 AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS rank FROM gverts),
+dang AS (
+  SELECT url FROM gverts WHERE url NOT IN (SELECT DISTINCT src FROM gedges)
+),
+d0 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM x0 WHERE url IN (SELECT url FROM dang)),
+contrib AS (
+  SELECT e.dst, SUM(e.weight * x0.rank) AS c
+  FROM gedges e JOIN x0 ON x0.url = e.src GROUP BY e.dst
+),
+xun AS (
+  SELECT v.url,
+         0.85 * COALESCE(c.c, 0)
+         + (0.85 * (SELECT dm FROM d0) + 0.15) * (1.0 / sqrt((SELECT n FROM nn))) AS xu
+  FROM gverts v LEFT JOIN contrib c ON c.dst = v.url
+),
+nrm AS (SELECT sqrt(SUM(xu * xu)) AS l2 FROM xun),
+pr1 AS (SELECT url, ROUND(xu / (SELECT l2 FROM nrm), 6) AS rank FROM xun)
+"""
+
+# documents text primitives
+TOKS = "string_split(lower(text), ' ')"
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+QUALITY_STOPWORDS_SQL = "'the','a','of','to','and','in','is','it','that','for','on','as'"
+NORM_TEXT = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+HEX15 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+SHINGLE_N = 3
+MINHASH_K = 16
+LSH_ROWS = 4
+
+SHINGLE_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len({TOKS}) - {SHINGLE_N - 1}, 1)),
+             i -> array_to_string(list_slice({TOKS}, i, i + {SHINGLE_N - 1}), ' '))) AS shingle
+    FROM documents)
+)
+"""
+
+_MH_COLS = ", ".join(
+    "MIN(" + HEX15.format(x=f"'{j}|' || shingle") + f") AS mh{j}" for j in range(MINHASH_K)
+)
+SIG_CTE = f"""{SHINGLE_CTE},
+sigs AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id)
+"""
+
+SIMHASH_CTE = f"""
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({TOKS}) AS tok FROM documents)
+),
+th AS (SELECT doc_id, {HEX15.format(x='tok')} AS h FROM toks),
+votes AS (
+  SELECT doc_id, j, CAST(SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM th CROSS JOIN generate_series(0, 59) t(j) GROUP BY doc_id, j
+),
+shash AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+MEDIA_META_CTE = f"""
+media AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         text
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, media_type,
+         CAST(length(text) AS BIGINT) AS byte_len,
+         CAST(16 + h % 2048 AS BIGINT) AS width,
+         CAST(16 + (h // 2048) % 2048 AS BIGINT) AS height,
+         CAST(1 + (h // 2048 // 2048) % 64 AS BIGINT) AS n_frames
+  FROM (SELECT doc_id, media_type, text, {HEX15.format(x='text')} AS h FROM media)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _graph_g(spark: SparkSession, sf_dir: str):
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    _views(spark, sf_dir, ("events",))
+    raw = spark.sql(G_SQL)
+    return LinkGraph.from_edges(raw, apply_regex_filter=False)
+
+
+def _graph_u(spark: SparkSession, sf_dir: str):
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    _views(spark, sf_dir, ("events",))
+    raw = spark.sql(U_SQL)
+    return LinkGraph.from_edges(raw, filter_ratio=RATIO)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("documents",))
+    return spark.table("documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, ("embeddings",))
+    return spark.table("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_ingest_edges(spark, sf_dir):
+    g = _graph_u(spark, sf_dir)
+    return g.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def q_degrees(spark, sf_dir):
+    g = _graph_u(spark, sf_dir)
+    return g.degrees().select(
+        "url",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    )
+
+
+def q_dangling(spark, sf_dir):
+    g = _graph_u(spark, sf_dir)
+    return g.vertices.join(
+        g.edges.select("src").distinct().withColumnRenamed("src", "url"), "url", "left_anti"
+    ).select("url")
+
+
+def q_pagerank_iter1(spark, sf_dir):
+    g = _graph_g(spark, sf_dir)
+    ranks = g.pagerank(alpha=0.85, max_iterations=1)
+    return ranks.select("url", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_converged(spark, sf_dir):
+    g = _graph_g(spark, sf_dir)
+    ranks = g.pagerank(alpha=0.85, epsilon=1e-6)
+    return ranks.select("url", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_csr(spark, sf_dir):
+    g = _graph_g(spark, sf_dir)
+    ranks = g.pagerank_csr(alpha=0.85, epsilon=1e-6)
+    return ranks.select("url", F.round("rank", 6).alias("rank"))
+
+
+def q_components(spark, sf_dir):
+    g = _graph_g(spark, sf_dir)
+    return g.connected_components()
+
+
+def q_label_propagation3(spark, sf_dir):
+    g = _graph_g(spark, sf_dir)
+    from pagerank_spark.operators.labelprop import label_propagation
+
+    _views(spark, sf_dir, ("events",))
+    raw = spark.sql(G_SQL)
+    return label_propagation(raw, max_iterations=3, stop_when_stable=False)
+
+
+def q_triangles_global(spark, sf_dir):
+    _views(spark, sf_dir, ("events",))
+    from pagerank_spark.operators.triangles import triangle_count
+
+    return triangle_count(spark.sql(G_SQL))
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    _views(spark, sf_dir, ("events",))
+    from pagerank_spark.operators.triangles import triangle_count
+
+    return triangle_count(spark.sql(G_SQL), per_vertex=True).select(
+        "url", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+SEARCH_QUERY = "test-p1 -test-p11"
+SEARCH_K = 25
+
+
+def q_search_topk(spark, sf_dir):
+    g = _graph_u(spark, sf_dir)
+    ranks = g.pagerank(alpha=0.85, max_iterations=1).select(
+        "url", F.round("rank", 6).alias("rank")
+    )
+    return g.search(ranks, query=SEARCH_QUERY, max_results=SEARCH_K).select(
+        F.col("result_rank").cast("long").alias("result_rank"), "url", "pagerank"
+    )
+
+
+PERS_QUERY = "test-p3"
+
+
+def q_personalization(spark, sf_dir):
+    g = _graph_u(spark, sf_dir)
+    v = g.make_personalization_vector(PERS_QUERY)
+    return v.select("url", F.round("v", 6).alias("v"))
+
+
+def q_url_query_predicate(spark, sf_dir):
+    from pagerank_spark.functions.url_query import url_satisfies_query_col
+
+    g = _graph_u(spark, sf_dir)
+    return g.vertices.select(
+        "url", url_satisfies_query_col(F.col("url"), SEARCH_QUERY).alias("matches")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    from pagerank_spark.operators.textops import with_token_stats
+
+    return with_token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "n_chars_computed"
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    from pagerank_spark.operators.textops import with_quality_score
+
+    return with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "mean_word_len", "quality_score"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from pagerank_spark.operators.textops import with_lang_id
+
+    return with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_fingerprints(spark, sf_dir):
+    from pagerank_spark.operators.textops import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "text_hash", "fingerprint")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pagerank_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "text_hash", F.col("n_docs").cast("long").alias("n_docs"), "keep_id"
+    )
+
+
+NGRAM_THRESHOLD = 0.2
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from pagerank_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=SHINGLE_N, threshold=NGRAM_THRESHOLD)
+
+
+MINHASH_THRESHOLD = 0.25
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from pagerank_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir), threshold=MINHASH_THRESHOLD, k=MINHASH_K, n=SHINGLE_N
+    )
+
+
+def q_simhash_sigs(spark, sf_dir):
+    from pagerank_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from pagerank_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from pagerank_spark.operators.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD)
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+def q_ann_topk(spark, sf_dir):
+    from pagerank_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K).select(
+        "query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn")
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    from pagerank_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K).select(
+        "query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn")
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from pagerank_spark.operators.multimodal import decode_media, media_from_documents
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return decode_media(media).select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    )
+
+
+FRAME_EVERY_N = 10
+
+
+def q_frame_sample(spark, sf_dir):
+    from pagerank_spark.operators.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return sample_frames(media, every_n=FRAME_EVERY_N).select(
+        "doc_id", "media_type", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: converged PageRank (α=.85, ε=1e-6) on the sf0.001 graph."""
+    return q_pagerank_converged(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ingest_edges": q_ingest_edges,
+        "degrees": q_degrees,
+        "dangling": q_dangling,
+        "pagerank_iter1": q_pagerank_iter1,
+        "pagerank_converged": q_pagerank_converged,
+        "pagerank_csr": q_pagerank_csr,
+        "components": q_components,
+        "label_propagation3": q_label_propagation3,
+        "triangles_global": q_triangles_global,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "search_topk": q_search_topk,
+        "personalization": q_personalization,
+        "url_query_predicate": q_url_query_predicate,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_sigs": q_simhash_sigs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pagerank_spark.functions.url_query import url_satisfies_query_sql
+
+    pred = url_satisfies_query_sql("url", SEARCH_QUERY)
+
+    sqls: dict[str, str] = {}
+
+    sqls["ingest_edges"] = f"""
+WITH {INGEST_CTE}
+SELECT src, dst, ROUND(weight, 6) AS weight FROM uedges
+"""
+
+    sqls["degrees"] = f"""
+WITH {INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
+outd AS (SELECT src AS url, COUNT(*) AS od FROM uedges GROUP BY src),
+ind2 AS (SELECT dst AS url, COUNT(*) AS id2 FROM uedges GROUP BY dst)
+SELECT av.url,
+       CAST(COALESCE(od, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(id2, 0) AS BIGINT) AS in_degree
+FROM av LEFT JOIN outd USING (url) LEFT JOIN ind2 USING (url)
+"""
+
+    sqls["dangling"] = f"""
+WITH {INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered))
+SELECT url FROM av WHERE url NOT IN (SELECT DISTINCT src FROM uedges)
+"""
+
+    sqls["pagerank_iter1"] = f"""
+WITH {PR1_CTE}
+SELECT url, rank FROM pr1
+"""
+
+    sqls["components"] = f"""
+WITH RECURSIVE g AS ({G_SQL}),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM g UNION ALL SELECT dst AS u, src AS v FROM g)
+  WHERE u <> v
+),
+verts AS (SELECT DISTINCT url FROM (SELECT src AS url FROM g UNION ALL SELECT dst FROM g)),
+reach(url, r) AS (
+  SELECT url, url FROM verts
+  UNION
+  SELECT und.u, reach.r FROM reach JOIN und ON und.v = reach.url
+)
+SELECT url, MIN(r) AS component FROM reach GROUP BY url
+"""
+
+    lpa_round = """
+r{i} AS (
+  SELECT und.u AS url, l{p}.label, COUNT(*) AS c
+  FROM und JOIN l{p} ON l{p}.url = und.v GROUP BY und.u, l{p}.label
+),
+b{i} AS (
+  SELECT url, label FROM (
+    SELECT url, label, ROW_NUMBER() OVER (PARTITION BY url ORDER BY c DESC, label ASC) AS rn
+    FROM r{i}) t WHERE rn = 1
+),
+l{i} AS (
+  SELECT l{p}.url, COALESCE(b{i}.label, l{p}.label) AS label
+  FROM l{p} LEFT JOIN b{i} ON b{i}.url = l{p}.url
+)"""
+    sqls["label_propagation3"] = (
+        f"""
+WITH g AS ({G_SQL}),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM g UNION ALL SELECT dst AS u, src AS v FROM g)
+  WHERE u <> v
+),
+verts AS (SELECT DISTINCT url FROM (SELECT src AS url FROM g UNION ALL SELECT dst FROM g)),
+l0 AS (SELECT url, url AS label FROM verts),"""
+        + lpa_round.format(i=1, p=0) + ","
+        + lpa_round.format(i=2, p=1) + ","
+        + lpa_round.format(i=3, p=2)
+        + "\nSELECT url, label FROM l3\n"
+    )
+
+    tri_base = f"""
+g AS ({G_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM g WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+)"""
+    sqls["triangles_global"] = f"""
+WITH {tri_base}
+SELECT COUNT(*) AS n_triangles FROM tri
+"""
+    sqls["triangles_per_vertex"] = f"""
+WITH {tri_base},
+cnt AS (
+  SELECT v, COUNT(*) AS c FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) t
+  GROUP BY v
+),
+verts AS (SELECT DISTINCT a AS v FROM und UNION SELECT b FROM und)
+SELECT verts.v AS url, CAST(COALESCE(c, 0) AS BIGINT) AS triangles
+FROM verts LEFT JOIN cnt USING (v)
+"""
+
+    # search over one U-graph power iteration
+    upr1 = f"""
+{INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
+nn AS (SELECT COUNT(*) AS n FROM av),
+x0 AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS rank FROM av),
+d0 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM x0
+       WHERE url NOT IN (SELECT DISTINCT src FROM uedges)),
+contrib AS (
+  SELECT e.dst, SUM(e.weight * x0.rank) AS c
+  FROM uedges e JOIN x0 ON x0.url = e.src GROUP BY e.dst
+),
+xun AS (
+  SELECT v.url,
+         0.85 * COALESCE(c.c, 0)
+         + (0.85 * (SELECT dm FROM d0) + 0.15) * (1.0 / sqrt((SELECT n FROM nn))) AS xu
+  FROM av v LEFT JOIN contrib c ON c.dst = v.url
+),
+nrm AS (SELECT sqrt(SUM(xu * xu)) AS l2 FROM xun),
+upr AS (SELECT url, ROUND(xu / (SELECT l2 FROM nrm), 6) AS rank FROM xun)
+"""
+    sqls["search_topk"] = f"""
+WITH {upr1}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, url ASC) - 1 AS BIGINT) AS result_rank,
+       url, rank AS pagerank
+FROM upr WHERE {pred}
+ORDER BY rank DESC, url ASC LIMIT {SEARCH_K}
+"""
+
+    pers_pred = url_satisfies_query_sql("url", PERS_QUERY)
+    sqls["personalization"] = f"""
+WITH {INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
+ind3 AS (SELECT url, CASE WHEN {pers_pred} THEN 1.0 ELSE 0.0 END AS v FROM av)
+SELECT url, ROUND(v / (SELECT SUM(v) FROM ind3), 6) AS v FROM ind3
+"""
+
+    sqls["url_query_predicate"] = f"""
+WITH {INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered))
+SELECT url, {pred} AS matches FROM av
+"""
+
+    sqls["token_stats"] = f"""
+SELECT doc_id,
+       CAST(len({TOKS}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INT) AS bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars_computed
+FROM documents
+"""
+
+    sqls["quality_scores"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({TOKS}) AS n_tok,
+         ROUND(CAST(len(list_filter({TOKS}, t -> t IN ({QUALITY_STOPWORDS_SQL}))) AS DOUBLE)
+               / len({TOKS}), 6) AS stopword_ratio,
+         ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+               / length(text), 6) AS punct_ratio,
+         ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({TOKS}), 6) AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, stopword_ratio, punct_ratio, mean_word_len,
+       ROUND(least(1.0, ln(1.0 + CAST(n_tok AS DOUBLE)) / ln(1001.0))
+             * (1.0 - punct_ratio) * (0.5 + 0.5 * stopword_ratio), 6) AS quality_score
+FROM base
+"""
+
+    from pagerank_spark.operators.textops import LANG_MARKERS
+
+    lang_scores = ", ".join(
+        f"len(list_filter({TOKS}, t -> t IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs
+    ) + " END"
+    sqls["lang_id"] = f"""
+WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
+SELECT doc_id, {case} AS lang_pred FROM s
+"""
+
+    sqls["fingerprints"] = f"""
+SELECT doc_id, md5({NORM_TEXT}) AS text_hash,
+       {HEX15.format(x=NORM_TEXT)} AS fingerprint
+FROM documents
+"""
+
+    sqls["dedup_exact"] = f"""
+SELECT md5({NORM_TEXT}) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+    sqls["ngram_jaccard"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {NGRAM_THRESHOLD}
+"""
+
+    bands = []
+    for b in range(MINHASH_K // LSH_ROWS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * LSH_ROWS + r} AS STRING)" for r in range(LSH_ROWS)
+        )
+        bands.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b "
+            f"ON md5({cols.replace('mh', 'a.mh')}) = md5({cols.replace('mh', 'b.mh')}) "
+            f"AND a.doc_id < b.doc_id"
+        )
+    band_union = " UNION ".join(bands)
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    sqls["minhash_lsh"] = f"""
+WITH {SIG_CTE},
+cand AS ({band_union})
+SELECT id_a, id_b, ROUND(CAST({matches} AS DOUBLE) / {MINHASH_K}, 6) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE ROUND(CAST({matches} AS DOUBLE) / {MINHASH_K}, 6) >= {MINHASH_THRESHOLD}
+"""
+
+    sqls["simhash_sigs"] = f"""
+WITH {SIMHASH_CTE}
+SELECT doc_id, simhash FROM shash
+"""
+
+    sqls["simhash_pairs"] = f"""
+WITH {SIMHASH_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM shash a JOIN shash b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+    sqls["embedding_near_dup"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    sqls["ann_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM e WHERE vec_id IN ({qids})),
+sims AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qv, e.v) / (qn * e.n), 6) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}
+"""
+
+    sqls["multimodal_meta"] = f"""
+WITH {MEDIA_META_CTE}
+SELECT doc_id, media_type, byte_len, width, height, n_frames FROM meta
+"""
+
+    sqls["frame_sample"] = f"""
+WITH {MEDIA_META_CTE}
+SELECT doc_id, media_type, CAST(f AS BIGINT) AS frame_idx
+FROM meta CROSS JOIN generate_series(0, 63, {FRAME_EVERY_N}) t(f)
+WHERE media_type = 'video' AND f <= n_frames - 1
+"""
+
+    return sqls

@@ -1,0 +1,184 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pagerank": {"edges": E, "iterations": K, "edges_per_sec": E*K/t, ...}}
+
+The bench graph is derived deterministically from the events table with a
+hub-skew term (10% of edges hit 97 hub vertices) so the shuffle/skew paths
+are actually exercised; V scales with the table so bigger sf => bigger graph.
+
+Usage: python bench.py [--scaling]   (--scaling: run PageRank at local[8]
+and local[32] and print both throughputs + scaling efficiency; protocol for
+the north rule's two-cluster-size criterion, results in BENCH/BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def bench_graph_sql(n_events: int) -> str:
+    v = max(997, n_events // 10)
+    return (
+        f"SELECT 'n' || CAST(event_id % {v} AS STRING) AS src, "
+        f"CASE WHEN event_id % 10 = 0 THEN 'n' || CAST(event_id % 97 AS STRING) "
+        f"ELSE 'n' || CAST((event_id * 31 + 7) % {v} AS STRING) END AS dst "
+        f"FROM events"
+    )
+
+
+def run_suite(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_events = spark.table("events").count()
+
+    t0 = time.monotonic()
+    raw = spark.sql(bench_graph_sql(n_events))
+    graph = LinkGraph.from_edges(raw, apply_regex_filter=False)
+    n_edges = graph.num_edges()
+    n_vertices = graph.num_vertices()
+    timings["build_graph"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    metrics: list = []
+    ranks = graph.pagerank(alpha=0.85, epsilon=1e-6, metrics=metrics)
+    ranks.count()
+    dt = time.monotonic() - t0
+    timings["pagerank"] = dt
+    iters = len(metrics)
+    extra["pagerank"] = {
+        "edges": n_edges,
+        "vertices": n_vertices,
+        "iterations": iters,
+        "seconds": round(dt, 3),
+        "edges_per_sec": round(n_edges * iters / dt, 1),
+    }
+
+    t0 = time.monotonic()
+    metrics2: list = []
+    graph.pagerank_csr(alpha=0.85, epsilon=1e-6, metrics=metrics2).count()
+    timings["pagerank_csr"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    graph.connected_components().count()
+    timings["components"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    graph.label_propagation(max_iterations=3, stop_when_stable=False).count()
+    timings["label_propagation3"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    graph.triangle_count().collect()
+    timings["triangles"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash,
+    )
+    from pagerank_spark.operators.similarity import brute_force_topk
+
+    t0 = time.monotonic()
+    minhash_near_duplicates(docs, threshold=0.25).count()
+    timings["minhash_lsh"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    simhash(docs).count()
+    timings["simhash"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).count()
+    timings["ann_topk"] = time.monotonic() - t0
+
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    return {"timings": timings, "extra": extra}
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pagerank_spark.session import get_spark
+
+    if "--scaling" in sys.argv:
+        # two-parallelism-level protocol (no real cluster in this sandbox):
+        # identical job at local[8] and local[32], same input
+        import subprocess
+
+        results = {}
+        for cores in ("8", "32"):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_SF_DIR=SF_DIR)
+            out = subprocess.run(
+                [sys.executable, __file__, "--pagerank-only"],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8 = results["8"]["pagerank"]["edges_per_sec"]
+        t32 = results["32"]["pagerank"]["edges_per_sec"]
+        eff = (t32 / 32) / (t8 / 8)
+        print(json.dumps({
+            "metric": "pagerank_scaling_local8_to_local32",
+            "sf": SF_DIR,
+            "local8": results["8"]["pagerank"],
+            "local32": results["32"]["pagerank"],
+            "throughput_ratio_32_over_8": round(t32 / t8, 3),
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    try:
+        if "--pagerank-only" in sys.argv:
+            from pagerank_spark.operators.graph_build import LinkGraph
+
+            spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView("events")
+            n_events = spark.table("events").count()
+            raw = spark.sql(bench_graph_sql(n_events))
+            graph = LinkGraph.from_edges(raw, apply_regex_filter=False)
+            n_edges = graph.num_edges()
+            t0 = time.monotonic()
+            metrics: list = []
+            graph.pagerank(alpha=0.85, epsilon=1e-6, metrics=metrics).count()
+            dt = time.monotonic() - t0
+            print(json.dumps({
+                "pagerank": {
+                    "cores": CPUS,
+                    "edges": n_edges,
+                    "iterations": len(metrics),
+                    "seconds": round(dt, 3),
+                    "edges_per_sec": round(n_edges * len(metrics) / dt, 1),
+                }
+            }))
+            return
+
+        r = run_suite(spark, SF_DIR)
+        total = round(sum(r["timings"].values()), 3)
+        print(json.dumps({
+            "metric": "engine_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": r["timings"],
+            "sf": SF_DIR,
+            "cores": CPUS,
+            **r["extra"],
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang, ...).
+
+Large-scale training-data pipeline primitives, all pure JVM-side Column
+expressions (whole-stage codegen; no Python in the hot path):
+
+  * token statistics    — whitespace tokens + a BPE-ish regex token count
+  * quality scoring     — length / punctuation / stopword-ratio composite
+  * language ID         — marker-stopword n-gram heuristic, deterministic
+  * document fingerprint — md5-based 60-bit content hash over normalized text
+
+Every operator has a portable ANSI-SQL twin (DuckDB oracle) in
+``__spark_entry__.py``; the hash primitive is the first 15 hex chars of md5
+(60 bits, sign-safe in int64) so Spark `conv()` and DuckDB hex-cast agree
+bit-for-bit.
+
+The reference (laurenleadbetter/Pagerank) has no text layer beyond URL
+substring predicates (pagerank.py:196-242); these operators extend the engine
+to the document side of a web-corpus pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# generic high-frequency function words used by the quality score
+QUALITY_STOPWORDS = (
+    "the", "a", "of", "to", "and", "in", "is", "it", "that", "for", "on", "as",
+)
+
+# marker stopwords per language for the n-gram language-ID heuristic;
+# alphabetical language order == deterministic tie-break order
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "en": ("the", "and", "of", "is", "that", "it"),
+    "es": ("el", "los", "que", "las", "una", "por"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "zh": ("de0", "shi4", "le0", "zai4", "he2", "you3"),
+}
+
+
+def hexint15(col: Column) -> Column:
+    """First 15 hex chars of md5 → int64 (60 bits; portable to DuckDB's
+    ``('0x'||substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ws_tokens (whitespace token count), bpe_tokens (regex token count),
+    n_chars. All JVM-side."""
+    t = F.lower(F.col(text_col))
+    return (
+        docs.withColumn("ws_tokens", F.size(_ws_tokens(F.col(text_col))))
+        .withColumn("bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0)))
+        .withColumn("n_chars_computed", F.length(F.col(text_col)))
+    )
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add stopword_ratio, punct_ratio, mean_word_len and a composite
+    quality_score in [0,1] (rounded 6dp for cross-engine stability)."""
+    toks = _ws_tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    sw_list = ",".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_sw = F.expr(f"size(filter(split(lower({text_col}), ' '), t -> t IN ({sw_list})))")
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    n_chars = F.length(F.col(text_col))
+    out = (
+        docs.withColumn("stopword_ratio", F.round(n_sw.cast("double") / n_tok, 6))
+        .withColumn("punct_ratio", F.round(n_punct.cast("double") / n_chars, 6))
+        .withColumn(
+            "mean_word_len",
+            F.round(F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double") / n_tok, 6),
+        )
+    )
+    # composite: length saturation * cleanliness * stopword presence
+    score = (
+        F.least(F.lit(1.0), F.log(1.0 + n_tok.cast("double")) / F.log(F.lit(1001.0)))
+        * (F.lit(1.0) - F.col("punct_ratio"))
+        * (F.lit(0.5) + F.lit(0.5) * F.col("stopword_ratio"))
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add lang_pred: argmax marker-stopword count, ties broken by language
+    code ascending; 'und' when no marker matches."""
+    out = docs
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ",".join(f"'{m}'" for m in markers)
+        c = f"_s_{lang}"
+        out = out.withColumn(
+            c, F.expr(f"size(filter(split(lower({text_col}), ' '), t -> t IN ({lst})))")
+        )
+        score_cols.append((lang, c))
+    m = F.greatest(*[F.col(c) for _, c in score_cols])
+    pred = F.when(m == 0, F.lit("und"))
+    for lang, c in score_cols:  # alphabetical → deterministic tie-break
+        pred = pred.when(F.col(c) == m, F.lit(lang))
+    out = out.withColumn("lang_pred", pred)
+    return out.drop(*[c for _, c in score_cols])
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add text_hash (md5 hex of normalized text) and fingerprint (60-bit
+    int64). Normalization: lowercase, trim, collapse whitespace runs."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.withColumn("text_hash", F.md5(norm)).withColumn(
+        "fingerprint", hexint15(norm)
+    )
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop profile: token stats + quality + language + fingerprint."""
+    out = with_token_stats(docs, text_col)
+    out = with_quality_score(out, text_col)
+    out = with_lang_id(out, text_col)
+    out = with_fingerprint(out, text_col)
+    return out
