@@ -26,13 +26,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def bench_graph_sql(n_events: int) -> str:
-    v = max(997, n_events // 10)
+def bench_graph_sql(n_events: int, multiplier: int = 10) -> str:
+    """~multiplier * n_events raw edges over n_events/2 vertices, with 10% of
+    edges aimed at 97 hub vertices (power-law-ish in-degree skew) so salted
+    aggregation / AQE skew handling is actually exercised."""
+    v = max(997, n_events // 2)
     return (
         f"SELECT 'n' || CAST(event_id % {v} AS STRING) AS src, "
-        f"CASE WHEN event_id % 10 = 0 THEN 'n' || CAST(event_id % 97 AS STRING) "
-        f"ELSE 'n' || CAST((event_id * 31 + 7) % {v} AS STRING) END AS dst "
-        f"FROM events"
+        f"CASE WHEN (event_id + r) % 10 = 0 THEN 'n' || CAST((event_id * 13 + r) % 97 AS STRING) "
+        f"ELSE 'n' || CAST((event_id * 31 + user_id * 7919 + r * 104729 + 7) % {v} AS STRING) END AS dst "
+        f"FROM events "
+        f"LATERAL VIEW explode(sequence(0, {multiplier - 1})) t AS r"
     )
 
 

@@ -31,10 +31,13 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, bcast: bool = False) -> DataFrame:
     """Input/output: undirected pairs. Symmetrizes internally."""
     both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = both.groupBy("u").agg(F.min("v").alias("_mv"))
+    # mins is vertex-sized — broadcast keeps the edge table in place
+    if bcast:
+        mins = F.broadcast(mins)
     m = F.least(F.col("_mv"), F.col("u"))
     return (
         both.join(mins, "u")
@@ -45,10 +48,12 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, bcast: bool = False) -> DataFrame:
     """Input: undirected (hi, lo) pairs; output the same orientation."""
     lo = e  # already oriented u > v
     mins = lo.groupBy("u").agg(F.min("v").alias("_mv"))
+    if bcast:
+        mins = F.broadcast(mins)
     via_nbrs = (
         lo.join(mins, "u")
         .where(F.col("v") != F.col("_mv"))
@@ -63,11 +68,19 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, num_partitions: int | None = None
+    edges: DataFrame,
+    max_iterations: int = 50,
+    num_partitions: int | None = None,
+    broadcast_mins: bool | None = None,
 ) -> DataFrame:
     """Return (url, component) — component id = min vertex id in the component.
 
     Isolated vertices (only self-loops) map to themselves.
+
+    ``broadcast_mins``: the per-vertex min table is vertex-sized; broadcast
+    it (auto when < 10M vertices) so each star round shuffles only the
+    contracted edge output, not the full neighbor table. False at cluster
+    scale -> co-partitioned shuffle joins.
     """
     spark = edges.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -77,9 +90,11 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if broadcast_mins is None:
+        broadcast_mins = all_vertices.count() < 10_000_000
     e = _canonical(edges).repartition(num_partitions, "u").localCheckpoint(eager=True)
     for _ in range(max_iterations):
-        e2 = _small_star(_large_star(e))
+        e2 = _small_star(_large_star(e, broadcast_mins), broadcast_mins)
         e2 = e2.repartition(num_partitions, "u").localCheckpoint(eager=True)
         # convergence: the star-contracted edge set is a fixpoint.
         # set equality via count + anti-join count (both cheap aggregates);

@@ -22,8 +22,16 @@ def label_propagation(
     max_iterations: int = 10,
     num_partitions: int | None = None,
     stop_when_stable: bool = True,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
-    """Return (url, label). Labels initialized to the vertex id."""
+    """Return (url, label). Labels initialized to the vertex id.
+
+    ``broadcast_labels``: the label vector is vertex-sized (tiny next to the
+    message table); broadcasting it keeps the edge table in place and leaves
+    one shuffle per round (the groupBy(u,label) count). Auto: broadcast when
+    < 10M vertices; set False at cluster scale so the join falls back to the
+    co-partitioned shuffle path.
+    """
     spark = edges.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -42,12 +50,15 @@ def label_propagation(
         .persist()
     )
     labels = vertices.select("url", F.col("url").alias("label")).localCheckpoint(eager=True)
+    if broadcast_labels is None:
+        broadcast_labels = vertices.count() < 10_000_000
 
     w = Window.partitionBy("u").orderBy(F.desc("_cnt"), F.asc("label"))
     for _ in range(max_iterations):
-        msgs = both.join(
-            labels.select(F.col("url").alias("v"), "label"), "v"
-        ).select("u", "label")
+        lab_v = labels.select(F.col("url").alias("v"), "label")
+        if broadcast_labels:
+            lab_v = F.broadcast(lab_v)
+        msgs = both.join(lab_v, "v").select("u", "label")
         best = (
             msgs.groupBy("u", "label")
             .agg(F.count(F.lit(1)).alias("_cnt"))

@@ -72,14 +72,28 @@ def pagerank(
     epsilon: float = 1e-6,
     checkpointer=None,
     metrics: list | None = None,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Return (url, rank) with rank the L2-normalized PageRank vector.
 
     ``checkpointer``: optional plans.checkpoint.IterationCheckpointer for
     durable resume; ``metrics``: optional list collecting per-iteration dicts.
+
+    ``broadcast_ranks``: per-iteration join strategy. The rank vector is
+    vertex-sized — orders of magnitude smaller than the edge table — so when
+    it fits in an executor (default: < 10M vertices) we broadcast it and the
+    big side never moves: edges stay partitioned in place and the only
+    shuffle per iteration is the groupBy(dst) combine. Left to the planner,
+    AQE can instead choose to broadcast the EDGE table (it often fits the
+    64 MB estimate at test scale), re-serializing the big side every
+    iteration — measured 4x slower at 1M edges. At cluster scale
+    (billions of vertices) set False: the join falls back to the
+    co-partitioned shuffle join against the persisted hash(src) layout.
     """
     num_parts = graph.num_partitions
     edges = graph.edges
+    if broadcast_ranks is None:
+        broadcast_ranks = graph.num_vertices() < 10_000_000
 
     start_iter = 0
     if checkpointer is not None:
@@ -101,8 +115,11 @@ def pagerank(
         t0 = time.monotonic()
         q = alpha * dangling_mass + (1.0 - alpha)
 
+        x_src = x.select(F.col("url").alias("src"), "rank")
+        if broadcast_ranks:
+            x_src = F.broadcast(x_src)
         contribs = (
-            edges.join(x.select(F.col("url").alias("src"), "rank"), "src")
+            edges.join(x_src, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("weight") * F.col("rank")).alias("_c"))
         )

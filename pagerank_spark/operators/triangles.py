@@ -27,7 +27,7 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
+def _oriented(edges: DataFrame, broadcast_deg: bool | None = None) -> DataFrame:
     """(u, v, dv, v_id) oriented low-(degree,id) -> high-(degree,id)."""
     und = _undirected(edges).persist()
     deg = (
@@ -36,6 +36,11 @@ def _oriented(edges: DataFrame) -> DataFrame:
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # the degree table is vertex-sized; broadcast keeps the edge table in place
+    if broadcast_deg is None:
+        broadcast_deg = deg.count() < 10_000_000
+    if broadcast_deg:
+        deg = F.broadcast(deg)
     e = (
         und.join(deg.withColumnRenamed("x", "a").withColumnRenamed("d", "da"), "a")
         .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "db"), "b")

@@ -1,0 +1,80 @@
+"""Driver-contract smoke: a fast subset of __spark_entry__.queries() vs their
+oracle_sql() twins through DuckDB at sf0.001 (the full sweep at sf0.01 is
+tools/check_oracles.py / the driver's own harness)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAST_QUERIES = [
+    "ingest_edges",
+    "degrees",
+    "dangling",
+    "pagerank_iter1",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "fingerprints",
+    "dedup_exact",
+    "simhash_sigs",
+    "ann_topk",
+    "multimodal_meta",
+    "frame_sample",
+    "url_query_predicate",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        except Exception:
+            pass
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or df[c].dtype == bool:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = _normalize(entry_mod.queries()[name](spark, SF_DIR).toPandas())
+    odf = _normalize(duck.execute(entry_mod.oracle_sql()[name]).fetch_df())
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == len(odf)
+    pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"url", "rank"}
+
+
+def test_every_query_has_oracle_or_is_documented():
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    assert oracles <= qs
+    # only the iterative fixpoints are allowed to be rows-only
+    assert qs - oracles == {"pagerank_converged", "pagerank_csr", "ann_lsh"}

@@ -1,0 +1,272 @@
+"""Unit tests for textops / dedup / similarity / multimodal operators.
+
+Oracles are small pure-Python re-derivations of each spec (md5-hex60 hashing,
+shingling, minhash, simhash, cosine) — the same specs the DuckDB SQL twins in
+__spark_entry__.py implement; cross-engine equivalence at sf0.01 is covered
+by tools/check_oracles.py and the driver harness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _hex60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the mat"),            # exact dup of 0
+    (2, "the cat sat on the red mat"),        # near dup of 0
+    (3, "a completely different document entirely"),
+    (4, "short"),
+    (5, "the the the the the the"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split(" ")
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(docs):
+    from pagerank_spark.operators.dedup import drop_exact_duplicates, exact_duplicates
+
+    groups = {r["text_hash"]: r for r in exact_duplicates(docs).collect()}
+    assert len(groups) == 5  # 0 and 1 collapse
+    dup = [r for r in groups.values() if r["n_docs"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+    kept = drop_exact_duplicates(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3, 4, 5]
+
+
+def test_shingles_match_python(docs):
+    from pagerank_spark.operators.dedup import shingles
+
+    got = {}
+    for r in shingles(docs, n=3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_shingles(text, 3), doc_id
+
+
+def test_ngram_jaccard(docs):
+    from pagerank_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()}
+    assert pairs[(0, 1)] == 1.0
+    s0, s2 = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[2][1])
+    expected = round(len(s0 & s2) / len(s0 | s2), 6)
+    assert pairs[(0, 2)] == expected
+    assert (0, 3) not in pairs  # no shared shingle
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(docs):
+    from pagerank_spark.operators.dedup import ngram_jaccard_pairs
+
+    # cap=1 kills every shared shingle -> no candidate pairs at all
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_shingle_df=1).count() == 0
+
+
+def test_minhash_signature_spec(docs, spark):
+    from pagerank_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: r for r in minhash_signatures(docs, k=4, n=3).collect()}
+    for doc_id, text in DOCS[:3]:
+        sh = _py_shingles(text, 3)
+        for j in range(4):
+            expected = min(_hex60(f"{j}|{s}") for s in sh)
+            assert sigs[doc_id][f"mh{j}"] == expected
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    from pagerank_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs agree on every minhash
+    for (a, b) in pairs:
+        assert (a, b) != (0, 3)
+
+
+def test_simhash_spec(docs):
+    from pagerank_spark.operators.dedup import simhash
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for doc_id, text in DOCS:
+        toks = set(text.lower().split(" "))
+        bits = 0
+        for j in range(60):
+            vote = sum(1 if (_hex60(t) >> j) & 1 else -1 for t in toks)
+            if vote > 0:
+                bits |= 1 << j
+        assert got[doc_id] == bits, doc_id
+    assert got[0] == got[1]
+
+
+def test_simhash_pairs_pigeonhole(docs):
+    from pagerank_spark.operators.dedup import simhash_near_duplicates
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_duplicates(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    # brute-force check: every pair within distance 10 is found
+    from pagerank_spark.operators.dedup import simhash as sh_op
+
+    sigs = {r["doc_id"]: r["simhash"] for r in sh_op(docs).collect()}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            assert ((a, b) in pairs) == (d <= 10), (a, b, d)
+
+
+def test_quality_and_token_stats(docs):
+    from pagerank_spark.operators.textops import with_quality_score, with_token_stats
+
+    stats = {r["doc_id"]: r for r in with_token_stats(docs).collect()}
+    assert stats[0]["ws_tokens"] == 6
+    assert stats[4]["ws_tokens"] == 1
+    q = {r["doc_id"]: r for r in with_quality_score(docs).collect()}
+    assert q[5]["stopword_ratio"] == 1.0
+    assert q[3]["stopword_ratio"] == round(1 / 5, 6)  # only 'a'
+    assert 0.0 <= q[0]["quality_score"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    from pagerank_spark.operators.textops import with_lang_id
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog"),
+            (1, "der hund und die katze"),
+            (2, "le chat et les chiens"),
+            (3, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    from pagerank_spark.operators.textops import with_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "  hello   world  ")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_fingerprint(df).collect()}
+    assert rows[0]["fingerprint"] == rows[1]["fingerprint"] == rows[2]["fingerprint"]
+    assert rows[0]["fingerprint"] == _hex60("hello world")
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(EMB, ["vec_id", "embedding"])
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(dot / (na * nb), 6)
+
+
+def test_brute_force_topk(emb):
+    from pagerank_spark.operators.similarity import brute_force_topk
+
+    rows = brute_force_topk(emb, [0], k=2).collect()
+    assert [r["neighbor_id"] for r in rows] == [1, 4]
+    assert rows[0]["cosine"] == _cos(EMB[0][1], EMB[1][1])
+    assert all(r["rn"] == i + 1 for i, r in enumerate(rows))
+
+
+def test_embedding_near_duplicates(emb):
+    from pagerank_spark.operators.dedup import embedding_near_duplicates
+
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             embedding_near_duplicates(emb, threshold=0.9).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_ann_lsh_recall_against_brute_force(spark):
+    # deterministic pseudo-random corpus; LSH with multiprobe should recover
+    # most of the true top-10 (recall isn't 1.0 by design — it's approximate)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16)
+    vecs = []
+    for i in range(120):
+        c = base[i % 8] + 0.3 * rng.randn(16)
+        vecs.append((i, [float(x) for x in c]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    from pagerank_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+
+    qids = [0, 1, 2]
+    truth = {}
+    for r in brute_force_topk(df, qids, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in ann_lsh_topk(df, qids, k=10, planes=6).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[q] & got.get(q, set())) / 10 for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_multimodal_decode_and_frames(docs):
+    from pagerank_spark.operators.multimodal import (
+        _fake_decode_meta,
+        decode_media,
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(docs)
+    decoded = {r["doc_id"]: r for r in decode_media(media).collect()}
+    for doc_id, text in DOCS:
+        w, h, nf = _fake_decode_meta(text.encode())
+        r = decoded[doc_id]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert r["byte_len"] == len(text.encode())
+        assert bytes(r["payload"]) == text.encode()
+    frames = sample_frames(media, every_n=10).collect()
+    for r in frames:
+        assert r["media_type"] == "video"
+        nf = _fake_decode_meta(dict(DOCS)[r["doc_id"]].encode())[2]
+        assert 0 <= r["frame_idx"] < nf and r["frame_idx"] % 10 == 0
+
+
+def test_resize_stub_raises(docs, spark):
+    from pagerank_spark.operators.multimodal import media_from_documents, resize_images
+    from py4j.protocol import Py4JJavaError
+
+    media = media_from_documents(docs)
+    with pytest.raises(Exception) as ei:
+        resize_images(media, 64, 64).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
