@@ -24,6 +24,8 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# edge multiplier for the synthetic bench graph (raw edges ~ mult * events)
+BENCH_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "10"))
 
 
 def bench_graph_sql(n_events: int, multiplier: int = 10) -> str:
@@ -54,7 +56,7 @@ def run_suite(spark, sf_dir: str) -> dict:
     n_events = spark.table("events").count()
 
     t0 = time.monotonic()
-    raw = spark.sql(bench_graph_sql(n_events))
+    raw = spark.sql(bench_graph_sql(n_events, BENCH_MULT))
     graph = LinkGraph.from_edges(raw, apply_regex_filter=False)
     n_edges = graph.num_edges()
     n_vertices = graph.num_vertices()
@@ -123,14 +125,22 @@ def main() -> None:
         # identical job at local[8] and local[32], same input
         import subprocess
 
-        results = {}
-        for cores in ("8", "32"):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_SF_DIR=SF_DIR)
-            out = subprocess.run(
-                [sys.executable, __file__, "--pagerank-only"],
-                capture_output=True, text=True, env=env, check=True,
-            )
-            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        # the sandbox host shows heavy run-to-run variance (same job: 15-115s),
+        # so alternate the two arms and keep each arm's BEST of N repeats —
+        # robust to transient slowdowns that would corrupt a single-shot ratio
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+        results: dict[str, dict] = {}
+        for _ in range(repeats):
+            for cores in ("8", "32"):
+                env = dict(os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_SF_DIR=SF_DIR)
+                out = subprocess.run(
+                    [sys.executable, __file__, "--pagerank-only"],
+                    capture_output=True, text=True, env=env, check=True,
+                )
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                best = results.get(cores)
+                if best is None or r["pagerank"]["seconds"] < best["pagerank"]["seconds"]:
+                    results[cores] = r
         t8 = results["8"]["pagerank"]["edges_per_sec"]
         t32 = results["32"]["pagerank"]["edges_per_sec"]
         eff = (t32 / 32) / (t8 / 8)
@@ -151,7 +161,7 @@ def main() -> None:
 
             spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView("events")
             n_events = spark.table("events").count()
-            raw = spark.sql(bench_graph_sql(n_events))
+            raw = spark.sql(bench_graph_sql(n_events, BENCH_MULT))
             graph = LinkGraph.from_edges(raw, apply_regex_filter=False)
             n_edges = graph.num_edges()
             t0 = time.monotonic()

@@ -123,6 +123,11 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("weight") * F.col("rank")).alias("_c"))
         )
+        # NOTE: broadcasting contribs here (it is vertex-sized) looks like it
+        # should save the vertex-table shuffle, but measured 5x SLOWER at
+        # local[32]/10M edges — the per-iteration broadcast build serializes
+        # on the driver and accumulated broadcasts GC-thrash. The plain
+        # shuffle join of two vertex-sized tables is cheap and stable.
         new = (
             x.join(contribs, x.url == contribs.dst, "left")
             .select(

@@ -1,0 +1,108 @@
+"""Structured Streaming ingest: incremental link extraction + windowed stats.
+
+The reference is batch-only (a one-shot CSV load, pagerank.py:38-49); a
+web-scale crawl is not — pages arrive continuously. This module keeps the
+edge table incrementally maintained with exactly-once file-sink semantics:
+
+  pages_stream (readStream over the Iceberg-shaped pages layout)
+    -> Arrow pandas-UDF link extraction (same extractor as batch — one spec)
+    -> append to the partitioned edge-log parquet sink (checkpointed)
+
+Aggregations over the edge log (degree counts, etc.) run either as a
+follow-up batch job or as a streaming windowed aggregation with a watermark
+for late-arriving pages (warc_ts is the event time).
+
+Rank/label vectors are NOT maintained incrementally — PageRank is a global
+fixpoint; the engine's cadence is stream-ingest continuously, re-run the
+iterative jobs from the latest edge snapshot (resumable via
+plans/checkpoint.py). foreach_batch_rebuild wires that cadence up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_pages(spark: SparkSession, input_dir: str, fmt: str = "parquet") -> DataFrame:
+    """readStream over a growing directory of page files (Iceberg-shaped
+    layout; swap for .format('iceberg') + streaming read on a real catalog)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .load(input_dir)
+    )
+
+
+def extract_edges_stream(pages: DataFrame) -> DataFrame:
+    """(src, dst, warc_ts) — one row per <a href>, via the SAME Arrow
+    extractor as the batch path (functions/extract.py), so batch and
+    streaming ingest can never diverge."""
+    from pagerank_spark.functions.extract import extract_hrefs_udf
+
+    return pages.select(
+        F.col("url").alias("src"),
+        F.explode(extract_hrefs_udf(F.col("html"), F.col("url"))).alias("dst"),
+        F.col("warc_ts"),
+    )
+
+
+def write_edge_log(
+    edges: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Append edges to a parquet edge log, exactly-once via the streaming
+    file sink + checkpoint. Returns the StreamingQuery."""
+    w = (
+        edges.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_indegree(
+    edges: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming windowed in-degree per target url with late-data watermark
+    on the crawl timestamp; emits (window, dst, in_degree)."""
+    return (
+        edges.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("dst"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+    )
+
+
+def foreach_batch_rebuild(
+    pages: DataFrame,
+    checkpoint_dir: str,
+    rebuild,
+    available_now: bool = False,
+):
+    """Micro-batch cadence for global algorithms: per trigger, hand the new
+    page batch to ``rebuild(batch_df, batch_id)`` (e.g. append edges then
+    kick a PageRank refresh from plans/checkpoint.py). Returns the query."""
+    w = (
+        pages.writeStream.foreachBatch(rebuild)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

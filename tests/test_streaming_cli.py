@@ -1,0 +1,129 @@
+"""Streaming ingest (availableNow file streams, deterministic) + CLI smoke."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _make_pages(spark, tmp_path, n_batches=2):
+    """Write page batches with deterministic html; returns expected edges."""
+    from datetime import datetime, timezone
+
+    expected = []
+    in_dir = tmp_path / "pages_in"
+    in_dir.mkdir(parents=True)
+    for b in range(n_batches):
+        rows = []
+        for i in range(4):
+            url = f"www.s{b}.test-page{i}"
+            targets = [f"www.s{b}.test-page{(i + k) % 4}" for k in range(1, 3)]
+            html = "".join(f'<a href="http://{t}">x</a>' for t in targets)
+            rows.append(
+                (
+                    url,
+                    datetime(2024, 1, 1, b, i, tzinfo=timezone.utc),
+                    html.encode(),
+                    "x x",
+                    "en",
+                )
+            )
+            expected.extend((url, t) for t in targets)
+        from pagerank_spark.streaming.ingest import PAGES_SCHEMA
+
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+    return str(in_dir), expected
+
+
+def test_streaming_edge_log_matches_batch_extractor(spark, tmp_path):
+    from pagerank_spark.functions.extract import extract_edges_df
+    from pagerank_spark.streaming.ingest import (
+        extract_edges_stream,
+        stream_pages,
+        write_edge_log,
+    )
+
+    in_dir, expected = _make_pages(spark, tmp_path)
+    out_dir = str(tmp_path / "edge_log")
+    ck = str(tmp_path / "ck")
+
+    q = write_edge_log(
+        extract_edges_stream(stream_pages(spark, in_dir)), out_dir, ck, available_now=True
+    )
+    q.awaitTermination(120)
+    got = [(r["src"], r["dst"]) for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(got) == sorted(expected)
+
+    # batch extractor over the same pages produces the identical edge set
+    batch = extract_edges_df(spark.read.parquet(in_dir))
+    got_batch = [(r["src"], r["dst"]) for r in batch.collect()]
+    assert sorted(got_batch) == sorted(expected)
+
+    # incremental restart: a new batch is processed exactly once
+    in_dir2, expected2 = _make_pages(spark, tmp_path / "x", n_batches=1)
+    import shutil, os
+
+    for f in os.listdir(in_dir2):
+        if f.endswith(".parquet") and not f.startswith("."):
+            shutil.copy(os.path.join(in_dir2, f), os.path.join(in_dir, "new_" + f))
+    q2 = write_edge_log(
+        extract_edges_stream(stream_pages(spark, in_dir)), out_dir, ck, available_now=True
+    )
+    q2.awaitTermination(120)
+    got2 = [(r["src"], r["dst"]) for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(got2) == sorted(expected + expected2)
+
+
+def test_windowed_indegree_stream(spark, tmp_path):
+    from pagerank_spark.streaming.ingest import (
+        extract_edges_stream,
+        stream_pages,
+        windowed_indegree,
+    )
+
+    in_dir, expected = _make_pages(spark, tmp_path, n_batches=1)
+    agg = windowed_indegree(
+        extract_edges_stream(stream_pages(spark, in_dir)), window="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("indeg_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select dst, in_degree from indeg_test").collect()
+    from collections import Counter
+
+    want = Counter(t for _, t in expected)
+    assert {r["dst"]: r["in_degree"] for r in rows} == dict(want)
+
+
+def test_cli_end_to_end_golden(spark, tmp_path, caplog):
+    import logging
+
+    from pagerank_spark.cli import build_parser, main
+
+    # argparse surface mirrors the reference (pagerank.py:245-257)
+    p = build_parser()
+    a = p.parse_args(["--data", "x.csv", "--alpha", "0.9", "--search_query", "q -neg"])
+    assert a.alpha == 0.9 and a.search_query == "q -neg"
+
+    with caplog.at_level(logging.INFO, logger="pagerank_spark"):
+        rc = main(
+            [
+                "--data", "/root/reference/small.csv.gz",
+                "--no_regex_filter",
+                "--max_results", "3",
+            ],
+            spark=spark,
+        )
+    assert rc == 0
+    lines = [r.getMessage() for r in caplog.records if r.getMessage().startswith("rank=")]
+    # reference golden top-3 (README.md:142-147)
+    assert lines[0] == "rank=0 pagerank=6.6270e-01 url=4"
+    assert lines[1] == "rank=1 pagerank=5.2179e-01 url=6"
+    assert lines[2] == "rank=2 pagerank=4.1434e-01 url=5"
