@@ -141,8 +141,14 @@ def pagerank(
                 x.rank.alias("_prev"),
             )
             .repartition(num_parts, "url")
-            .localCheckpoint(eager=True)
         )
+        # ONE job per iteration: a LAZY localCheckpoint materializes during
+        # the fused stats aggregate below, so the iteration costs a single
+        # action (vs eager checkpoint + agg = 2 jobs). Lineage still
+        # truncates at the checkpoint. (A persist()-chain variant deadlocks
+        # under AQE when the cached plan embeds the per-iteration broadcast
+        # exchange — do not revisit.)
+        new = new.localCheckpoint(eager=False)
 
         s = new.agg(
             F.sum(F.col("_xun") * F.col("_xun")).alias("s2"),
