@@ -92,8 +92,30 @@ def pagerank(
     """
     num_parts = graph.num_partitions
     edges = graph.edges
+    spark = edges.sparkSession
     if broadcast_ranks is None:
         broadcast_ranks = graph.num_vertices() < 10_000_000
+
+    # AQE's per-stage replanning costs ~0.3-0.5s latency per iteration job;
+    # in broadcast mode the plan is static (no skew join to split), so turn
+    # it off for the loop and restore after. Shuffle-join mode (cluster
+    # scale) keeps AQE for skew splitting.
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if broadcast_ranks:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _iterate(
+            graph, alpha, v_df, max_iterations, epsilon, checkpointer,
+            metrics, broadcast_ranks, num_parts, edges,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+
+
+def _iterate(
+    graph, alpha, v_df, max_iterations, epsilon, checkpointer,
+    metrics, broadcast_ranks, num_parts, edges,
+) -> DataFrame:
 
     start_iter = 0
     if checkpointer is not None:

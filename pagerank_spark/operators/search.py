@@ -51,15 +51,23 @@ def rescore_with_boost(
 ) -> DataFrame:
     """Embedding-boosted re-scoring (reference pagerank2.py:171-201, op 24).
 
-    Each url's score is boosted additively: a query-term substring match adds
-    ``s_weight``; a match of an expansion word with cosine similarity s adds
-    ``s ** power``. Pure Column arithmetic — one `contains` per term.
+    Per url: ``new_n`` counts substring matches among the query terms and the
+    expansion words; ``w_weight`` sums ``s_weight`` per query-term match plus
+    ``sim ** power`` per expansion-word match; the added score is
+    ``new_n * w_weight`` (pagerank2.py:188-201 — the boost scales with the
+    match count, not just the weights). Pure Column arithmetic, one
+    `contains` per term.
     """
-    boost = F.lit(0.0)
+    new_n = F.lit(0)
+    w_weight = F.lit(0.0)
     for t in query_terms:
-        boost = boost + F.when(F.col(url_col).contains(t), F.lit(s_weight)).otherwise(0.0)
+        hit = F.col(url_col).contains(t)
+        new_n = new_n + F.when(hit, 1).otherwise(0)
+        w_weight = w_weight + F.when(hit, F.lit(s_weight)).otherwise(0.0)
     for word, sim in expansion or []:
-        boost = boost + F.when(
-            F.col(url_col).contains(word), F.lit(float(sim) ** power)
-        ).otherwise(0.0)
-    return ranks.withColumn(rank_col, F.col(rank_col) + boost)
+        hit = F.col(url_col).contains(word)
+        new_n = new_n + F.when(hit, 1).otherwise(0)
+        w_weight = w_weight + F.when(hit, F.lit(float(sim) ** power)).otherwise(0.0)
+    return ranks.withColumn(
+        rank_col, F.col(rank_col) + new_n.cast("double") * w_weight
+    )

@@ -105,6 +105,23 @@ def test_graph_algorithms_match_oracles_random(spark, seed):
     assert got_tc == want_total
 
 
+def test_rescore_with_boost_matches_reference_formula(spark):
+    from pagerank_spark.operators.search import rescore_with_boost
+
+    ranks = spark.createDataFrame(
+        [("www.x.test/corona-virus", 0.5), ("www.x.test/pizza", 0.4)],
+        ["url", "rank"],
+    )
+    expansion = [("virus", 0.9), ("vaccine", 0.8)]
+    out = {r["url"]: r["rank"] for r in
+           rescore_with_boost(ranks, ["corona"], expansion,
+                              s_weight=0.03, power=2.0).collect()}
+    # reference pagerank2.py:188-201: score = new_n * w_weight
+    # corona url matches 'corona' and 'virus': new_n=2, w = .03 + .9**2
+    assert abs(out["www.x.test/corona-virus"] - (0.5 + 2 * (0.03 + 0.81))) < 1e-12
+    assert out["www.x.test/pizza"] == 0.4
+
+
 def test_expand_terms_returns_nearest_words(spark):
     from pagerank_spark.functions.url_query import expand_terms
 
