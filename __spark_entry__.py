@@ -20,6 +20,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pagerank_spark.operators.dedup import MINHASH_P, minhash_params
+from pagerank_spark.operators.similarity import LSH_PLANES, PAIR_LSH_PLANES
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -110,6 +113,47 @@ nrm AS (SELECT sqrt(SUM(xu * xu)) AS l2 FROM xun),
 pr1 AS (SELECT url, ROUND(xu / (SELECT l2 FROM nrm), 6) AS rank FROM xun)
 """
 
+# fully converged power method as a DuckDB recursive CTE, mirroring
+# operators/pagerank.py exactly: per produced iteration k (k>=1):
+#   dm   = sum of iteration k-1 ranks over dangling vertices
+#   xu   = alpha * P'x + (alpha*dm + 1-alpha) * (1/sqrt(n))
+#   rank = xu / ||xu||_2 ; resid = sqrt(max(0, 2 - 2*<xu, x_prev>/||xu||))
+# recursion continues while the last iteration's residual >= epsilon and
+# iter < max_iterations (Spark loop: break AFTER the iteration that reached
+# epsilon, returning that iteration's vector == MAX(iter) here).
+PR_CONV_SQL = f"""
+WITH RECURSIVE {GEDGE_CTE},
+nn AS (SELECT COUNT(*) AS n FROM gverts),
+dang AS (
+  SELECT url FROM gverts WHERE url NOT IN (SELECT DISTINCT src FROM gedges)
+),
+it(iter, url, rank, resid) AS (
+  SELECT 0, url, 1.0 / sqrt((SELECT n FROM nn)), 1.0 FROM gverts
+  UNION ALL
+  SELECT t.iter + 1, t.url, t.xu / t.nrm,
+         sqrt(greatest(0.0, 2.0 - 2.0 * t.sp / t.nrm))
+  FROM (
+    SELECT s.iter, s.url, s.xu, s.prev,
+           sqrt(SUM(s.xu * s.xu) OVER ()) AS nrm,
+           SUM(s.xu * s.prev) OVER () AS sp
+    FROM (
+      SELECT p.iter, p.url, p.rank AS prev,
+             0.85 * COALESCE(c.c, 0.0)
+             + (0.85 * (SELECT COALESCE(SUM(rank), 0.0) FROM it
+                        WHERE url IN (SELECT url FROM dang)) + 0.15)
+               * (1.0 / sqrt((SELECT n FROM nn))) AS xu
+      FROM it p
+      LEFT JOIN (SELECT e.dst, SUM(e.weight * p2.rank) AS c
+                 FROM gedges e JOIN it p2 ON p2.url = e.src GROUP BY e.dst) c
+        ON c.dst = p.url
+    ) s
+  ) t
+  WHERE (SELECT MIN(resid) FROM it) >= 1e-6 AND t.iter < 1000
+)
+SELECT url, ROUND(rank, 6) AS rank FROM it
+WHERE iter = (SELECT MAX(iter) FROM it)
+"""
+
 # documents text primitives
 TOKS = "string_split(lower(text), ' ')"
 BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -131,8 +175,11 @@ sh AS (
 )
 """
 
+# one md5 per shingle + k universal-hash permutations (identical constants on
+# both engines; see operators/dedup.py minhash_params)
 _MH_COLS = ", ".join(
-    "MIN(" + HEX15.format(x=f"'{j}|' || shingle") + f") AS mh{j}" for j in range(MINHASH_K)
+    f"MIN(({a} * (({HEX15.format(x='shingle')}) % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh{j}"
+    for j, (a, b) in enumerate(minhash_params(MINHASH_K))
 )
 SIG_CTE = f"""{SHINGLE_CTE},
 sigs AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id)
@@ -165,7 +212,7 @@ media AS (
 ),
 meta AS (
   SELECT doc_id, media_type,
-         CAST(length(text) AS BIGINT) AS byte_len,
+         CAST(strlen(text) AS BIGINT) AS byte_len,  -- byte length (Spark side measures utf-8 payload bytes; length() would count chars)
          CAST(16 + h % 2048 AS BIGINT) AS width,
          CAST(16 + (h // 2048) % 2048 AS BIGINT) AS height,
          CAST(1 + (h // 2048 // 2048) % 64 AS BIGINT) AS n_frames
@@ -353,10 +400,19 @@ def q_dedup_exact(spark, sf_dir):
 NGRAM_THRESHOLD = 0.2
 
 
+NGRAM_MAX_DF = 200  # skew cap: candidate generation only; never binds at
+                    # sf0.01 (max shingle df there is 7) so the uncapped
+                    # DuckDB oracle still hash-matches while the capped scale
+                    # path is what actually executes
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from pagerank_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=SHINGLE_N, threshold=NGRAM_THRESHOLD)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=SHINGLE_N, threshold=NGRAM_THRESHOLD,
+        max_shingle_df=NGRAM_MAX_DF,
+    )
 
 
 MINHASH_THRESHOLD = 0.25
@@ -391,9 +447,13 @@ COSINE_DUP_THRESHOLD = 0.35
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """LSH-bucketed pairwise near-dup (the scale path — no crossJoin in the
+    plan); the DuckDB twin replicates the bucketing bit-for-bit."""
     from pagerank_spark.operators.dedup import embedding_near_duplicates
 
-    return embedding_near_duplicates(_emb(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD)
+    return embedding_near_duplicates(
+        _emb(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD, method="lsh"
+    )
 
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -518,6 +578,10 @@ SELECT url FROM av WHERE url NOT IN (SELECT DISTINCT src FROM uedges)
 WITH {PR1_CTE}
 SELECT url, rank FROM pr1
 """
+
+    # identical math for both engine paths (join-agg v1 and CSR/Arrow v2)
+    sqls["pagerank_converged"] = PR_CONV_SQL
+    sqls["pagerank_csr"] = PR_CONV_SQL
 
     sqls["components"] = f"""
 WITH RECURSIVE g AS ({G_SQL}),
@@ -709,23 +773,24 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {NGRAM_THRESHOLD}
 """
 
-    bands = []
-    for b in range(MINHASH_K // LSH_ROWS):
-        cols = " || ',' || ".join(
-            f"CAST(mh{b * LSH_ROWS + r} AS STRING)" for r in range(LSH_ROWS)
-        )
-        bands.append(
-            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b "
-            f"ON md5({cols.replace('mh', 'a.mh')}) = md5({cols.replace('mh', 'b.mh')}) "
-            f"AND a.doc_id < b.doc_id"
-        )
-    band_union = " UNION ".join(bands)
+    # band keys: md5('<band>,<mh..>') emitted per row (one unnest), candidates
+    # from a single self-join on the key — mirrors lsh_candidate_pairs
+    band_keys = ", ".join(
+        "md5(" + " || ',' || ".join(
+            [f"'{b}'"] + [f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)]
+        ) + ")"
+        for b in range(MINHASH_K // LSH_ROWS)
+    )
     matches = " + ".join(
         f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
     )
     sqls["minhash_lsh"] = f"""
 WITH {SIG_CTE},
-cand AS ({band_union})
+bk AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b USING (band_key) WHERE a.doc_id < b.doc_id
+)
 SELECT id_a, id_b, ROUND(CAST({matches} AS DOUBLE) / {MINHASH_K}, 6) AS est_jaccard
 FROM cand
 JOIN sigs sa ON sa.doc_id = id_a
@@ -746,16 +811,53 @@ FROM shash a JOIN shash b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
-    sqls["embedding_near_dup"] = f"""
-WITH e AS (
+    def lsh_cte(planes: int) -> str:
+        """Sign-random-projection bucket CTE — identical md5-derived plane
+        weights to similarity.plane_weight; dim read from the data."""
+        return f"""
+e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
   FROM embeddings
+),
+comps AS (
+  SELECT vec_id, u.i AS i, u.x AS x FROM (
+    SELECT vec_id,
+           unnest(list_transform(generate_series(1, len(v)),
+                                 j -> {{'i': j - 1, 'x': v[j]}})) AS u
+    FROM e)
+),
+planes AS (
+  SELECT p, i,
+         (('0x' || substr(md5('plane' || p || ',' || i), 1, 15))::BIGINT
+          / 576460752303423488.0 - 1.0) AS w
+  FROM generate_series(0, {planes - 1}) tp(p)
+  CROSS JOIN (SELECT DISTINCT i FROM comps) ti
+),
+dots AS (SELECT vec_id, p, SUM(x * w) AS d FROM comps JOIN planes USING (i) GROUP BY vec_id, p),
+buck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+eb AS (SELECT e.vec_id, v, n, bucket FROM e JOIN buck USING (vec_id)),
+probes AS (
+  SELECT vec_id, v, n,
+         unnest([bucket] || list_transform(generate_series(0, {planes - 1}),
+                                           p -> xor(bucket, 1::BIGINT << p))) AS bucket
+  FROM eb
+)"""
+
+    sqls["embedding_near_dup"] = f"""
+WITH {lsh_cte(PAIR_LSH_PLANES)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probes a JOIN eb b USING (bucket) WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {COSINE_DUP_THRESHOLD}
+SELECT id_a, id_b,
+       ROUND(list_dot_product(ea.v, ebb.v) / (ea.n * ebb.n), 6) AS cosine
+FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e ebb ON ebb.vec_id = id_b
+WHERE ROUND(list_dot_product(ea.v, ebb.v) / (ea.n * ebb.n), 6) >= {COSINE_DUP_THRESHOLD}
 """
 
     qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -770,6 +872,33 @@ sims AS (
   SELECT query_id, e.vec_id AS neighbor_id,
          ROUND(list_dot_product(qv, e.v) / (qn * e.n), 6) AS cosine
   FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}
+"""
+
+    sqls["ann_lsh"] = f"""
+WITH {lsh_cte(LSH_PLANES)},
+q AS (SELECT vec_id AS query_id, bucket FROM eb WHERE vec_id IN ({qids})),
+qprobes AS (
+  SELECT query_id,
+         unnest([bucket] || list_transform(generate_series(0, {LSH_PLANES - 1}),
+                                           p -> xor(bucket, 1::BIGINT << p))) AS bucket
+  FROM q
+),
+cand AS (
+  SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+  FROM qprobes a JOIN eb b USING (bucket) WHERE b.vec_id <> query_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qe.v, ne.v) / (qe.n * ne.n), 6) AS cosine
+  FROM cand JOIN e qe ON qe.vec_id = query_id JOIN e ne ON ne.vec_id = neighbor_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,

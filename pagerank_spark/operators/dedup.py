@@ -9,16 +9,28 @@ Scale design (the point of each choice at 10^12 documents):
                          hot shingles are dropped by a document-frequency cap
                          (stopword shingles would otherwise produce O(df²)
                          candidate pairs — the classic skew bomb).
-  * MinHash + LSH      — k=16 signatures computed in ONE pass over the
-                         exploded shingles (16 min() aggregates), banded into
-                         b=4 bands of r=4; candidate pairs only within equal
-                         band buckets, so the pairwise stage is linear-ish in
-                         the number of near-dups, not quadratic in corpus size.
+  * MinHash + LSH      — each shingle is md5-hashed ONCE; the k=16 minhashes
+                         are k universal-hash permutations (a_j*h + b_j) mod p
+                         over that single 60-bit hash (pure int64 arithmetic,
+                         p = 2^31-1 so a_j*h never overflows int64), computed
+                         as 16 min() aggregates in one pass. Band keys are
+                         emitted with one posexplode and candidate pairs come
+                         from a single equi-join on the band key — linear-ish
+                         in the number of near-dups, not quadratic in corpus
+                         size, and ~16x cheaper per shingle than hashing k
+                         times (the round-1 bench hog).
   * SimHash            — 60-bit signature, computed entirely JVM-side
                          (explode tokens × explode bit positions → two
-                         groupBys); whole-stage codegen, no Python.
-  * embedding cosine   — brute-force all-pairs for the oracle path; the
-                         LSH-bucketed scale path lives in similarity.py.
+                         groupBys); whole-stage codegen, no Python. Candidate
+                         pairs use 3-of-(max_hamming+3) chunk-combination keys
+                         (HmSearch-style generalized pigeonhole): 30-bit keys
+                         at max_hamming=3, so bucket population stays
+                         sub-quadratic at 10^9+ docs (a 15-bit key would put
+                         ~3e7 docs per bucket at 10^12 and go quadratic).
+  * embedding cosine   — LSH-bucketed candidate generation (sign-random-
+                         projection planes + Hamming-1 multiprobe) with exact
+                         cosine rerank; the all-pairs crossJoin survives only
+                         as the explicit ``method='exact'`` small-corpus path.
 
 All hashing uses the first 15 hex chars of md5 (60 bits) so every operator
 has a bit-exact DuckDB oracle (see __spark_entry__.py). No per-row Python
@@ -30,6 +42,9 @@ the engine to corpus curation per the build brief.
 
 from __future__ import annotations
 
+import hashlib
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -40,6 +55,23 @@ MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 LSH_ROWS = MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 60
+
+# universal-hash modulus for the minhash permutation family: Mersenne prime
+# 2^31-1. h is first reduced mod p (< 2^31), so a_j*h1 + b_j < 2^62 — no
+# int64 overflow on either engine (DuckDB raises on overflow; Spark wraps).
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) permutation constants, md5-derived so the
+    DuckDB oracle inlines the identical literals. a_j in [1, p-1], b_j in
+    [0, p-1]."""
+    out = []
+    for j in range(k):
+        a = int(hashlib.md5(f"mh_a{j}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mh_b{j}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -101,26 +133,46 @@ def ngram_jaccard_pairs(
     """(id_a, id_b, jaccard) for pairs with exact n-gram Jaccard >= threshold.
 
     Candidate generation via the shingle inverted index; ``max_shingle_df``
-    drops shingles appearing in more than that many docs (skew cap — a
-    shingle shared by 10^6 docs would emit 10^12 candidate pairs). Jaccard is
-    exact over ALL shingles (sizes from the un-capped sets), so the cap only
-    risks missing pairs whose every common shingle is hot."""
+    drops shingles appearing in more than that many docs from CANDIDATE
+    GENERATION ONLY (skew cap — a shingle shared by 10^6 docs would emit
+    10^12 candidate pairs). The Jaccard score itself is always exact over the
+    full un-capped shingle sets (intersection recomputed per candidate pair
+    via array_intersect), so the cap can only miss pairs whose EVERY common
+    shingle is hot — it never underestimates a reported score."""
     sh = shingles(docs, n, text_col, id_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    idx = sh
-    if max_shingle_df is not None:
+    if max_shingle_df is None:
+        # exact inverted-index path: intersection counts straight off the join
+        a = sh.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+        b = sh.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # capped candidates, exact rescore: pairs from the cold-shingle index,
+        # then exact |A ∩ B| from the full per-doc shingle sets (doc-bounded
+        # arrays; JVM-side array_intersect)
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         idx = sh.join(
             df_counts.where(F.col("_df") <= max_shingle_df).select("shingle"), "shingle"
         )
-    a = idx.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
-    b = idx.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        cand = (
+            idx.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+            .join(idx.select(F.col("shingle"), F.col("doc_id").alias("id_b")), "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("_shs"))
+        inter = (
+            cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
+            .join(sets.select(F.col("doc_id").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))))
+            .select("id_a", "id_b", "n_inter")
+        )
     out = (
         inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
@@ -149,27 +201,41 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) — k md5-family minhashes computed in ONE pass
-    over the exploded shingle table (k min() aggregates, map-side combined)."""
+    """(doc_id, mh0..mh{k-1}) — ONE md5 per shingle, then k universal-hash
+    permutations min((a_j*h + b_j) mod p) as k min() aggregates in one pass
+    (map-side combined). Pure int64 arithmetic after the single hash — this
+    replaced k md5 invocations per shingle row, which was 59% of the round-1
+    bench suite."""
     sh = shingles(docs, n, text_col, id_col)
+    h = F.pmod(hexint15(F.col("shingle")), F.lit(MINHASH_P))
     aggs = [
-        F.min(hexint15(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
-        for j in range(k)
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_params(k))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
-    """(id_a, id_b) distinct pairs agreeing on at least one full LSH band."""
-    pairs = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-        bh = F.md5(F.concat_ws(",", *cols)).alias("band_key")
-        left = sigs.select(bh, F.col("doc_id").alias("id_a"))
-        right = sigs.select(bh, F.col("doc_id").alias("id_b"))
-        p = left.join(right, "band_key").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.union(p)
-    return pairs.distinct()
+    """(id_a, id_b) distinct pairs agreeing on at least one full LSH band.
+
+    All band keys are emitted with one posexplode (band id folded into the
+    md5 input) and candidates come from a single self-equi-join on band_key —
+    one shuffle instead of the round-1 version's ``bands`` unioned
+    self-joins."""
+    keys = F.array(*[
+        F.md5(F.concat_ws(",", F.lit(str(b)),
+                          *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]))
+        for b in range(bands)
+    ])
+    bk = sigs.select(F.col("doc_id"), F.explode(keys).alias("band_key"))
+    left = bk.select("band_key", F.col("doc_id").alias("id_a"))
+    right = bk.select("band_key", F.col("doc_id").alias("id_b"))
+    return (
+        left.join(right, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_near_duplicates(
@@ -245,37 +311,56 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance <= max_hamming.
 
-    Candidate generation: split the 60-bit signature into max_hamming+1
-    equal-width chunks; by pigeonhole any pair within distance max_hamming
-    agrees on at least one chunk — join per chunk, then exact popcount."""
+    Candidate generation (HmSearch-style generalized pigeonhole): split the
+    60-bit signature into ``max_hamming + 3`` chunks; a pair within distance
+    max_hamming dirties at most max_hamming chunks, so at least 3 chunks are
+    clean and the pair shares at least one 3-chunk COMBINATION key. All
+    C(max_hamming+3, 3) keys are emitted with one posexplode and candidates
+    come from a single self-equi-join on (combo_id, key). EXACT (the final
+    popcount filter is over the full signature).
+
+    Scale rationale: at max_hamming=3 the keys are 3x10 = 30 bits (2^30
+    buckets) vs the naive 1-of-4 pigeonhole's 15-bit chunks (2^15 buckets,
+    ~3e7 docs/bucket at 10^12 docs => quadratic within-bucket joins). The
+    20x key fan-out is linear and map-side; the join stays sub-quadratic."""
     sigs = simhash(docs, SIMHASH_BITS, text_col, id_col).persist()
-    n_chunks = max_hamming + 1
+    n_chunks = max_hamming + 3
     width = SIMHASH_BITS // n_chunks
-    pairs = None
-    for c in range(n_chunks):
-        chunk = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        ).alias("chunk_key")
-        left = sigs.select(chunk, F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-        right = sigs.select(chunk, F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
-        p = (
-            left.join(right, "chunk_key")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
+    mask = (1 << width) - 1
+
+    def chunk(c: int):
+        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+
+    combos = list(itertools.combinations(range(n_chunks), 3))
+    keys = F.array(*[
+        F.struct(
+            F.lit(ci).alias("combo_id"),
+            (chunk(c0) + F.shiftleft(chunk(c1), width) + F.shiftleft(chunk(c2), 2 * width))
+            .alias("key"),
         )
-        pairs = p if pairs is None else pairs.union(p)
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    ham = F.bit_count(xor)
+        for ci, (c0, c1, c2) in enumerate(combos)
+    ])
+    bk = sigs.select(
+        "doc_id", "simhash", F.explode(keys).alias("_k")
+    ).select("doc_id", "simhash", F.col("_k.combo_id").alias("combo_id"), F.col("_k.key").alias("key"))
+    left = bk.select("combo_id", "key", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = bk.select("combo_id", "key", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        left.join(right, ["combo_id", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        pairs.distinct()
-        .withColumn("hamming", ham)
+        pairs.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup (brute-force; LSH scale path in similarity.py)
+# embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
 def embedding_near_duplicates(
@@ -283,9 +368,31 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    planes: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) all-pairs cosine >= threshold. O(n²) — oracle /
-    small-corpus path; use similarity.ann_lsh for the bucketed scale path."""
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    ``method='lsh'`` (default, the scale path): sign-random-projection
+    bucketed candidates with Hamming-1 multiprobe and exact cosine rerank —
+    no crossJoin in the plan; approximate (recall < 1 by construction, see
+    similarity.lsh_near_duplicate_pairs).
+
+    ``method='exact'``: all-pairs crossJoin — O(n²), the small-corpus /
+    oracle fallback ONLY. Never use at scale."""
+    if method == "lsh":
+        from pagerank_spark.operators.similarity import (
+            PAIR_LSH_PLANES,
+            lsh_near_duplicate_pairs,
+        )
+
+        return lsh_near_duplicate_pairs(
+            embeddings, threshold=threshold, planes=planes or PAIR_LSH_PLANES,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}; use 'lsh' or 'exact'")
     norm = F.sqrt(F.expr(f"aggregate({vec_col}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), norm.alias("_n")

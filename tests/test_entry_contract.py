@@ -76,5 +76,6 @@ def test_every_query_has_oracle_or_is_documented():
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     assert oracles <= qs
-    # only the iterative fixpoints are allowed to be rows-only
-    assert qs - oracles == {"pagerank_converged", "pagerank_csr", "ann_lsh"}
+    # round 2: every contract query has a DuckDB twin (the fixpoint rides on
+    # a recursive CTE, ann on the md5-derived plane replication)
+    assert qs - oracles == set()

@@ -82,13 +82,16 @@ def test_ngram_jaccard_df_cap_drops_hot_shingles(docs):
 
 
 def test_minhash_signature_spec(docs, spark):
-    from pagerank_spark.operators.dedup import minhash_signatures
+    # spec: ONE md5-hex60 hash per shingle, then k universal-hash
+    # permutations min((a_j * (h mod p) + b_j) mod p), p = 2^31 - 1
+    from pagerank_spark.operators.dedup import MINHASH_P, minhash_params, minhash_signatures
 
+    params = minhash_params(4)
     sigs = {r["doc_id"]: r for r in minhash_signatures(docs, k=4, n=3).collect()}
     for doc_id, text in DOCS[:3]:
         sh = _py_shingles(text, 3)
-        for j in range(4):
-            expected = min(_hex60(f"{j}|{s}") for s in sh)
+        for j, (a, b) in enumerate(params):
+            expected = min((a * (_hex60(s) % MINHASH_P) + b) % MINHASH_P for s in sh)
             assert sigs[doc_id][f"mh{j}"] == expected
 
 
@@ -204,13 +207,29 @@ def test_brute_force_topk(emb):
     assert all(r["rn"] == i + 1 for i, r in enumerate(rows))
 
 
-def test_embedding_near_duplicates(emb):
+def test_embedding_near_duplicates_exact(emb):
     from pagerank_spark.operators.dedup import embedding_near_duplicates
 
     pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
-             embedding_near_duplicates(emb, threshold=0.9).collect()}
+             embedding_near_duplicates(emb, threshold=0.9, method="exact").collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_embedding_near_duplicates_lsh_subset_of_exact(emb):
+    # the LSH path must return a subset of the exact pairs (candidates are
+    # pruned, never invented), with identical cosines on the survivors; a
+    # truly near-identical pair (angle ~0) lands in the same bucket always
+    from pagerank_spark.operators.dedup import embedding_near_duplicates
+
+    exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             embedding_near_duplicates(emb, threshold=0.9, method="exact").collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           embedding_near_duplicates(emb, threshold=0.9, method="lsh").collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert (0, 1) in lsh  # cosine(v0, v1) ~ 1 => signatures identical
 
 
 def test_ann_lsh_recall_against_brute_force(spark):
