@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--s_weight", type=float, default=None,
                    help="embedding-boost weight (reference pagerank2.py)")
     p.add_argument("--power", type=float, default=30.0)
+    p.add_argument("--embeddings", default=None,
+                   help="parquet word-vector table (word, embedding); enables "
+                        "the reference's query expansion: every positive "
+                        "search term is expanded with its top-5 most-similar "
+                        "words (pagerank.py:224-227) and --s_weight boosts by "
+                        "the top-10 neighbors of the query (pagerank2.py:267)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -107,15 +113,36 @@ def main(argv=None, spark=None) -> int:
     for m in metrics:
         log.debug("i=%d residual=%.4e", m["iteration"], m["residual"])
 
+    emb_df = None
+    if args.embeddings:
+        emb_df = spark.read.parquet(args.embeddings)
+
     if args.s_weight is not None:
+        from pagerank_spark.functions.url_query import most_similar
         from pagerank_spark.operators.search import rescore_with_boost
 
-        terms = [t for t in args.search_query.split() if not t.startswith("-")]
+        # reference pagerank2.py:267: S = vectors.most_similar(search_query)
+        # (the raw query string as one token), top-10 by default
+        expansion = (
+            most_similar(emb_df, args.search_query, topn=10)
+            if emb_df is not None
+            else []
+        )
         ranks = rescore_with_boost(
-            ranks, terms, s_weight=args.s_weight, power=args.power
+            ranks, args.search_query, expansion=expansion,
+            s_weight=args.s_weight, power=args.power,
         )
 
-    for r in graph.search(ranks, args.search_query, args.max_results).collect():
+    search_query = args.search_query
+    if emb_df is not None:
+        from pagerank_spark.functions.url_query import expand_terms
+
+        # reference pagerank.py:224-227 expands every positive term inside
+        # url_satisfies_query itself, so the search predicate matches the
+        # expansion words too
+        search_query = expand_terms(args.search_query, emb_df)
+
+    for r in graph.search(ranks, search_query, args.max_results).collect():
         log.info("rank=%d pagerank=%0.4e url=%s", r["result_rank"], r["pagerank"], r["url"])
     if owns_session:
         spark.stop()

@@ -69,6 +69,48 @@ def url_satisfies_query_sql(url_expr: str, query: str) -> str:
     return sat
 
 
+def most_similar(
+    embeddings: DataFrame,
+    term: str,
+    topn: int = 5,
+    word_col: str = "word",
+    vec_col: str = "embedding",
+) -> list[tuple[str, float]]:
+    """Top-n (word, cosine) most similar to ``term`` — the engine's
+    ``gensim most_similar`` twin (reference pagerank.py:224-227,
+    pagerank2.py:267). Returns [] when the term is out of vocabulary
+    (the reference would KeyError; lenient here).
+
+    ``embeddings`` is a small word-vector table; the top-k is a
+    TakeOrderedAndProject over one JVM-side cosine expression."""
+    vocab = embeddings.select(word_col, vec_col)
+    qrow = vocab.filter(F.col(word_col) == term).limit(1).collect()
+    if not qrow:
+        return []
+    qvec = qrow[0][vec_col]
+    qnorm = sum(x * x for x in qvec) ** 0.5 or 1.0
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    sim = (
+        F.aggregate(
+            F.zip_with(F.col(vec_col), qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
+            * F.lit(qnorm)
+        )
+    )
+    top = (
+        vocab.filter(F.col(word_col) != term)
+        .withColumn("sim", sim)
+        .orderBy(F.desc("sim"), word_col)
+        .limit(topn)
+        .collect()
+    )
+    return [(r[word_col], float(r["sim"])) for r in top]
+
+
 def expand_terms(
     query: str,
     embeddings: DataFrame | None = None,
@@ -76,46 +118,16 @@ def expand_terms(
     vec_col: str = "embedding",
     topn: int = 5,
 ) -> str:
-    """Append top-n cosine-similar words per positive term (op 22, SURVEY §2).
-
-    ``embeddings`` is a small word-vector table (broadcast-sized); the reference
-    loads glove via gensim — here any (word, array<float>) DataFrame works.
-    Returns the expanded query string. Without an embedding table the query is
-    returned unchanged.
-    """
+    """Append top-n cosine-similar words per positive term (op 22, SURVEY §2;
+    reference pagerank.py:224-227 expands every query term with glove top-5
+    inside url_satisfies_query). Returns the expanded query string; without
+    an embedding table the query is returned unchanged."""
     if embeddings is None or not query.split():
         return query
     pos, neg = parse_query(query)
-    vocab = embeddings.select(word_col, vec_col)
     extra: list[str] = []
     for term in pos:
-        qrow = vocab.filter(F.col(word_col) == term).limit(1).collect()
-        if not qrow:
-            continue
-        qvec = qrow[0][vec_col]
-        qnorm = sum(x * x for x in qvec) ** 0.5 or 1.0
-        qlit = F.array(*[F.lit(float(x)) for x in qvec])
-        sim = (
-            F.aggregate(
-                F.zip_with(F.col(vec_col), qlit, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (
-                F.sqrt(
-                    F.aggregate(
-                        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
-                    )
-                )
-                * F.lit(qnorm)
-            )
+        extra.extend(
+            w for w, _ in most_similar(embeddings, term, topn, word_col, vec_col)
         )
-        top = (
-            vocab.filter(F.col(word_col) != term)
-            .withColumn("sim", sim)
-            .orderBy(F.desc("sim"), word_col)
-            .limit(topn)
-            .collect()
-        )
-        extra.extend(r[word_col] for r in top)
     return " ".join(pos + extra + ["-" + t for t in neg])

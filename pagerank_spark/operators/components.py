@@ -92,19 +92,27 @@ def connected_components(
     )
     if broadcast_mins is None:
         broadcast_mins = all_vertices.count() < 10_000_000
-    e = _canonical(edges).repartition(num_partitions, "u").localCheckpoint(eager=True)
+    def _checksum(df: DataFrame):
+        # the edge set is distinct, so (count, sum of per-row hashes) is an
+        # order-insensitive set fingerprint; equality <=> same set up to a
+        # 2^-64 collision. ONE aggregate job, which doubles as the action
+        # that materializes the lazy checkpoint.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: exact, no int64 overflow under ANSI
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    e = _canonical(edges).repartition(num_partitions, "u").localCheckpoint(eager=False)
+    sig = _checksum(e)
     for _ in range(max_iterations):
         e2 = _small_star(_large_star(e, broadcast_mins), broadcast_mins)
-        e2 = e2.repartition(num_partitions, "u").localCheckpoint(eager=True)
-        # convergence: the star-contracted edge set is a fixpoint.
-        # set equality via count + anti-join count (both cheap aggregates);
-        # at real scale swap for a sum-of-hash checksum to save the anti-join.
-        changed = (
-            e2.count() != e.count()
-            or e2.join(e, ["u", "v"], "left_anti").limit(1).count() > 0
-        )
+        e2 = e2.repartition(num_partitions, "u").localCheckpoint(eager=False)
+        sig2 = _checksum(e2)
+        changed = sig2 != sig
         old = e
-        e = e2
+        e, sig = e2, sig2
         old.unpersist()
         if not changed:
             break

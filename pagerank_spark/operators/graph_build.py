@@ -38,7 +38,8 @@ class LinkGraph:
     ``pagerank()``, ``make_personalization_vector()``, ``search()``.
     """
 
-    def __init__(self, edges: DataFrame, vertices: DataFrame, num_partitions: int | None = None):
+    def __init__(self, edges: DataFrame, vertices: DataFrame, num_partitions: int | None = None,
+                 aux_caches: list | None = None):
         spark = edges.sparkSession
         self.num_partitions = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -46,6 +47,9 @@ class LinkGraph:
         # co-partition edges on src; this partitioning is reused every iteration
         self.edges = edges.repartition(self.num_partitions, "src").persist()
         self.vertices = vertices.repartition(self.num_partitions, "url").persist()
+        # upstream persisted intermediates (e.g. the ratio filter's pre-filter
+        # edge cache) released together with the graph in unpersist()
+        self._aux_caches = list(aux_caches or [])
 
     # -- constructors --------------------------------------------------------
 
@@ -77,10 +81,12 @@ class LinkGraph:
             .union(df.select(F.col("dst").alias("url")))
             .distinct()
         )
+        aux_caches = []
         if filter_ratio is not None:
-            df = cls._apply_ratio_filter(df, filter_ratio)
+            df, cached = cls._apply_ratio_filter(df, filter_ratio)
+            aux_caches.append(cached)
         edges = cls._weight_and_dedup(df)
-        return cls(edges, vertices, num_partitions)
+        return cls(edges, vertices, num_partitions, aux_caches=aux_caches)
 
     @classmethod
     def from_csv(cls, spark: SparkSession, path: str, **kwargs) -> "LinkGraph":
@@ -105,13 +111,17 @@ class LinkGraph:
     # -- ingest stages -------------------------------------------------------
 
     @staticmethod
-    def _apply_ratio_filter(df: DataFrame, filter_ratio: float) -> DataFrame:
+    def _apply_ratio_filter(df: DataFrame, filter_ratio: float):
         """Drop edges whose target's in-degree >= ratio * n (pagerank.py:51-57).
 
         n = vertex count after the regex filter; in-degrees counted before this
         filter and including duplicate edges. The in-degree side is a per-vertex
         aggregate — orders of magnitude smaller than the edge table — so it is
         broadcast when it fits; AQE handles it otherwise.
+
+        Returns (kept_edges, cached_df); the caller owns unpersisting the
+        cache (it backs both the in-degree aggregate and the filter side
+        until the graph's own edge cache materializes).
         """
         df = df.persist()
         n = (
@@ -127,7 +137,7 @@ class LinkGraph:
             .filter(F.col("_indeg") < F.lit(float(filter_ratio)) * F.lit(float(n)))
             .drop("_indeg")
         )
-        return kept
+        return kept, df
 
     @staticmethod
     def _weight_and_dedup(df: DataFrame) -> DataFrame:
@@ -221,3 +231,9 @@ class LinkGraph:
     def unpersist(self):
         self.edges.unpersist()
         self.vertices.unpersist()
+        for c in self._aux_caches:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
+        self._aux_caches = []

@@ -73,8 +73,12 @@ def label_propagation(
                 F.coalesce(F.col("_new"), F.col("label")).alias("label"),
                 (~F.coalesce(F.col("_new") == F.col("label"), F.lit(True))).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.where(F.col("_chg")).limit(1).count() > 0
+        ).localCheckpoint(eager=False)
+        # ONE job per round: the max(_chg) aggregate materializes the lazy
+        # checkpoint and returns the convergence flag in the same action
+        changed = bool(
+            new_labels.agg(F.max(F.col("_chg").cast("int")).alias("m")).first()["m"]
+        )
         old = labels
         labels = new_labels.select("url", "label")
         old.unpersist()

@@ -38,11 +38,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _init_state(graph, v_df: DataFrame | None) -> DataFrame:
+def _init_state(graph, v_df: DataFrame | None, x0_df: DataFrame | None = None) -> DataFrame:
     """Build (url, v, dangling, rank) with v L2-normalized and rank = x0.
 
     dangling detection = LEFT ANTI JOIN of vertices against edge sources
     (reference derives it from all-zero rows of P, pagerank.py:132-134).
+
+    ``x0_df``: optional (url, rank) warm start (reference power_method's x0
+    argument, pagerank.py:122,142-145) — L2-normalized here exactly like the
+    reference's ``x0 /= torch.norm(x0)``. Vertices absent from x0 start at 0
+    (any x0 with nonzero overlap converges to the same fixpoint); the
+    streaming rebuild cadence passes the previous snapshot to roughly halve
+    iterations per refresh.
     """
     n = graph.num_vertices()
     srcs = graph.edges.select(F.col("src").alias("url")).distinct()
@@ -61,7 +68,18 @@ def _init_state(graph, v_df: DataFrame | None) -> DataFrame:
         base = base.join(v_df, "url", "left").fillna(0.0, ["v"]).withColumn(
             "v", F.col("v") / F.lit(float(l2))
         )
-    return base.withColumn("rank", F.lit(1.0 / math.sqrt(n)))
+    if x0_df is None:
+        return base.withColumn("rank", F.lit(1.0 / math.sqrt(n)))
+    x0 = x0_df.select("url", F.col("rank").alias("_x0"))
+    l2x = x0.agg(F.sqrt(F.sum(F.col("_x0") * F.col("_x0")))).first()[0]
+    if not l2x or l2x <= 0:
+        return base.withColumn("rank", F.lit(1.0 / math.sqrt(n)))
+    return (
+        base.join(x0, "url", "left")
+        .fillna(0.0, ["_x0"])
+        .withColumn("rank", F.col("_x0") / F.lit(float(l2x)))
+        .drop("_x0")
+    )
 
 
 def pagerank(
@@ -73,6 +91,7 @@ def pagerank(
     checkpointer=None,
     metrics: list | None = None,
     broadcast_ranks: bool | None = None,
+    x0_df: DataFrame | None = None,
 ) -> DataFrame:
     """Return (url, rank) with rank the L2-normalized PageRank vector.
 
@@ -106,7 +125,7 @@ def pagerank(
     try:
         return _iterate(
             graph, alpha, v_df, max_iterations, epsilon, checkpointer,
-            metrics, broadcast_ranks, num_parts, edges,
+            metrics, broadcast_ranks, num_parts, edges, x0_df,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
@@ -114,7 +133,7 @@ def pagerank(
 
 def _iterate(
     graph, alpha, v_df, max_iterations, epsilon, checkpointer,
-    metrics, broadcast_ranks, num_parts, edges,
+    metrics, broadcast_ranks, num_parts, edges, x0_df=None,
 ) -> DataFrame:
 
     start_iter = 0
@@ -123,9 +142,9 @@ def _iterate(
         if resumed is not None:
             start_iter, x, dangling_mass = resumed
         else:
-            x = _init_state(graph, v_df)
+            x = _init_state(graph, v_df, x0_df)
     else:
-        x = _init_state(graph, v_df)
+        x = _init_state(graph, v_df, x0_df)
 
     if start_iter == 0:
         x = x.repartition(num_parts, "url").localCheckpoint(eager=True)

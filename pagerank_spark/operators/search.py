@@ -42,7 +42,7 @@ def search(
 
 def rescore_with_boost(
     ranks: DataFrame,
-    query_terms: list[str],
+    query: str,
     expansion: list[tuple[str, float]] | None = None,
     s_weight: float = 0.03,
     power: float = 30.0,
@@ -51,19 +51,23 @@ def rescore_with_boost(
 ) -> DataFrame:
     """Embedding-boosted re-scoring (reference pagerank2.py:171-201, op 24).
 
-    Per url: ``new_n`` counts substring matches among the query terms and the
-    expansion words; ``w_weight`` sums ``s_weight`` per query-term match plus
-    ``sim ** power`` per expansion-word match; the added score is
-    ``new_n * w_weight`` (pagerank2.py:188-201 — the boost scales with the
-    match count, not just the weights). Pure Column arithmetic, one
-    `contains` per term.
+    Per url (mirroring is_url_satisfies_query + the expansion loop,
+    pagerank2.py:181-201 and 219-237):
+
+      * the WHOLE query predicate (any positive term matches AND no negated
+        term present; zero positive terms => match) contributes ONCE:
+        new_n += 1 and w_weight += s_weight;
+      * each of the expansion words w with similarity sim contributes
+        per-word when it satisfies the single-word query w (i.e. substring):
+        new_n += 1 and w_weight += sim ** power;
+      * the added score is new_n * w_weight (the boost scales with the match
+        count, not just the weights).
+
+    Pure Column arithmetic, one `contains` per term.
     """
-    new_n = F.lit(0)
-    w_weight = F.lit(0.0)
-    for t in query_terms:
-        hit = F.col(url_col).contains(t)
-        new_n = new_n + F.when(hit, 1).otherwise(0)
-        w_weight = w_weight + F.when(hit, F.lit(s_weight)).otherwise(0.0)
+    whole = url_satisfies_query_col(F.col(url_col), query)
+    new_n = F.when(whole, 1).otherwise(0)
+    w_weight = F.when(whole, F.lit(s_weight)).otherwise(0.0)
     for word, sim in expansion or []:
         hit = F.col(url_col).contains(word)
         new_n = new_n + F.when(hit, 1).otherwise(0)

@@ -114,12 +114,35 @@ def test_rescore_with_boost_matches_reference_formula(spark):
     )
     expansion = [("virus", 0.9), ("vaccine", 0.8)]
     out = {r["url"]: r["rank"] for r in
-           rescore_with_boost(ranks, ["corona"], expansion,
+           rescore_with_boost(ranks, "corona", expansion,
                               s_weight=0.03, power=2.0).collect()}
-    # reference pagerank2.py:188-201: score = new_n * w_weight
-    # corona url matches 'corona' and 'virus': new_n=2, w = .03 + .9**2
+    # reference pagerank2.py:181-201: the WHOLE query predicate contributes
+    # once (new_n += 1, w += s_weight), each expansion word per-word; the
+    # added score is new_n * w_weight
+    # corona url: whole query matches + 'virus': new_n=2, w = .03 + .9**2
     assert abs(out["www.x.test/corona-virus"] - (0.5 + 2 * (0.03 + 0.81))) < 1e-12
     assert out["www.x.test/pizza"] == 0.4
+
+
+def test_rescore_with_boost_negation_and_multiterm(spark):
+    # negated term suppresses the whole-query contribution (reference
+    # is_url_satisfies_query returns False, pagerank2.py:230-236), and a
+    # multi-term query still contributes only ONCE when satisfied
+    from pagerank_spark.operators.search import rescore_with_boost
+
+    ranks = spark.createDataFrame(
+        [("www.x.test/corona-pizza", 1.0), ("www.x.test/corona-virus-flu", 1.0)],
+        ["url", "rank"],
+    )
+    expansion = [("virus", 0.9)]
+    out = {r["url"]: r["rank"] for r in
+           rescore_with_boost(ranks, "corona flu -pizza", expansion,
+                              s_weight=0.03, power=2.0).collect()}
+    # corona-pizza: whole query FALSE (negation); no expansion match => +0
+    assert out["www.x.test/corona-pizza"] == 1.0
+    # corona-virus-flu: whole query matches ONCE (despite 2 positive term
+    # hits) + 'virus' expansion: new_n=2, w = .03 + .81
+    assert abs(out["www.x.test/corona-virus-flu"] - (1.0 + 2 * (0.03 + 0.81))) < 1e-12
 
 
 def test_expand_terms_returns_nearest_words(spark):
@@ -138,3 +161,26 @@ def test_expand_terms_returns_nearest_words(spark):
     assert terms[0] == "corona"
     assert set(terms[1:3]) == {"covid", "virus"}
     assert terms[-1] == "-court"
+
+
+def test_pagerank_x0_warm_start(spark):
+    # reference power_method(v, x0, ...) accepts a warm start
+    # (pagerank.py:122,142-145): restarting from the converged vector must
+    # converge immediately to the same fixpoint
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(40)]
+    g = LinkGraph.from_edges(
+        spark.createDataFrame(edges, ["src", "dst"]), apply_regex_filter=False,
+        num_partitions=4,
+    )
+    m_cold: list = []
+    ranks = g.pagerank(alpha=0.85, epsilon=1e-6, metrics=m_cold)
+    cold = {r["url"]: r["rank"] for r in ranks.collect()}
+    m_warm: list = []
+    warm_df = g.pagerank(alpha=0.85, epsilon=1e-6, metrics=m_warm, x0_df=ranks)
+    warm = {r["url"]: r["rank"] for r in warm_df.collect()}
+    assert len(m_warm) < len(m_cold)
+    for u in cold:
+        assert abs(cold[u] - warm[u]) < 1e-6, u
+    g.unpersist()

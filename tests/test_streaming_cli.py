@@ -127,3 +127,45 @@ def test_cli_end_to_end_golden(spark, tmp_path, caplog):
     assert lines[0] == "rank=0 pagerank=6.6270e-01 url=4"
     assert lines[1] == "rank=1 pagerank=5.2179e-01 url=6"
     assert lines[2] == "rank=2 pagerank=4.1434e-01 url=5"
+
+
+def test_cli_embeddings_query_expansion(spark, tmp_path, caplog):
+    # reference pagerank.py:224-227: with vectors loaded, every positive term
+    # is expanded with its top-5 most-similar words INSIDE the predicate, so
+    # searching 'corona' also returns urls matching only expansion words
+    import logging
+
+    from pagerank_spark.cli import main
+
+    edges = [
+        ("www.covid-news", "www.pizza-blog"),
+        ("www.pizza-blog", "www.covid-news"),
+        ("www.court-today", "www.covid-news"),
+    ]
+    edge_path = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges, ["src", "dst"]).write.parquet(edge_path)
+    # vocab sized so top-5 expansion of 'corona' excludes 'court' (cosine 0)
+    vocab = [
+        ("corona", [1.0, 0.0, 0.0]),
+        ("covid", [0.95, 0.05, 0.0]),
+        ("sars", [0.9, 0.1, 0.0]),
+        ("virus", [0.85, 0.15, 0.0]),
+        ("vaccine", [0.8, 0.2, 0.0]),
+        ("mask", [0.75, 0.25, 0.0]),
+        ("pizza", [0.1, 1.0, 0.0]),
+        ("court", [0.0, 0.0, 1.0]),
+    ]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(vocab, ["word", "embedding"]).write.parquet(emb_path)
+
+    def run(argv):
+        caplog.clear()
+        with caplog.at_level(logging.INFO, logger="pagerank_spark"):
+            assert main(argv, spark=spark) == 0
+        return [r.getMessage() for r in caplog.records if r.getMessage().startswith("rank=")]
+
+    base = ["--data", edge_path, "--search_query", "corona", "--max_results", "5"]
+    assert run(base) == []  # no url contains 'corona'
+    expanded = run(base + ["--embeddings", emb_path])
+    assert any("www.covid-news" in l for l in expanded)
+    assert not any("court" in l for l in expanded)
