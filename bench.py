@@ -26,6 +26,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # edge multiplier for the synthetic bench graph (raw edges ~ mult * events)
 BENCH_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "10"))
+# shuffle partitions: default cores-sized for the small suite; the scaling
+# protocol pins it to a DATA-sized value identical across arms (partitions
+# must scale with bytes, not threads — a 2-thread arm with 2 partitions of
+# 64M rows each GC-thrashes exactly like an undersized real cluster would)
+SHUFFLE_PARTS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", CPUS))
 
 
 def bench_graph_sql(n_events: int, multiplier: int = 10) -> str:
@@ -33,11 +38,14 @@ def bench_graph_sql(n_events: int, multiplier: int = 10) -> str:
     edges aimed at 97 hub vertices (power-law-ish in-degree skew) so salted
     aggregation / AQE skew handling is actually exercised."""
     v = max(997, n_events // 2)
+    # repartition BEFORE the explode: the events table is one file, and the
+    # xmult explode would otherwise generate every edge inside a single scan
+    # task (hinting the outer select repartitions only the exploded output)
     return (
         f"SELECT 'n' || CAST(event_id % {v} AS STRING) AS src, "
         f"CASE WHEN (event_id + r) % 10 = 0 THEN 'n' || CAST((event_id * 13 + r) % 97 AS STRING) "
         f"ELSE 'n' || CAST((event_id * 31 + user_id * 7919 + r * 104729 + 7) % {v} AS STRING) END AS dst "
-        f"FROM events "
+        f"FROM (SELECT /*+ REPARTITION({SHUFFLE_PARTS}) */ event_id, user_id FROM events) ev "
         f"LATERAL VIEW explode(sequence(0, {multiplier - 1})) t AS r"
     )
 
@@ -95,10 +103,12 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["triangles"] = time.monotonic() - t0
 
     from pagerank_spark.operators.dedup import (
+        embedding_near_duplicates,
         minhash_near_duplicates,
         simhash,
+        simhash_near_duplicates,
     )
-    from pagerank_spark.operators.similarity import brute_force_topk
+    from pagerank_spark.operators.similarity import ann_lsh_topk, brute_force_topk
 
     t0 = time.monotonic()
     minhash_near_duplicates(docs, threshold=0.25).count()
@@ -109,8 +119,20 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["simhash"] = time.monotonic() - t0
 
     t0 = time.monotonic()
+    simhash_near_duplicates(docs, max_hamming=3).count()
+    timings["simhash_pairs"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    embedding_near_duplicates(emb, threshold=0.35, method="lsh").count()
+    timings["embedding_near_dup_lsh"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
     brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).count()
     timings["ann_topk"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=10).count()
+    timings["ann_lsh"] = time.monotonic() - t0
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
@@ -135,13 +157,36 @@ def main() -> None:
         # ratio measures nothing)
         lo, hi = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
         results: dict[str, dict] = {}
+        # both arms run the IDENTICAL plan over identically-partitioned data
+        # (like adding executors to a cluster); default 64 ~ 2M rows/partition
+        # at the 128M-edge protocol size
+        parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "64")
+        # one-time edge-table materialization at full parallelism (untimed)
+        import tempfile
+
+        edges_dir = os.environ.get("SPARK_GRAFT_EDGES_DIR") or tempfile.mkdtemp(
+            prefix="bench_scaling_edges_"
+        )
+        prep = subprocess.run(
+            [sys.executable, __file__, "--make-scaling-input"],
+            capture_output=True, text=True,
+            env=dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
+                     SPARK_GRAFT_SHUFFLE_PARTS=parts, SPARK_GRAFT_EDGES_DIR=edges_dir),
+        )
+        if prep.returncode != 0:
+            sys.stderr.write(prep.stderr[-4000:])
+            raise SystemExit("scaling input materialization failed")
         for _ in range(repeats):
             for cores in (lo, hi):
-                env = dict(os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_SF_DIR=SF_DIR)
+                env = dict(os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_SF_DIR=SF_DIR,
+                           SPARK_GRAFT_SHUFFLE_PARTS=parts, SPARK_GRAFT_EDGES_DIR=edges_dir)
                 out = subprocess.run(
                     [sys.executable, __file__, "--pagerank-only"],
-                    capture_output=True, text=True, env=env, check=True,
+                    capture_output=True, text=True, env=env,
                 )
+                if out.returncode != 0:
+                    sys.stderr.write(out.stderr[-4000:])
+                    raise SystemExit(f"arm local[{cores}] failed rc={out.returncode}")
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 best = results.get(cores)
                 if best is None or r["pagerank"]["seconds"] < best["pagerank"]["seconds"]:
@@ -159,23 +204,52 @@ def main() -> None:
         }))
         return
 
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=SHUFFLE_PARTS)
     try:
-        if "--pagerank-only" in sys.argv:
+        if "--make-scaling-input" in sys.argv:
+            # materialize the weighted bench edge table ONCE (at full build
+            # parallelism) so the measured arms only scan parquet + iterate;
+            # the build is not part of the north-rule metric
             from pagerank_spark.operators.graph_build import LinkGraph
 
+            out = os.environ["SPARK_GRAFT_EDGES_DIR"]
             spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView("events")
             n_events = spark.table("events").count()
             raw = spark.sql(bench_graph_sql(n_events, BENCH_MULT))
             graph = LinkGraph.from_edges(raw, apply_regex_filter=False)
+            graph.edges.write.mode("overwrite").parquet(f"{out}/edges")
+            graph.vertices.write.mode("overwrite").parquet(f"{out}/vertices")
+            print(json.dumps({"edges": graph.num_edges(), "vertices": graph.num_vertices()}))
+            return
+
+        if "--pagerank-only" in sys.argv:
+            from pagerank_spark.operators.graph_build import LinkGraph
+
+            pre = os.environ.get("SPARK_GRAFT_EDGES_DIR")
+            if pre:
+                graph = LinkGraph(
+                    spark.read.parquet(f"{pre}/edges"),
+                    spark.read.parquet(f"{pre}/vertices"),
+                    num_partitions=SHUFFLE_PARTS,
+                )
+            else:
+                spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView("events")
+                n_events = spark.table("events").count()
+                raw = spark.sql(bench_graph_sql(n_events, BENCH_MULT))
+                graph = LinkGraph.from_edges(raw, apply_regex_filter=False)
             n_edges = graph.num_edges()
+            # SPARK_GRAFT_PR_IMPL=csr selects the CSR/Arrow SpMV path so the
+            # scaling protocol can be run against either implementation
+            impl = os.environ.get("SPARK_GRAFT_PR_IMPL", "joinagg")
+            pr = graph.pagerank_csr if impl == "csr" else graph.pagerank
             t0 = time.monotonic()
             metrics: list = []
-            graph.pagerank(alpha=0.85, epsilon=1e-6, metrics=metrics).count()
+            pr(alpha=0.85, epsilon=1e-6, metrics=metrics).count()
             dt = time.monotonic() - t0
             print(json.dumps({
                 "pagerank": {
                     "cores": CPUS,
+                    "impl": impl,
                     "edges": n_edges,
                     "iterations": len(metrics),
                     "seconds": round(dt, 3),

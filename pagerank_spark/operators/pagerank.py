@@ -100,20 +100,28 @@ def pagerank(
 
     ``broadcast_ranks``: per-iteration join strategy. The rank vector is
     vertex-sized — orders of magnitude smaller than the edge table — so when
-    it fits in an executor (default: < 10M vertices) we broadcast it and the
-    big side never moves: edges stay partitioned in place and the only
-    shuffle per iteration is the groupBy(dst) combine. Left to the planner,
-    AQE can instead choose to broadcast the EDGE table (it often fits the
-    64 MB estimate at test scale), re-serializing the big side every
-    iteration — measured 4x slower at 1M edges. At cluster scale
-    (billions of vertices) set False: the join falls back to the
-    co-partitioned shuffle join against the persisted hash(src) layout.
+    it fits in an executor we can broadcast it and the big side never moves:
+    edges stay partitioned in place and the only shuffle per iteration is
+    the groupBy(dst) combine. BUT the broadcast build is driver-serial work
+    repeated every iteration, so it only wins while the edge side is small:
+    measured at local[*] the broadcast mode wins at ~1M edges and LOSES from
+    ~10M edges up to the co-partitioned shuffle join against the persisted
+    hash(src)+sorted layout (whose per-iteration cost is one vertex-table
+    sort + the combine — the cached edge side is joined exchange-free and
+    sort-free thanks to LinkGraph's sortWithinPartitions). Auto policy:
+    broadcast only when vertices < 10M AND edges < 5M; at cluster scale both
+    flags naturally select the shuffle path. Left to the planner, AQE can
+    instead choose to broadcast the EDGE table (it often fits the 64 MB
+    estimate at test scale), re-serializing the big side every iteration —
+    measured 4x slower at 1M edges; that is why the loop pins the strategy.
     """
     num_parts = graph.num_partitions
     edges = graph.edges
     spark = edges.sparkSession
     if broadcast_ranks is None:
-        broadcast_ranks = graph.num_vertices() < 10_000_000
+        broadcast_ranks = (
+            graph.num_vertices() < 10_000_000 and graph.num_edges() < 5_000_000
+        )
 
     # AQE's per-stage replanning costs ~0.3-0.5s latency per iteration job;
     # in broadcast mode the plan is static (no skew join to split), so turn

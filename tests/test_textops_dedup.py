@@ -289,3 +289,17 @@ def test_resize_stub_raises(docs, spark):
     with pytest.raises(Exception) as ei:
         resize_images(media, 64, 64).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+
+
+def test_embedding_near_dup_lsh_plan_has_no_crossjoin(emb):
+    # the scale path must not contain an all-pairs join anywhere in the plan
+    from pagerank_spark.operators.similarity import lsh_near_duplicate_pairs, with_lsh_bucket
+    from pyspark.sql import functions as F
+
+    e = with_lsh_bucket(emb.withColumnRenamed("embedding", "v"), planes=4,
+                        vec_col="v", dim=3)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("bucket"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("bucket"))
+    plan = a.join(b, "bucket")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
