@@ -106,3 +106,75 @@ def foreach_batch_rebuild(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def pagerank_refresh(
+    spark: SparkSession,
+    edge_log_dir: str,
+    ranks_dir: str,
+    metrics: list | None = None,
+    **pagerank_kwargs,
+):
+    """One PageRank refresh over the accumulated edge log, WARM-STARTED from
+    the previously published rank vector (reference power_method's x0,
+    pagerank.py:122,142-145) — on a steady crawl the spectrum barely moves
+    between refreshes, so the warm start cuts iterations roughly in half.
+
+    Reads ``{ranks_dir}/latest`` as x0 when present, publishes the new
+    vector there (write-to-temp + swap so a concurrent reader never sees a
+    half-written table). Returns the published ranks DataFrame."""
+    import os
+    import shutil
+
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    edges = spark.read.parquet(edge_log_dir).select("src", "dst")
+    graph = LinkGraph.from_edges(edges, **{
+        k: v for k, v in pagerank_kwargs.items()
+        if k in ("max_nnz", "filter_ratio", "apply_regex_filter", "num_partitions")
+    })
+    pr_kwargs = {
+        k: v for k, v in pagerank_kwargs.items()
+        if k not in ("max_nnz", "filter_ratio", "apply_regex_filter", "num_partitions")
+    }
+    latest = os.path.join(ranks_dir, "latest")
+    x0 = None
+    if os.path.exists(latest):
+        x0 = spark.read.parquet(latest)
+    ranks = graph.pagerank(x0_df=x0, metrics=metrics, **pr_kwargs)
+
+    tmp = os.path.join(ranks_dir, "_staging")
+    ranks.write.mode("overwrite").parquet(tmp)
+    old = os.path.join(ranks_dir, "_old")
+    if os.path.exists(latest):
+        os.rename(latest, old)
+    os.rename(tmp, latest)
+    shutil.rmtree(old, ignore_errors=True)
+    graph.unpersist()
+    return spark.read.parquet(latest)
+
+
+def make_pagerank_refresh_rebuild(
+    spark: SparkSession,
+    edge_log_dir: str,
+    ranks_dir: str,
+    refresh_metrics: list | None = None,
+    **pagerank_kwargs,
+):
+    """foreachBatch callback for ``foreach_batch_rebuild``: append the
+    batch's extracted edges to the edge log, then run a warm-started
+    PageRank refresh. ``refresh_metrics`` (optional) collects one
+    per-refresh list of iteration metric dicts, so callers can observe the
+    warm start shrinking iteration counts."""
+
+    def rebuild(batch_df: DataFrame, batch_id: int) -> None:
+        from pagerank_spark.functions.extract import extract_edges_df
+
+        edges = extract_edges_df(batch_df).select("src", "dst")
+        edges.write.mode("append").parquet(edge_log_dir)
+        m: list = []
+        pagerank_refresh(spark, edge_log_dir, ranks_dir, metrics=m, **pagerank_kwargs)
+        if refresh_metrics is not None:
+            refresh_metrics.append(m)
+
+    return rebuild

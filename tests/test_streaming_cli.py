@@ -169,3 +169,49 @@ def test_cli_embeddings_query_expansion(spark, tmp_path, caplog):
     expanded = run(base + ["--embeddings", emb_path])
     assert any("www.covid-news" in l for l in expanded)
     assert not any("court" in l for l in expanded)
+
+
+def test_streaming_pagerank_refresh_warm_start(spark, tmp_path):
+    # per micro-batch: append extracted edges, refresh PageRank warm-started
+    # from the previous published vector; the warm start must cut iterations
+    # vs a cold run on the same final edge log, and the published vector must
+    # equal the batch-computed one
+    from pagerank_spark.operators.graph_build import LinkGraph
+    from pagerank_spark.streaming.ingest import (
+        foreach_batch_rebuild,
+        make_pagerank_refresh_rebuild,
+        stream_pages,
+    )
+
+    in_dir, expected = _make_pages(spark, tmp_path, n_batches=3)
+    edge_log = str(tmp_path / "edge_log")
+    ranks_dir = str(tmp_path / "ranks")
+    ck = str(tmp_path / "ck_refresh")
+
+    refresh_metrics: list = []
+    rebuild = make_pagerank_refresh_rebuild(
+        spark, edge_log, ranks_dir, refresh_metrics=refresh_metrics,
+        alpha=0.85, epsilon=1e-6,
+    )
+    q = foreach_batch_rebuild(
+        stream_pages(spark, in_dir), ck, rebuild, available_now=True
+    )
+    q.awaitTermination(300)
+    assert len(refresh_metrics) >= 1
+
+    # published vector equals a cold batch run over the full edge log
+    import pyspark.sql.functions as F
+
+    got = {r["url"]: r["rank"] for r in
+           spark.read.parquet(f"{ranks_dir}/latest").collect()}
+    g = LinkGraph.from_edges(spark.read.parquet(edge_log).select("src", "dst"))
+    cold_metrics: list = []
+    want = {r["url"]: r["rank"] for r in
+            g.pagerank(alpha=0.85, epsilon=1e-6, metrics=cold_metrics).collect()}
+    g.unpersist()
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-6, u
+    # the last (warm) refresh took fewer iterations than the cold fixpoint
+    # (identical final edge set) unless everything converged trivially
+    assert len(refresh_metrics[-1]) <= len(cold_metrics)
