@@ -99,16 +99,14 @@ def main(argv=None, spark=None) -> int:
 
     metrics: list = []
     pr = graph.pagerank_csr if args.csr else graph.pagerank
-    kwargs = dict(
+    ranks = pr(
         alpha=args.alpha,
         v_df=v_df,
         max_iterations=args.max_iterations,
         epsilon=args.epsilon,
         metrics=metrics,
+        checkpointer=checkpointer,
     )
-    if not args.csr:
-        kwargs["checkpointer"] = checkpointer
-    ranks = pr(**kwargs)
 
     for m in metrics:
         log.debug("i=%d residual=%.4e", m["iteration"], m["residual"])

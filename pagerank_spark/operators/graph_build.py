@@ -58,6 +58,13 @@ class LinkGraph:
         # upstream persisted intermediates (e.g. the ratio filter's pre-filter
         # edge cache) released together with the graph in unpersist()
         self._aux_caches = list(aux_caches or [])
+        # per-graph CSR spill state (operators/pagerank_csr.py) + cleanup
+        # hooks run at unpersist (scratch dirs, etc.)
+        self._csr_state = None
+        self._cleanups: list = []
+
+    def _register_cleanup(self, fn) -> None:
+        self._cleanups.append(fn)
 
     # -- constructors --------------------------------------------------------
 
@@ -245,3 +252,9 @@ class LinkGraph:
             except Exception:
                 pass
         self._aux_caches = []
+        for fn in self._cleanups:
+            try:
+                fn()
+            except Exception:
+                pass
+        self._cleanups = []

@@ -5,28 +5,47 @@ SpMV changes from a JVM join+agg into block-local NumPy kernels.
 
 Design — why this shape survives scale:
 
-  * vertices get int64 ids JVM-side (monotonically_increasing_id, frozen by
-    an eager localCheckpoint) — no RDD lambda, no Python on the id path.
-  * the edge table is written ONCE at build time as per-block parquet
-    (partitionBy(block), block = hash(sid) mod B). Each Python worker lazily
-    reads the blocks it is assigned, preprocesses them into CSR-style arrays
-    (np.unique-factorized src/dst codes + aligned weights) and CACHES them in
-    worker memory — Spark reuses Python workers across tasks, so iterations
-    after the first do ZERO edge deserialization. This is the piece a naive
-    cogroup design gets wrong: shipping the edge table JVM→Python every
-    iteration costs O(|E|) Arrow traffic per iteration and dominates wall
-    time from ~4M edges up (measured 4.7x slower than v1 at 4M edges;
-    with the worker cache the per-iteration transfer is vertex-sized).
-  * per iteration, applyInPandas over the rank blocks only: gather
-    x[sid] via one searchsorted per block, contribs = weight * x[sid],
-    segment-sum by dst code with np.bincount (true vectorized segment-sum),
-    then one JVM groupBy(did) combines partial sums across blocks and an
-    exchange-free SortMergeJoin (both sides hash(vid/did, B)) folds them
-    into the next vector.
+  * vertex ids are DETERMINISTIC 64-bit hashes of the url (xxhash64, salted
+    on the astronomically-rare collision, checked with one vertex-sized
+    aggregate). Pure projection — encoding the edge table needs NO join at
+    all (the previous design's double edges-join-ids was the dominant setup
+    cost at bench scale), and resumed runs are bit-exact because the ids are
+    a function of the data, not of a run-specific partition layout.
+  * the edge table is spilled ONCE per graph as per-block parquet
+    (block = pmod(sid, B)), one file per block (repartition(B, 'block')
+    before the write). Each Python worker lazily reads the blocks it is
+    assigned, preprocesses them into CSR-style arrays (np.unique-factorized
+    src/dst codes + aligned weights) and CACHES them in worker memory —
+    Spark reuses Python workers across tasks, so iterations after the first
+    do ZERO edge deserialization. This is the piece a naive cogroup design
+    gets wrong: shipping the edge table JVM→Python every iteration costs
+    O(|E|) Arrow traffic per iteration and dominates wall time from ~4M
+    edges up (measured 4.7x slower than v1 at 4M edges; with the worker
+    cache the per-iteration transfer is vertex-sized).
+  * the spill lives in a fresh run-<uuid> directory every time it happens,
+    so the worker cache key (the spill path) can never serve a previous
+    graph's arrays, and it is recorded on the LinkGraph — repeated
+    pagerank_csr calls on the same graph (e.g. per-query personalization)
+    reuse both the parquet and the already-warm worker caches.
+  * a _MANIFEST.json is written AFTER the parquet spill completes; workers
+    REFUSE to treat a block as empty unless they can read the manifest, so
+    an unreadable/unshared scratch path (the silent-teleport-vector failure
+    mode) raises instead of converging to garbage. All worker-side I/O goes
+    through pyarrow.fs, so an HDFS/S3 scratch_dir works wherever pyarrow has
+    the filesystem bindings.
+  * per iteration, applyInPandas over the rank blocks only: gather x[sid]
+    via one searchsorted per block, contribs = weight * x[sid], segment-sum
+    by dst code with np.bincount (true vectorized segment-sum), then one JVM
+    aggregation combines partial sums across blocks and an exchange-free
+    join (both sides hash-partitioned to B on the vertex id) folds them into
+    the next vector.
   * one Spark job per iteration: the new vector is a LAZY localCheckpoint
     that materializes during the fused stats aggregate (same trick as v1).
-  * AQE is off for the loop: the plan is static and AQE's post-shuffle
-    coalescing would break the hash(vid, B) alignment of the contribs join.
+  * the plan is pinned per-query, not via session conf: the contribs
+    aggregation rides an explicit repartition(B, 'did') (AQE preserves
+    user-specified partition counts) and the contribs fold is hinted
+    'merge' so AQE cannot rewrite the exchange-free join into a
+    per-iteration broadcast.
 
 ``scratch_dir``: where the per-block parquet lives. Defaults to a local
 tempdir (correct for local[*] and single-node). On a multi-executor cluster
@@ -34,41 +53,85 @@ pass a path on shared storage (HDFS/S3/NFS) visible to executors; each
 executor still reads each of its blocks once and serves the rest of the run
 from worker memory.
 
+``checkpointer`` / ``x0_df``: same durable-resume and warm-start contract as
+v1 (reference power_method(v, x0, ...), pagerank.py:122,142-145). Resume
+re-derives the hash ids from the saved urls, so a killed job resumes
+bit-exactly.
+
 Cross-check test: must equal v1 (and the NumPy oracle) to 1e-6 per vertex.
 """
 
 from __future__ import annotations
 
-import glob
+import json
 import math
 import os
-import shutil
-import tempfile
 import time
+import uuid
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pagerank_spark.operators.pagerank import _init_state
+
 # worker-side block cache: survives across tasks because Spark reuses Python
-# workers (spark.python.worker.reuse=true, the default). Keyed by scratch dir
-# so a new pagerank_csr call evicts the previous run's arrays.
+# workers (spark.python.worker.reuse=true, the default). Keyed by the spill
+# path, which embeds a per-spill uuid — a stale key can never alias a new
+# graph's data.
 _BLOCK_CACHE: dict = {"dir": None, "blocks": {}}
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _fs_and_root(scratch: str):
+    """pyarrow filesystem + normalized root path for a local or URI scratch."""
+    from pyarrow import fs as pafs
+
+    if "://" in scratch:
+        return pafs.FileSystem.from_uri(scratch)
+    return pafs.LocalFileSystem(), os.path.abspath(scratch)
+
+
+def _read_manifest(scratch: str) -> dict:
+    filesystem, root = _fs_and_root(scratch)
+    try:
+        with filesystem.open_input_stream(f"{root}/{_MANIFEST}") as f:
+            return json.loads(f.read().decode("utf-8"))
+    except Exception as e:
+        raise RuntimeError(
+            f"pagerank_csr scratch {scratch!r} has no readable {_MANIFEST}: "
+            "either the edge spill did not complete, or this worker cannot "
+            "see the scratch path (on a multi-executor cluster scratch_dir "
+            "must be on shared storage reachable from every executor). "
+            "Refusing to treat the block as empty."
+        ) from e
 
 
 def _load_block(scratch: str, block: int):
     if _BLOCK_CACHE["dir"] != scratch:
+        # manifest first: distinguishes 'spill missing/unreadable' (raise)
+        # from 'block genuinely empty' (no file for this block)
+        manifest = _read_manifest(scratch)
         _BLOCK_CACHE["dir"] = scratch
+        _BLOCK_CACHE["manifest"] = manifest
         _BLOCK_CACHE["blocks"] = {}
     if block not in _BLOCK_CACHE["blocks"]:
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
-        files = sorted(glob.glob(os.path.join(scratch, f"block={block}", "*.parquet")))
+        filesystem, root = _fs_and_root(scratch)
+        sel = pafs.FileSelector(f"{root}/block={block}", allow_not_found=True)
+        files = sorted(
+            i.path
+            for i in filesystem.get_file_info(sel)
+            if i.is_file and not i.base_name.startswith(("_", "."))
+        )
         if not files:
             _BLOCK_CACHE["blocks"][block] = None
         else:
-            t = pq.read_table(files, columns=["sid", "did", "weight"])
+            t = pq.read_table(files, columns=["sid", "did", "weight"], filesystem=filesystem)
             sid = t["sid"].to_numpy()
             did = t["did"].to_numpy()
             w = t["weight"].to_numpy()
@@ -105,19 +168,85 @@ def _make_spmv_kernel(scratch: str):
     return spmv
 
 
-def _with_ids(graph) -> DataFrame:
-    """(url, vid) — JVM-side unique int64 ids, frozen by an eager checkpoint
-    (monotonically_increasing_id is deterministic only for a materialized
-    partition layout). Ids need not be dense: blocks key off hash(vid)."""
-    return (
-        graph.vertices.select("url")
-        .withColumn("vid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+def _vid_expr(url_col, salt: int):
+    """Deterministic 64-bit vertex id: pure function of the url, so edge
+    encoding is a projection (no id join) and resume is bit-exact."""
+    if salt == 0:
+        return F.xxhash64(url_col)
+    return F.xxhash64(url_col, F.lit(salt))
+
+
+def _pick_salt(graph) -> int:
+    """Find a salt whose xxhash64 is collision-free on this vertex set.
+
+    One vertex-sized aggregate per attempt; salt 0 collides with probability
+    ~n^2/2^65 (≈3e-11 at 1M urls), so the loop effectively never iterates —
+    but at 10^12 urls a collision becomes plausible (~3%) and MUST be caught:
+    a silent collision merges two vertices' ranks."""
+    for salt in range(8):
+        row = graph.vertices.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(_vid_expr(F.col("url"), salt)).alias("d"),
+        ).first()
+        if row["n"] == row["d"]:
+            return salt
+    raise RuntimeError("xxhash64(url) collided for 8 salts — data anomaly?")
 
 
 def _block_of(col, num_blocks: int):
-    return F.pmod(F.xxhash64(col), F.lit(num_blocks))
+    return F.pmod(col, F.lit(num_blocks))
+
+
+def _spill_blocks(graph, salt: int, B: int, scratch: str) -> None:
+    """One-time spill of the hash-id-encoded edge table, one parquet file per
+    block. Pure projection of the cached edge table + one shuffle on block.
+    The manifest is written AFTER the parquet completes: its presence is the
+    workers' proof that the spill is whole."""
+    (
+        graph.edges
+        .select(
+            _vid_expr(F.col("src"), salt).alias("sid"),
+            _vid_expr(F.col("dst"), salt).alias("did"),
+            "weight",
+        )
+        .withColumn("block", _block_of(F.col("sid"), B))
+        .repartition(B, "block")
+        .write.partitionBy("block").mode("overwrite").parquet(scratch)
+    )
+    filesystem, root = _fs_and_root(scratch)
+    with filesystem.open_output_stream(f"{root}/{_MANIFEST}") as f:
+        f.write(json.dumps({"num_blocks": B, "salt": salt, "version": 2}).encode("utf-8"))
+
+
+def _csr_state(graph, B: int, scratch_dir: str | None) -> dict:
+    """(salt, scratch) for this graph — spilled once, reused by later calls
+    on the same LinkGraph (each spill gets a fresh run-<uuid> dir so worker
+    caches can never serve stale arrays)."""
+    state = getattr(graph, "_csr_state", None)
+    if state is not None and state["B"] == B:
+        return state
+    salt = _pick_salt(graph)
+    if scratch_dir is not None:
+        scratch = scratch_dir.rstrip("/") + f"/run-{uuid.uuid4().hex[:12]}"
+    else:
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="pagerank_csr_blocks_") + "/spill"
+    _spill_blocks(graph, salt, B, scratch)
+    state = {"B": B, "salt": salt, "scratch": scratch}
+    graph._csr_state = state
+    if hasattr(graph, "_register_cleanup"):
+        local_root = None if "://" in scratch else os.path.dirname(os.path.abspath(scratch))
+
+        def _cleanup():
+            graph._csr_state = None
+            if local_root:
+                import shutil
+
+                shutil.rmtree(local_root, ignore_errors=True)
+
+        graph._register_cleanup(_cleanup)
+    return state
 
 
 def pagerank_csr(
@@ -129,70 +258,49 @@ def pagerank_csr(
     num_blocks: int | None = None,
     metrics: list | None = None,
     scratch_dir: str | None = None,
+    checkpointer=None,
+    x0_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Return (url, rank) — same contract as operators.pagerank.pagerank."""
-    spark = graph.edges.sparkSession
+    """Return (url, rank) — same contract as operators.pagerank.pagerank,
+    including durable checkpoint/resume and x0 warm start."""
     B = num_blocks or graph.num_partitions
-    n = graph.num_vertices()
-
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="pagerank_csr_blocks_")
-    own_scratch = scratch_dir is None
-    try:
-        return _iterate_csr(
-            graph, alpha, v_df, max_iterations, epsilon, B, n, metrics, scratch
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
-        if own_scratch:
-            shutil.rmtree(scratch, ignore_errors=True)
+    state = _csr_state(graph, B, scratch_dir)
+    return _iterate_csr(
+        graph, alpha, v_df, max_iterations, epsilon, B, metrics,
+        state["scratch"], state["salt"], checkpointer, x0_df,
+    )
 
 
 def _iterate_csr(
-    graph, alpha, v_df, max_iterations, epsilon, B, n, metrics, scratch
+    graph, alpha, v_df, max_iterations, epsilon, B, metrics, scratch, salt,
+    checkpointer=None, x0_df=None,
 ) -> DataFrame:
-    ids = _with_ids(graph)
-
-    # one-time spill of the id-encoded edge table, partitioned by block;
-    # Python workers read each block once and cache the CSR arrays
-    (
-        graph.edges
-        .join(ids.select(F.col("url").alias("src"), F.col("vid").alias("sid")), "src")
-        .join(ids.select(F.col("url").alias("dst"), F.col("vid").alias("did")), "dst")
-        .select("sid", "did", "weight", _block_of(F.col("sid"), B).alias("block"))
-        .write.partitionBy("block").mode("overwrite").parquet(scratch)
-    )
     spmv = _make_spmv_kernel(scratch)
+    vid = _vid_expr(F.col("url"), salt)
 
-    # dangling flags + personalization on vid keys
-    srcs = (
-        graph.edges.select(F.col("src").alias("url")).distinct()
-        .join(ids, "url").select(F.col("vid"))
-    )
-    base = ids.join(srcs.withColumn("_nd", F.lit(1)), "vid", "left").select(
-        "url",
-        "vid",
-        F.when(F.col("_nd").isNull(), 1.0).otherwise(0.0).alias("dangling"),
-    )
-    if v_df is None:
-        base = base.withColumn("v", F.lit(1.0 / math.sqrt(n)))
-    else:
-        l2 = v_df.agg(F.sqrt(F.sum(F.col("v") * F.col("v")))).first()[0]
-        base = (
-            base.join(v_df, "url", "left")
-            .fillna(0.0, ["v"])
-            .withColumn("v", F.col("v") / F.lit(float(l2)))
+    start_iter = 0
+    resumed = checkpointer.try_resume() if checkpointer is not None else None
+    if resumed is not None:
+        start_iter, x_saved, dangling_mass = resumed
+        # saved state is keyed by url; the hash ids re-derive deterministically
+        x = (
+            x_saved.select("url", "v", "dangling", "rank")
+            .withColumn("vid", vid)
+            .repartition(B, "vid")
+            .localCheckpoint(eager=True)
         )
-    x = (
-        base.withColumn("rank", F.lit(1.0 / math.sqrt(n)))
-        .repartition(B, "vid")
-        .localCheckpoint(eager=True)
-    )
-    dangling_mass = x.agg(F.sum(F.col("rank") * F.col("dangling"))).first()[0] or 0.0
+    else:
+        # same state builder as v1 (url, v, dangling, rank) + the hash id
+        x = (
+            _init_state(graph, v_df, x0_df)
+            .withColumn("vid", vid)
+            .repartition(B, "vid")
+            .localCheckpoint(eager=True)
+        )
+        dangling_mass = x.agg(F.sum(F.col("rank") * F.col("dangling"))).first()[0] or 0.0
 
     prev_ck = x
-    for it in range(max_iterations):
+    for it in range(start_iter, max_iterations):
         t0 = time.monotonic()
         q = alpha * dangling_mass + (1.0 - alpha)
 
@@ -200,11 +308,15 @@ def _iterate_csr(
         contribs = (
             xb.groupby("block")
             .applyInPandas(spmv, schema="did long, c double")
+            # explicit repartition: AQE preserves user partition counts, so
+            # the aggregate runs exchange-free on top of it and stays aligned
+            # with x's hash(vid, B) layout for the fold join below
+            .repartition(B, "did")
             .groupBy("did")
             .agg(F.sum("c").alias("_c"))
         )
         new = (
-            x.join(contribs, x.vid == contribs.did, "left")
+            x.join(contribs.hint("merge"), x.vid == contribs.did, "left")
             .select(
                 x.url,
                 x.vid,
@@ -214,7 +326,7 @@ def _iterate_csr(
                 x.rank.alias("_prev"),
             )
             # no repartition: the left join preserves x's hash(vid, B) layout
-            # (contribs arrives hash(did, B) from its groupBy), and
+            # (contribs arrives hash(did, B) from its aggregate), and
             # localCheckpoint carries the partitioning into the next iteration
             .localCheckpoint(eager=False)  # materializes in the stats job below
         )
@@ -235,6 +347,13 @@ def _iterate_csr(
                 {"iteration": it, "residual": residual, "norm": norm,
                  "dangling_mass": dangling_mass, "wall_s": time.monotonic() - t0}
             )
+        if checkpointer is not None:
+            x_out = x.select("url", "v", "dangling", "rank")
+            saved = checkpointer.save(it, x_out, dangling_mass, residual)
+            if saved is not x_out:
+                # continue from the durable copy (lineage + memory bounded),
+                # re-deriving the hash id from the url
+                x = saved.withColumn("vid", vid).repartition(B, "vid")
         prev_ck.unpersist()
         prev_ck = new
         if residual < epsilon:
