@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pagerank_spark.operators.dedup import MINHASH_P, minhash_params
-from pagerank_spark.operators.similarity import LSH_PLANES, PAIR_LSH_PLANES
+from pagerank_spark.operators.similarity import (
+    LSH_PLANES,
+    LSH_TABLES,
+    PAIR_LSH_PLANES,
+    PAIR_LSH_TABLES,
+)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -444,15 +449,19 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 COSINE_DUP_THRESHOLD = 0.35
+EMB_DIM = 64  # dim of /root/testdata/sf*/embeddings.parquet (all SFs); passed
+# explicitly so the hot paths never run the _infer_dim pre-job
 
 
 def q_embedding_near_dup(spark, sf_dir):
     """LSH-bucketed pairwise near-dup (the scale path — no crossJoin in the
-    plan); the DuckDB twin replicates the bucketing bit-for-bit."""
+    plan); the DuckDB twin replicates the multi-table bucketing bit-for-bit.
+    planes/tables/dim pinned so the plan is static (no count/infer pre-jobs)."""
     from pagerank_spark.operators.dedup import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _emb(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD, method="lsh"
+        _emb(spark, sf_dir), threshold=COSINE_DUP_THRESHOLD, method="lsh",
+        planes=PAIR_LSH_PLANES, tables=PAIR_LSH_TABLES, dim=EMB_DIM,
     )
 
 
@@ -471,7 +480,10 @@ def q_ann_topk(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     from pagerank_spark.operators.similarity import ann_lsh_topk
 
-    return ann_lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K).select(
+    return ann_lsh_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K,
+        planes=LSH_PLANES, tables=LSH_TABLES, dim=EMB_DIM,
+    ).select(
         "query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn")
     )
 
@@ -811,9 +823,10 @@ FROM shash a JOIN shash b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
-    def lsh_cte(planes: int) -> str:
-        """Sign-random-projection bucket CTE — identical md5-derived plane
-        weights to similarity.plane_weight; dim read from the data."""
+    def lsh_cte(planes: int, tables: int) -> str:
+        """Multi-table sign-random-projection bucket CTE — identical
+        md5-derived plane weights to similarity.plane_weight (table t's plane
+        p = global plane index t*planes + p); dim read from the data."""
         return f"""
 e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -831,28 +844,28 @@ planes AS (
   SELECT p, i,
          (('0x' || substr(md5('plane' || p || ',' || i), 1, 15))::BIGINT
           / 576460752303423488.0 - 1.0) AS w
-  FROM generate_series(0, {planes - 1}) tp(p)
+  FROM generate_series(0, {tables * planes - 1}) tp(p)
   CROSS JOIN (SELECT DISTINCT i FROM comps) ti
 ),
 dots AS (SELECT vec_id, p, SUM(x * w) AS d FROM comps JOIN planes USING (i) GROUP BY vec_id, p),
 buck AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-  FROM dots GROUP BY vec_id
+  SELECT vec_id, CAST(p // {planes} AS INT) AS tbl,
+         CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << (p % {planes})) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // {planes}
 ),
-eb AS (SELECT e.vec_id, v, n, bucket FROM e JOIN buck USING (vec_id)),
+eb AS (SELECT e.vec_id, v, n, tbl, bucket FROM e JOIN buck USING (vec_id)),
 probes AS (
-  SELECT vec_id, v, n,
+  SELECT vec_id, v, n, tbl,
          unnest([bucket] || list_transform(generate_series(0, {planes - 1}),
                                            p -> xor(bucket, 1::BIGINT << p))) AS bucket
   FROM eb
 )"""
 
     sqls["embedding_near_dup"] = f"""
-WITH {lsh_cte(PAIR_LSH_PLANES)},
+WITH {lsh_cte(PAIR_LSH_PLANES, PAIR_LSH_TABLES)},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM probes a JOIN eb b USING (bucket) WHERE a.vec_id < b.vec_id
+  FROM probes a JOIN eb b USING (tbl, bucket) WHERE a.vec_id < b.vec_id
 )
 SELECT id_a, id_b,
        ROUND(list_dot_product(ea.v, ebb.v) / (ea.n * ebb.n), 6) AS cosine
@@ -883,17 +896,17 @@ SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}
 """
 
     sqls["ann_lsh"] = f"""
-WITH {lsh_cte(LSH_PLANES)},
-q AS (SELECT vec_id AS query_id, bucket FROM eb WHERE vec_id IN ({qids})),
+WITH {lsh_cte(LSH_PLANES, LSH_TABLES)},
+q AS (SELECT vec_id AS query_id, tbl, bucket FROM eb WHERE vec_id IN ({qids})),
 qprobes AS (
-  SELECT query_id,
+  SELECT query_id, tbl,
          unnest([bucket] || list_transform(generate_series(0, {LSH_PLANES - 1}),
                                            p -> xor(bucket, 1::BIGINT << p))) AS bucket
   FROM q
 ),
 cand AS (
   SELECT DISTINCT query_id, b.vec_id AS neighbor_id
-  FROM qprobes a JOIN eb b USING (bucket) WHERE b.vec_id <> query_id
+  FROM qprobes a JOIN eb b USING (tbl, bucket) WHERE b.vec_id <> query_id
 ),
 sims AS (
   SELECT query_id, neighbor_id,

@@ -370,26 +370,39 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     method: str = "lsh",
     planes: int | None = None,
+    tables: int | None = None,
     dim: int | None = None,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
-    ``method='lsh'`` (default, the scale path): sign-random-projection
-    bucketed candidates with Hamming-1 multiprobe and exact cosine rerank —
-    no crossJoin in the plan; approximate (recall < 1 by construction, see
-    similarity.lsh_near_duplicate_pairs).
+    .. warning:: the default ``method='lsh'`` is APPROXIMATE — recall < 1 by
+       construction (only pairs colliding in some LSH table are candidates).
+       This changed from the exhaustive all-pairs default in an earlier
+       version; callers needing guaranteed-complete output on a small corpus
+       must pass ``method='exact'``. Quantify the miss rate for your
+       threshold with ``similarity.recall_estimate(threshold, planes,
+       tables)`` and raise ``tables`` to buy recall at linear cost.
+
+    ``method='lsh'`` (the scale path): sign-random-projection bucketed
+    candidates — ``planes`` auto-sized to the corpus (``auto_planes``) so
+    buckets stay ~``target_bucket`` rows at any n, ``tables`` OR-ed plane
+    tables for recall, Hamming-1 multiprobe, exact cosine rerank; no
+    crossJoin in the plan (see similarity.lsh_near_duplicate_pairs).
 
     ``method='exact'``: all-pairs crossJoin — O(n²), the small-corpus /
     oracle fallback ONLY. Never use at scale."""
     if method == "lsh":
-        from pagerank_spark.operators.similarity import (
-            PAIR_LSH_PLANES,
-            lsh_near_duplicate_pairs,
-        )
+        from pagerank_spark.operators import similarity
 
-        return lsh_near_duplicate_pairs(
-            embeddings, threshold=threshold, planes=planes or PAIR_LSH_PLANES,
-            id_col=id_col, vec_col=vec_col, dim=dim,
+        kw = {}
+        if tables is not None:
+            kw["tables"] = tables
+        if target_bucket is not None:
+            kw["target_bucket"] = target_bucket
+        return similarity.lsh_near_duplicate_pairs(
+            embeddings, threshold=threshold, planes=planes,
+            id_col=id_col, vec_col=vec_col, dim=dim, **kw,
         )
     if method != "exact":
         raise ValueError(f"unknown method {method!r}; use 'lsh' or 'exact'")

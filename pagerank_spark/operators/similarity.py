@@ -10,21 +10,32 @@ Three paths:
     (md5-derived, so the DuckDB oracle reproduces them bit-exactly), corpus
     bucketed by the P-bit sign signature, candidates restricted to the query's
     bucket (optionally multi-probe neighbors at Hamming distance 1), exact
-    cosine rerank inside the bucket. At 10^12 vectors the bucket join replaces
-    the O(n·q) scan with O(n/2^P · q) per probe; buckets are hash-partitioned
-    so the rerank is an ordinary co-partitioned join.
+    cosine rerank inside the bucket.
 
   * lsh_near_duplicate_pairs — pairwise near-dup at corpus scale: both sides
     bucketed, one side expanded to its Hamming-1 probe buckets, single
-    equi-join on bucket, exact cosine rerank. No crossJoin anywhere; recall
-    for a pair at angle θ with P planes and Hamming-1 probes is
-    (1-θ/π)^P + P·(θ/π)·(1-θ/π)^(P-1).
+    equi-join on (table, bucket), exact cosine rerank. No crossJoin anywhere.
 
-The P-bit signature is computed by a vectorized Arrow pandas_udf (one NumPy
-matmul per batch against the dim×P plane matrix) — constant expression size
-regardless of dim, unlike a per-dimension unrolled Column expression which
-hits codegen limits at realistic dims (768·8 ≈ 6k nodes). Plane weights are
-md5-derived scalars shared verbatim with the DuckDB oracle.
+Scale-safety (the two knobs that keep this sub-quadratic at ANY corpus size):
+
+  * planes scale with the corpus: ``planes=None`` computes
+    ``max(4, ceil(log2(n / target_bucket)))`` so the EXPECTED bucket holds
+    ~``target_bucket`` rows no matter whether n is 10^4 or 10^12 — a fixed
+    plane count (the round-2 design) goes quadratic within-bucket as soon as
+    the corpus outgrows 2^planes x target. ``auto_planes`` is the policy.
+  * recall is held by the standard OR-construction: ``tables`` independent
+    plane sets (AND within a table, OR across tables). For a pair at angle
+    theta with per-bit agreement q = 1 - theta/pi, one table with Hamming-1
+    probes catches it with prob r1 = q^P + P(1-q)q^(P-1); T tables give
+    1 - (1 - r1)^T (see ``recall_estimate``). More planes (needed at larger
+    n) lowers r1; raising T compensates at linear — not quadratic — cost.
+
+The per-table P-bit signatures are computed by ONE vectorized Arrow
+pandas_udf (a single NumPy matmul per batch against the dim x (T*P) plane
+matrix) — constant plan size regardless of dim, unlike a per-dimension
+unrolled Column expression which hits codegen limits at realistic dims.
+Plane weights are md5-derived scalars shared verbatim with the DuckDB oracle
+(table t, plane p = global plane index t*P + p).
 
 The reference's only similarity operation is gensim ``most_similar`` for query
 expansion (pagerank.py:224-227); these operators generalize it to corpus-scale
@@ -34,6 +45,7 @@ ANN per the build brief.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -42,8 +54,44 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 LSH_PLANES = 8
+LSH_TABLES = 2
 PAIR_LSH_PLANES = 4  # pairwise near-dup default: fewer planes => higher recall
+PAIR_LSH_TABLES = 2
+DEFAULT_TARGET_BUCKET = 10_000
 HEX60 = float(1 << 59)
+
+
+def auto_planes(
+    n: int,
+    target_bucket: int = DEFAULT_TARGET_BUCKET,
+    min_planes: int = 4,
+    max_planes: int = 30,
+) -> int:
+    """Plane count sized to the corpus: smallest P with n / 2^P <= target.
+
+    This is the scale policy — at n=10^12, target=10^4 it returns 27 (1.3e8
+    buckets, ~7.5k rows each) where a fixed P=4 would put 6e10 rows in each
+    of 16 buckets and the within-bucket join would be quadratic."""
+    if n <= 0:
+        return min_planes
+    need = math.ceil(math.log2(max(n / float(target_bucket), 1.0)))
+    return max(min_planes, min(max_planes, need))
+
+
+def recall_estimate(
+    cosine: float, planes: int, tables: int = 1, multiprobe: bool = True
+) -> float:
+    """Probability a pair at the given cosine is generated as a candidate.
+
+    Per-bit agreement q = 1 - theta/pi (sign-random-projection collision
+    probability); AND over ``planes`` bits within a table (+ Hamming-1 probes
+    when ``multiprobe``), OR over ``tables`` independent tables."""
+    theta = math.acos(max(-1.0, min(1.0, cosine)))
+    q = 1.0 - theta / math.pi
+    r1 = q ** planes
+    if multiprobe:
+        r1 += planes * (1.0 - q) * q ** (planes - 1)
+    return 1.0 - (1.0 - r1) ** tables
 
 
 def plane_weight(p: int, i: int) -> float:
@@ -53,10 +101,12 @@ def plane_weight(p: int, i: int) -> float:
     return h / HEX60 - 1.0
 
 
-def plane_matrix(planes: int, dim: int) -> np.ndarray:
-    """dim × planes float64 matrix of deterministic hyperplane weights."""
+def plane_matrix(planes: int, dim: int, tables: int = 1) -> np.ndarray:
+    """dim x (tables*planes) float64 matrix of deterministic hyperplane
+    weights; table t's plane p is global plane index t*planes + p."""
+    total = planes * tables
     return np.array(
-        [[plane_weight(p, i) for p in range(planes)] for i in range(dim)], dtype=np.float64
+        [[plane_weight(p, i) for p in range(total)] for i in range(dim)], dtype=np.float64
     )
 
 
@@ -67,33 +117,52 @@ def _norm_expr(vec_col: str):
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
-    """One tiny job; raises a clear error on an empty corpus."""
+    """One tiny job; raises a clear error on an empty corpus. Hot paths should
+    pass dim= explicitly so the plan is fully static (no pre-job)."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not row:
         raise ValueError("cannot infer embedding dim from an empty corpus; pass dim=")
     return int(row[0]["d"])
 
 
+def with_lsh_buckets(
+    df: DataFrame,
+    planes: int = LSH_PLANES,
+    tables: int = 1,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Add a ``buckets`` column: array of ``tables`` per-table P-bit sign
+    signatures under the deterministic hyperplanes. ONE Arrow batch matmul
+    per partition for all tables — no per-dimension expression unrolling,
+    works at any dim."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    W = plane_matrix(planes, dim, tables)
+    shifts = np.int64(1) << np.arange(planes, dtype=np.int64)
+    n_tables = tables
+
+    @pandas_udf("array<bigint>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        M = np.vstack(v.to_numpy()).astype(np.float64)  # batch x dim
+        bits = (M @ W) > 0  # batch x (tables*planes); col t*P+p = table t, bit p
+        sigs = (bits.reshape(len(M), n_tables, -1).astype(np.int64) * shifts).sum(axis=2)
+        return pd.Series(list(sigs))
+
+    return df.withColumn("buckets", _buckets(F.col(vec_col)))
+
+
 def with_lsh_bucket(
     df: DataFrame, planes: int = LSH_PLANES, vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:
-    """Add a `bucket` column: P-bit sign signature under the deterministic
-    hyperplanes. One Arrow batch matmul per partition — no per-dimension
-    expression unrolling, works at any dim."""
-    if dim is None:
-        dim = _infer_dim(df, vec_col)
-    W = plane_matrix(planes, dim)
-    shifts = (np.int64(1) << np.arange(planes, dtype=np.int64))
-
-    @pandas_udf("bigint")
-    def _bucket(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        M = np.vstack(v.to_numpy()).astype(np.float64)  # batch × dim
-        bits = (M @ W) > 0  # batch × planes
-        return pd.Series((bits.astype(np.int64) * shifts).sum(axis=1))
-
-    return df.withColumn("bucket", _bucket(F.col(vec_col)))
+    """Single-table convenience: add a scalar ``bucket`` column."""
+    return (
+        with_lsh_buckets(df, planes, 1, vec_col, dim)
+        .withColumn("bucket", F.element_at(F.col("buckets"), 1))
+        .drop("buckets")
+    )
 
 
 def brute_force_topk(
@@ -142,45 +211,60 @@ def _probe_buckets(bucket_col, planes: int):
     )
 
 
+def _exploded_tables(e: DataFrame, keep: list, planes: int, probe: bool) -> DataFrame:
+    """(keep..., tbl, bucket) one row per table — probe=True additionally
+    expands each table's bucket to its Hamming-1 neighborhood."""
+    out = e.select(
+        *keep, F.posexplode(F.col("buckets")).alias("tbl", "_b")
+    )
+    if probe:
+        return out.select(
+            *keep, "tbl", F.explode(_probe_buckets(F.col("_b"), planes)).alias("bucket")
+        )
+    return out.withColumnRenamed("_b", "bucket")
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     query_ids: list,
     k: int = 10,
-    planes: int = LSH_PLANES,
+    planes: int | None = LSH_PLANES,
+    tables: int = LSH_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
     dim: int | None = None,
+    target_bucket: int = DEFAULT_TARGET_BUCKET,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rn) approximate top-k: candidates from
-    the query's LSH bucket (plus Hamming-1 neighbor buckets when multiprobe),
-    exact cosine rerank within candidates. Result is materialized (it is
-    query-set-sized) so intermediates can be unpersisted before returning."""
+    the query's LSH bucket in ANY of ``tables`` plane tables (plus Hamming-1
+    probes per table when multiprobe), exact cosine rerank within candidates.
+
+    ``planes=None`` sizes the plane count to the corpus (one count job; see
+    ``auto_planes``) so each probe scans ~``target_bucket`` rows at any n.
+    Result is materialized (it is query-set-sized) so intermediates can be
+    unpersisted before returning."""
+    if planes is None:
+        planes = auto_planes(corpus.count(), target_bucket)
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
-    e = with_lsh_bucket(
+    e = with_lsh_buckets(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                       _norm_expr(vec_col).alias("_n")).withColumnRenamed("_v", vec_col),
-        planes, vec_col, dim,
+        planes, tables, vec_col, dim,
     ).withColumnRenamed(vec_col, "_v").persist()
 
-    q = e.where(F.col("_id").isin(query_ids)).select(
-        F.col("_id").alias("query_id"),
-        F.col("_v").alias("qv"),
-        F.col("_n").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+    q = _exploded_tables(
+        e.where(F.col("_id").isin(query_ids)).select(
+            F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
+            F.col("_n").alias("qn"), "buckets",
+        ),
+        ["query_id", "qv", "qn"], planes, probe=multiprobe,
     )
-    if multiprobe:
-        q = q.select(
-            "query_id", "qv", "qn",
-            F.explode(_probe_buckets(F.col("qbucket"), planes)).alias("bucket"),
-        )
-    else:
-        q = q.withColumnRenamed("qbucket", "bucket")
-
-    c = e.select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
-        F.col("_n").alias("cn"), "bucket",
+    c = _exploded_tables(
+        e.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+                 F.col("_n").alias("cn"), "buckets"),
+        ["neighbor_id", "cv", "cn"], planes, probe=False,
     )
     dot = F.expr(
         "aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
@@ -188,7 +272,7 @@ def ann_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     out = (
         F.broadcast(q)
-        .join(c, "bucket")
+        .join(c, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6))
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -203,46 +287,51 @@ def ann_lsh_topk(
 def lsh_near_duplicate_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    planes: int = PAIR_LSH_PLANES,
+    planes: int | None = None,
+    tables: int = PAIR_LSH_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
     dim: int | None = None,
+    target_bucket: int = DEFAULT_TARGET_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold among LSH-bucketed
     candidates — the corpus-scale pairwise near-dup path (no crossJoin).
 
-    One side is expanded to its Hamming-1 probe buckets, the other stays in
-    its own bucket; a pair is caught iff their signatures differ in <= 1 bit
-    (multiprobe) or agree exactly. Approximate by construction: pairs whose
-    signatures differ in more bits are not candidates (recall formula in the
-    module docstring — raise recall with fewer planes or more probes)."""
+    ``planes=None`` (default) sizes the plane count to the corpus so the
+    expected bucket holds ~``target_bucket`` rows and the within-bucket join
+    stays bounded at any n (one count job; pass an explicit ``planes`` to
+    keep the plan fully static). One side is expanded to its Hamming-1 probe
+    buckets per table, the other stays put; a pair is caught iff in SOME
+    table their signatures differ in <= 1 bit (multiprobe) or agree exactly.
+    Approximate by construction — quantify with ``recall_estimate(cos,
+    planes, tables)``; raise ``tables`` (linear cost) to recover recall lost
+    to the larger ``planes`` a bigger corpus needs."""
+    if planes is None:
+        planes = auto_planes(embeddings.count(), target_bucket)
     if dim is None:
         dim = _infer_dim(embeddings, vec_col)
-    e = with_lsh_bucket(
+    e = with_lsh_buckets(
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                           _norm_expr(vec_col).alias("_n")).withColumnRenamed("_v", vec_col),
-        planes, vec_col, dim,
+        planes, tables, vec_col, dim,
     ).withColumnRenamed(vec_col, "_v").persist()
 
-    a = e.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"),
-        F.col("bucket").alias("_ba"),
+    a = _exploded_tables(
+        e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                 F.col("_n").alias("na"), "buckets"),
+        ["id_a", "va", "na"], planes, probe=multiprobe,
     )
-    if multiprobe:
-        a = a.select(
-            "id_a", "va", "na", F.explode(_probe_buckets(F.col("_ba"), planes)).alias("bucket")
-        )
-    else:
-        a = a.withColumnRenamed("_ba", "bucket")
-    b = e.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "bucket"
+    b = _exploded_tables(
+        e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                 F.col("_n").alias("nb"), "buckets"),
+        ["id_b", "vb", "nb"], planes, probe=False,
     )
     dot = F.expr(
         "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
     )
     out = (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))

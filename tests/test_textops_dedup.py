@@ -291,6 +291,91 @@ def test_resize_stub_raises(docs, spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
 
 
+def test_auto_planes_policy():
+    # the scale policy: smallest P with n/2^P <= target, clamped to [4, 30].
+    # At 10^12 rows a fixed P=4 leaves 6e10 rows per bucket; auto gives 27.
+    from pagerank_spark.operators.similarity import auto_planes
+
+    assert auto_planes(10**12, 10_000) == 27
+    assert auto_planes(10_000, 10_000) == 4          # clamp at min
+    assert auto_planes(0, 10_000) == 4
+    assert auto_planes(10**30, 10_000) == 30         # clamp at max
+    # monotone in n, and the expected bucket never exceeds target (pre-clamp)
+    prev = 0
+    for exp in range(5, 13):
+        n = 10**exp
+        p = auto_planes(n, 10_000)
+        assert p >= prev
+        prev = p
+        if 4 < p < 30:
+            assert n / 2**p <= 10_000
+
+
+def test_recall_estimate_or_construction():
+    from pagerank_spark.operators.similarity import recall_estimate
+
+    r1 = recall_estimate(0.95, planes=8, tables=1)
+    r2 = recall_estimate(0.95, planes=8, tables=2)
+    r4 = recall_estimate(0.95, planes=8, tables=4)
+    assert 0 < r1 < r2 < r4 <= 1            # tables buy recall (OR-construction)
+    assert recall_estimate(0.95, planes=16) < r1   # more planes lose recall
+    assert recall_estimate(1.0, planes=30, tables=1) == pytest.approx(1.0)
+    # no multiprobe => strictly lower recall
+    assert recall_estimate(0.9, 8, 2, multiprobe=False) < recall_estimate(0.9, 8, 2)
+
+
+def test_lsh_bucket_population_bounded_at_100x_corpus(spark):
+    # The verdict's scale criterion: grow the corpus 100x past the target
+    # bucket size and the auto-sized planes must keep the max bucket
+    # population near target, where a fixed small plane count would not.
+    import numpy as np
+
+    from pagerank_spark.operators.similarity import auto_planes, with_lsh_buckets
+
+    target = 128
+    n = 100 * target                      # 12_800 rows, 100x the target bucket
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(n)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).repartition(8)
+
+    planes = auto_planes(n, target)
+    assert planes == 7                    # ceil(log2(100)) -> 128 buckets
+    pops = (
+        with_lsh_buckets(df, planes=planes, tables=1, dim=16)
+        .select(F.element_at("buckets", 1).alias("bucket"))
+        .groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    # gaussian corpus -> near-uniform buckets; allow 4x headroom over target
+    assert pops <= 4 * target, pops
+
+    # a fixed P=4 (the round-2 default) provably blows past the same bound
+    pops4 = (
+        with_lsh_buckets(df, planes=4, tables=1, dim=16)
+        .select(F.element_at("buckets", 1).alias("bucket"))
+        .groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert pops4 > 4 * target, pops4
+
+
+def test_multi_table_lsh_recall_dominates_single_table(spark):
+    # OR-construction: candidates from T tables are a superset of table 0's
+    import numpy as np
+
+    from pagerank_spark.operators.similarity import lsh_near_duplicate_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 12)
+    rows = [(i, [float(x) for x in base[i % 40] + 0.05 * rng.randn(12)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    one = {(r["id_a"], r["id_b"]) for r in lsh_near_duplicate_pairs(
+        df, threshold=0.9, planes=6, tables=1, dim=12).collect()}
+    two = {(r["id_a"], r["id_b"]) for r in lsh_near_duplicate_pairs(
+        df, threshold=0.9, planes=6, tables=2, dim=12).collect()}
+    assert one <= two
+    assert len(two) >= len(one)
+
+
 def test_embedding_near_dup_lsh_plan_has_no_crossjoin(emb):
     # the scale path must not contain an all-pairs join anywhere in the plan
     from pagerank_spark.operators.similarity import lsh_near_duplicate_pairs, with_lsh_bucket
