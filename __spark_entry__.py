@@ -169,9 +169,12 @@ SHINGLE_N = 3
 MINHASH_K = 16
 LSH_ROWS = 4
 
+# shingles carried as 60-bit md5 hashes (dedup.shingle_hashes): the distinct
+# and every downstream join/groupBy key on the int64, mirroring the engine's
+# int64-shuffle-key design bit-for-bit
 SHINGLE_CTE = f"""
 sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
+  SELECT DISTINCT doc_id, {HEX15.format(x='shingle')} AS sh FROM (
     SELECT doc_id,
            unnest(list_transform(
              generate_series(1, greatest(len({TOKS}) - {SHINGLE_N - 1}, 1)),
@@ -183,7 +186,7 @@ sh AS (
 # one md5 per shingle + k universal-hash permutations (identical constants on
 # both engines; see operators/dedup.py minhash_params)
 _MH_COLS = ", ".join(
-    f"MIN(({a} * (({HEX15.format(x='shingle')}) % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh{j}"
+    f"MIN(({a} * (sh % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh{j}"
     for j, (a, b) in enumerate(minhash_params(MINHASH_K))
 )
 SIG_CTE = f"""{SHINGLE_CTE},
@@ -774,7 +777,7 @@ WITH {SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,

@@ -118,6 +118,29 @@ def shingles(
     )
 
 
+def shingle_hashes(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sh) — DISTINCT 60-bit md5 hashes of the word n-grams per doc.
+
+    The hot-path twin of ``shingles``: hashing happens BEFORE the distinct,
+    so every wide exchange downstream (this distinct, the inverted-index
+    self-join, the df-count groupBy, the minhash groupBy) moves 8-byte int64
+    keys instead of 20-40-byte shingle strings — a ~3-5x shuffle-byte cut at
+    corpus scale. 60-bit collisions (~n²/2^61 expected) are the same risk the
+    minhash/simhash operators already accept, and the DuckDB oracles hash
+    identically so outputs stay bit-exact."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("_s"))
+        .select("doc_id", hexint15(F.col("_s")).alias("sh"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
@@ -138,35 +161,40 @@ def ngram_jaccard_pairs(
     10^12 candidate pairs). The Jaccard score itself is always exact over the
     full un-capped shingle sets (intersection recomputed per candidate pair
     via array_intersect), so the cap can only miss pairs whose EVERY common
-    shingle is hot — it never underestimates a reported score."""
-    sh = shingles(docs, n, text_col, id_col).persist()
+    shingle is hot — it never underestimates a reported score.
+
+    All index/join/groupBy traffic is keyed on the 60-bit shingle HASH
+    (``shingle_hashes``) so wide shuffles move int64s, never the strings;
+    the intersection count over hash sets equals the string-set count modulo
+    negligible 60-bit collisions, which the DuckDB oracle shares."""
+    sh = shingle_hashes(docs, n, text_col, id_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is None:
         # exact inverted-index path: intersection counts straight off the join
-        a = sh.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
-        b = sh.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+        a = sh.select(F.col("sh"), F.col("doc_id").alias("id_a"))
+        b = sh.select(F.col("sh"), F.col("doc_id").alias("id_b"))
         inter = (
-            a.join(b, "shingle")
+            a.join(b, "sh")
             .where(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
         # capped candidates, exact rescore: pairs from the cold-shingle index,
-        # then exact |A ∩ B| from the full per-doc shingle sets (doc-bounded
-        # arrays; JVM-side array_intersect)
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # then exact |A ∩ B| from the full per-doc hash sets (doc-bounded
+        # arrays; JVM-side array_intersect over int64)
+        df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
         idx = sh.join(
-            df_counts.where(F.col("_df") <= max_shingle_df).select("shingle"), "shingle"
+            df_counts.where(F.col("_df") <= max_shingle_df).select("sh"), "sh"
         )
         cand = (
-            idx.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
-            .join(idx.select(F.col("shingle"), F.col("doc_id").alias("id_b")), "shingle")
+            idx.select(F.col("sh"), F.col("doc_id").alias("id_a"))
+            .join(idx.select(F.col("sh"), F.col("doc_id").alias("id_b")), "sh")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
         )
-        sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("_shs"))
+        sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("_shs"))
         inter = (
             cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
             .join(sets.select(F.col("doc_id").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
@@ -205,9 +233,10 @@ def minhash_signatures(
     permutations min((a_j*h + b_j) mod p) as k min() aggregates in one pass
     (map-side combined). Pure int64 arithmetic after the single hash — this
     replaced k md5 invocations per shingle row, which was 59% of the round-1
-    bench suite."""
-    sh = shingles(docs, n, text_col, id_col)
-    h = F.pmod(hexint15(F.col("shingle")), F.lit(MINHASH_P))
+    bench suite. The groupBy shuffles the pre-hashed int64 shingle key
+    (``shingle_hashes``), not the shingle string."""
+    sh = shingle_hashes(docs, n, text_col, id_col)
+    h = F.pmod(F.col("sh"), F.lit(MINHASH_P))
     aggs = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))).alias(f"mh{j}")
         for j, (a, b) in enumerate(minhash_params(k))

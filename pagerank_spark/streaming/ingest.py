@@ -108,11 +108,80 @@ def foreach_batch_rebuild(
     return w.start()
 
 
+def resolve_latest(ranks_dir: str) -> str | None:
+    """Path of the currently published rank vector, or None if none yet.
+
+    Manifest pointer (``LATEST.json``) is consulted first so mixed-mode dirs
+    prefer the atomic pointer; falls back to the legacy ``latest/`` dir."""
+    import json
+    import os
+
+    manifest = os.path.join(ranks_dir, "LATEST.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            p = os.path.join(ranks_dir, json.load(f)["version_dir"])
+        if os.path.exists(p):
+            return p
+    latest = os.path.join(ranks_dir, "latest")
+    return latest if os.path.exists(latest) else None
+
+
+def publish_ranks(ranks: DataFrame, ranks_dir: str, publish_mode: str = "manifest") -> str:
+    """Durably publish a rank vector under ``ranks_dir``; returns its path.
+
+    ``publish_mode='manifest'`` (default — object-store-safe): write into a
+    fresh versioned dir ``v<N>/``, then atomically repoint ``LATEST.json`` at
+    it via a single-object replace (os.replace on POSIX; on S3/GCS this maps
+    to one PUT, which is atomic per object, unlike directory rename which is
+    a non-atomic copy there). A reader going through ``resolve_latest`` never
+    observes a missing or half-written table. The previous version is kept
+    (a concurrent reader may still hold its path); older ones are pruned.
+
+    ``publish_mode='rename'`` (legacy, local-FS only): write to ``_staging``
+    and swap it into ``latest/`` with two renames. Each rename is POSIX-
+    atomic but the PAIR is not: a reader can catch the instant between them,
+    and a crash there leaves ``_old`` as the only copy. Stale ``_old`` from
+    such a crash is cleared before the next swap so the swap itself cannot
+    fail. Do not use on object stores."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(ranks_dir, exist_ok=True)
+    if publish_mode == "manifest":
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(ranks_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        vname = f"v{(versions[-1] + 1) if versions else 0}"
+        ranks.write.mode("overwrite").parquet(os.path.join(ranks_dir, vname))
+        tmp = os.path.join(ranks_dir, "LATEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version_dir": vname}, f)
+        os.replace(tmp, os.path.join(ranks_dir, "LATEST.json"))
+        for old_v in versions[:-1]:  # keep current + immediate predecessor
+            shutil.rmtree(os.path.join(ranks_dir, f"v{old_v}"), ignore_errors=True)
+        return os.path.join(ranks_dir, vname)
+    if publish_mode != "rename":
+        raise ValueError(f"unknown publish_mode {publish_mode!r}; use 'manifest' or 'rename'")
+    latest = os.path.join(ranks_dir, "latest")
+    tmp = os.path.join(ranks_dir, "_staging")
+    old = os.path.join(ranks_dir, "_old")
+    ranks.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)  # stale from a crashed prior swap
+    if os.path.exists(latest):
+        os.rename(latest, old)
+    os.rename(tmp, latest)
+    shutil.rmtree(old, ignore_errors=True)
+    return latest
+
+
 def pagerank_refresh(
     spark: SparkSession,
     edge_log_dir: str,
     ranks_dir: str,
     metrics: list | None = None,
+    publish_mode: str = "manifest",
     **pagerank_kwargs,
 ):
     """One PageRank refresh over the accumulated edge log, WARM-STARTED from
@@ -120,12 +189,9 @@ def pagerank_refresh(
     pagerank.py:122,142-145) — on a steady crawl the spectrum barely moves
     between refreshes, so the warm start cuts iterations roughly in half.
 
-    Reads ``{ranks_dir}/latest`` as x0 when present, publishes the new
-    vector there (write-to-temp + swap so a concurrent reader never sees a
-    half-written table). Returns the published ranks DataFrame."""
-    import os
-    import shutil
-
+    Reads the currently published vector (``resolve_latest``) as x0 when
+    present and publishes the new one via ``publish_ranks(publish_mode)``.
+    Returns the published ranks DataFrame."""
     from pagerank_spark.operators.graph_build import LinkGraph
 
     edges = spark.read.parquet(edge_log_dir).select("src", "dst")
@@ -137,21 +203,12 @@ def pagerank_refresh(
         k: v for k, v in pagerank_kwargs.items()
         if k not in ("max_nnz", "filter_ratio", "apply_regex_filter", "num_partitions")
     }
-    latest = os.path.join(ranks_dir, "latest")
-    x0 = None
-    if os.path.exists(latest):
-        x0 = spark.read.parquet(latest)
+    prev = resolve_latest(ranks_dir)
+    x0 = spark.read.parquet(prev) if prev else None
     ranks = graph.pagerank(x0_df=x0, metrics=metrics, **pr_kwargs)
-
-    tmp = os.path.join(ranks_dir, "_staging")
-    ranks.write.mode("overwrite").parquet(tmp)
-    old = os.path.join(ranks_dir, "_old")
-    if os.path.exists(latest):
-        os.rename(latest, old)
-    os.rename(tmp, latest)
-    shutil.rmtree(old, ignore_errors=True)
+    published = publish_ranks(ranks, ranks_dir, publish_mode)
     graph.unpersist()
-    return spark.read.parquet(latest)
+    return spark.read.parquet(published)
 
 
 def make_pagerank_refresh_rebuild(

@@ -180,6 +180,7 @@ def test_streaming_pagerank_refresh_warm_start(spark, tmp_path):
     from pagerank_spark.streaming.ingest import (
         foreach_batch_rebuild,
         make_pagerank_refresh_rebuild,
+        resolve_latest,
         stream_pages,
     )
 
@@ -203,7 +204,7 @@ def test_streaming_pagerank_refresh_warm_start(spark, tmp_path):
     import pyspark.sql.functions as F
 
     got = {r["url"]: r["rank"] for r in
-           spark.read.parquet(f"{ranks_dir}/latest").collect()}
+           spark.read.parquet(resolve_latest(ranks_dir)).collect()}
     g = LinkGraph.from_edges(spark.read.parquet(edge_log).select("src", "dst"))
     cold_metrics: list = []
     want = {r["url"]: r["rank"] for r in
@@ -215,3 +216,51 @@ def test_streaming_pagerank_refresh_warm_start(spark, tmp_path):
     # the last (warm) refresh took fewer iterations than the cold fixpoint
     # (identical final edge set) unless everything converged trivially
     assert len(refresh_metrics[-1]) <= len(cold_metrics)
+
+
+def test_publish_ranks_manifest_mode(spark, tmp_path):
+    # object-store-safe publisher: versioned dirs + atomic LATEST.json
+    # pointer; keeps current + previous version, prunes older; resolve never
+    # points at a missing dir
+    import json
+    import os
+
+    from pagerank_spark.streaming.ingest import publish_ranks, resolve_latest
+
+    ranks_dir = str(tmp_path / "ranks")
+    assert resolve_latest(ranks_dir) is None
+
+    dfs = [spark.createDataFrame([(f"u{i}", float(i))], ["url", "rank"])
+           for i in range(3)]
+    p0 = publish_ranks(dfs[0], ranks_dir, publish_mode="manifest")
+    assert resolve_latest(ranks_dir) == p0 and p0.endswith("v0")
+    p1 = publish_ranks(dfs[1], ranks_dir, publish_mode="manifest")
+    p2 = publish_ranks(dfs[2], ranks_dir, publish_mode="manifest")
+    assert resolve_latest(ranks_dir) == p2 and p2.endswith("v2")
+    assert spark.read.parquet(p2).collect()[0]["url"] == "u2"
+    # v0 pruned, v1 (previous) kept for in-flight readers
+    assert not os.path.exists(os.path.join(ranks_dir, "v0"))
+    assert os.path.exists(p1)
+    with open(os.path.join(ranks_dir, "LATEST.json")) as f:
+        assert json.load(f)["version_dir"] == "v2"
+
+
+def test_publish_ranks_rename_mode_survives_stale_old(spark, tmp_path):
+    # a crash between the two swap renames leaves a stale _old dir; the next
+    # publish must clear it instead of raising on rename-onto-nonempty
+    import os
+
+    from pagerank_spark.streaming.ingest import publish_ranks, resolve_latest
+
+    ranks_dir = str(tmp_path / "ranks")
+    df1 = spark.createDataFrame([("a", 1.0)], ["url", "rank"])
+    df2 = spark.createDataFrame([("b", 2.0)], ["url", "rank"])
+    publish_ranks(df1, ranks_dir, publish_mode="rename")
+    # simulate the crash artifact
+    os.makedirs(os.path.join(ranks_dir, "_old"))
+    with open(os.path.join(ranks_dir, "_old", "junk"), "w") as f:
+        f.write("x")
+    latest = publish_ranks(df2, ranks_dir, publish_mode="rename")
+    assert resolve_latest(ranks_dir) == latest
+    assert spark.read.parquet(latest).collect()[0]["url"] == "b"
+    assert not os.path.exists(os.path.join(ranks_dir, "_old"))
