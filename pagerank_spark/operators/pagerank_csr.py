@@ -12,27 +12,36 @@ Design — why this shape survives scale:
     cost at bench scale), and resumed runs are bit-exact because the ids are
     a function of the data, not of a run-specific partition layout.
   * the edge table is spilled ONCE per graph as per-block parquet
-    (block = pmod(sid, B)), one file per block (repartition(B, 'block')
-    before the write). Each Python worker lazily reads the blocks it is
-    assigned, preprocesses them into CSR-style arrays (np.unique-factorized
-    src/dst codes + aligned weights) and CACHES them in worker memory —
-    Spark reuses Python workers across tasks, so iterations after the first
-    do ZERO edge deserialization. This is the piece a naive cogroup design
-    gets wrong: shipping the edge table JVM→Python every iteration costs
-    O(|E|) Arrow traffic per iteration and dominates wall time from ~4M
-    edges up (measured 4.7x slower than v1 at 4M edges; with the worker
-    cache the per-iteration transfer is vertex-sized).
+    (block = pmod(sid, B)) — entirely JVM-side: one columnar shuffle +
+    write, no Arrow transfer of the edge table to Python (an applyInPandas
+    spill was measured paying ~O(|E|) extra Arrow serialization).
+  * each NODE factorizes a block exactly once, at first touch: the first
+    task to need block b reads its parquet, runs the np.unique
+    factorization (sid_u, sid_codes, did_u, did_codes, w), and publishes
+    the arrays as ``.npy`` files in a node-local cache dir via atomic
+    rename. Every task after that — whichever Python worker it lands on —
+    serves the block via ``np.load(mmap_mode='r')``: the block cache is
+    the OS PAGE CACHE, per NODE, not per Python worker. This is the fix
+    for the round-2 design's hidden rescan: with B blocks and W reused
+    Python workers, task-to-worker placement is arbitrary, so over k
+    iterations a per-worker in-memory cache re-reads and re-factorizes
+    each block up to min(k, W) times (measured: 819 s vs the join-agg's
+    170 s at 118M edges — ALL of it redundant decode). With the mmap'd
+    node cache, placement stops mattering. A naive cogroup design is still
+    worse: shipping edges JVM→Python every iteration costs O(|E|) Arrow
+    traffic per iteration (measured 4.7x slower than v1 at 4M edges); here
+    the per-iteration transfer is vertex-sized.
   * the spill lives in a fresh run-<uuid> directory every time it happens,
-    so the worker cache key (the spill path) can never serve a previous
-    graph's arrays, and it is recorded on the LinkGraph — repeated
-    pagerank_csr calls on the same graph (e.g. per-query personalization)
-    reuse both the parquet and the already-warm worker caches.
-  * a _MANIFEST.json is written AFTER the parquet spill completes; workers
-    REFUSE to treat a block as empty unless they can read the manifest, so
-    an unreadable/unshared scratch path (the silent-teleport-vector failure
-    mode) raises instead of converging to garbage. All worker-side I/O goes
-    through pyarrow.fs, so an HDFS/S3 scratch_dir works wherever pyarrow has
-    the filesystem bindings.
+    so cached mmaps can never alias a previous graph's arrays, and it is
+    recorded on the LinkGraph — repeated pagerank_csr calls on the same
+    graph (e.g. per-query personalization) reuse the warm spill.
+  * a _MANIFEST.json (listing the non-empty blocks) is written AFTER the
+    spill job completes; workers REFUSE to treat a block as absent unless
+    the manifest says so, so an unreadable/unshared scratch path (the
+    silent-teleport-vector failure mode) raises instead of converging to
+    garbage. Non-local (URI) scratch goes through pyarrow.fs: each node
+    downloads a block once into a local node-cache dir and mmaps from
+    there, so HDFS/S3 scratch works wherever pyarrow has the bindings.
   * per iteration, applyInPandas over the rank blocks only: gather x[sid]
     via one searchsorted per block, contribs = weight * x[sid], segment-sum
     by dst code with np.bincount (true vectorized segment-sum), then one JVM
@@ -47,11 +56,14 @@ Design — why this shape survives scale:
     'merge' so AQE cannot rewrite the exchange-free join into a
     per-iteration broadcast.
 
-``scratch_dir``: where the per-block parquet lives. Defaults to a local
+``scratch_dir``: where the per-block arrays live. Defaults to a local
 tempdir (correct for local[*] and single-node). On a multi-executor cluster
-pass a path on shared storage (HDFS/S3/NFS) visible to executors; each
-executor still reads each of its blocks once and serves the rest of the run
-from worker memory.
+pass a path on shared storage (HDFS/S3/NFS) visible to executors; each node
+downloads each of its blocks once and serves the rest of the run from its
+page cache. Size ``num_blocks`` so one block's arrays (~28 bytes/edge) fit
+comfortably in a worker's memory: at 10^12 edges and 4 GiB targets that is
+B ~= 10^4 blocks, which also keeps the per-task pandas group bounded during
+the spill.
 
 ``checkpointer`` / ``x0_df``: same durable-resume and warm-start contract as
 v1 (reference power_method(v, x0, ...), pagerank.py:122,142-145). Resume
@@ -76,13 +88,14 @@ from pyspark.sql import functions as F
 
 from pagerank_spark.operators.pagerank import _init_state
 
-# worker-side block cache: survives across tasks because Spark reuses Python
-# workers (spark.python.worker.reuse=true, the default). Keyed by the spill
-# path, which embeds a per-spill uuid — a stale key can never alias a new
-# graph's data.
-_BLOCK_CACHE: dict = {"dir": None, "blocks": {}}
+# per-process mmap handles (cheap: a handle is a view, the data lives in the
+# node's page cache, shared by ALL Python workers on the node). Keyed by the
+# spill path, which embeds a per-spill uuid — a stale key can never alias a
+# new graph's data.
+_BLOCK_CACHE: dict = {"dir": None, "manifest": None, "blocks": {}}
 
 _MANIFEST = "_MANIFEST.json"
+_ARRAYS = ("sid_u", "sid_codes", "did_u", "did_codes", "w")
 
 
 def _fs_and_root(scratch: str):
@@ -109,39 +122,87 @@ def _read_manifest(scratch: str) -> dict:
         ) from e
 
 
+def _node_cache_dir(scratch: str) -> str:
+    """Local directory holding this node's factorized copies of the spill,
+    once per node (same path for every worker on the node, keyed by the
+    spill's uuid-bearing path)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(scratch.encode("utf-8")).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"pagerank_csr_nodecache_{tag}")
+
+
+def _localize_block(scratch: str, block: int) -> str:
+    """Return a LOCAL directory holding the block's factorized .npy arrays,
+    building it from the spill parquet on the node's first touch (atomic
+    publish via rename so concurrent workers never see a half-written block;
+    the losing builder discards its copy). Every later task on the node —
+    whichever Python worker it lands on — mmaps the published arrays."""
+    dst = os.path.join(_node_cache_dir(scratch), f"block={block}")
+    if os.path.isdir(dst):
+        return dst
+    import io
+
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    filesystem, root = _fs_and_root(scratch)
+    sel = pafs.FileSelector(f"{root}/block={block}", allow_not_found=True)
+    files = sorted(
+        i.path
+        for i in filesystem.get_file_info(sel)
+        if i.is_file and not i.base_name.startswith(("_", "."))
+    )
+    if not files:
+        raise RuntimeError(
+            f"pagerank_csr block {block} is listed in the manifest but has no "
+            f"parquet under {scratch!r} — corrupt or partially-deleted spill"
+        )
+    t = pq.read_table(files, columns=["sid", "did", "weight"], filesystem=filesystem)
+    sid_u, sid_codes = np.unique(t["sid"].to_numpy(), return_inverse=True)
+    did_u, did_codes = np.unique(t["did"].to_numpy(), return_inverse=True)
+    arrays = {
+        "sid_u": sid_u,
+        "sid_codes": sid_codes.astype(np.int32),
+        "did_u": did_u,
+        "did_codes": did_codes.astype(np.int32),
+        "w": np.ascontiguousarray(t["weight"].to_numpy(), dtype=np.float64),
+    }
+    tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    for name, arr in arrays.items():
+        with open(os.path.join(tmp, f"{name}.npy"), "wb") as out:
+            np.save(out, np.ascontiguousarray(arr), allow_pickle=False)
+    try:
+        os.rename(tmp, dst)
+    except OSError:  # another worker won the race — use its copy
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dst
+
+
 def _load_block(scratch: str, block: int):
+    """mmap the block's factorized CSR arrays. O(1) after the node's first
+    touch: np.load(mmap_mode='r') maps the pages every other worker on the
+    node already faulted in — no read, no decode, no factorization."""
     if _BLOCK_CACHE["dir"] != scratch:
         # manifest first: distinguishes 'spill missing/unreadable' (raise)
-        # from 'block genuinely empty' (no file for this block)
+        # from 'block genuinely empty' (absent from the manifest block list)
         manifest = _read_manifest(scratch)
         _BLOCK_CACHE["dir"] = scratch
         _BLOCK_CACHE["manifest"] = manifest
         _BLOCK_CACHE["blocks"] = {}
     if block not in _BLOCK_CACHE["blocks"]:
-        import pyarrow.parquet as pq
-        from pyarrow import fs as pafs
-
-        filesystem, root = _fs_and_root(scratch)
-        sel = pafs.FileSelector(f"{root}/block={block}", allow_not_found=True)
-        files = sorted(
-            i.path
-            for i in filesystem.get_file_info(sel)
-            if i.is_file and not i.base_name.startswith(("_", "."))
-        )
-        if not files:
-            _BLOCK_CACHE["blocks"][block] = None
+        present = _BLOCK_CACHE["manifest"].get("blocks")
+        if present is not None and block not in present:
+            _BLOCK_CACHE["blocks"][block] = None  # genuinely no edges
         else:
-            t = pq.read_table(files, columns=["sid", "did", "weight"], filesystem=filesystem)
-            sid = t["sid"].to_numpy()
-            did = t["did"].to_numpy()
-            w = t["weight"].to_numpy()
-            # CSR-style factorization: sorted unique ids + int32 codes
-            sid_u, sid_codes = np.unique(sid, return_inverse=True)
-            did_u, did_codes = np.unique(did, return_inverse=True)
-            _BLOCK_CACHE["blocks"][block] = (
-                sid_u, sid_codes.astype(np.int32),
-                did_u, did_codes.astype(np.int32),
-                np.ascontiguousarray(w, dtype=np.float64),
+            d = _localize_block(scratch, block)
+            _BLOCK_CACHE["blocks"][block] = tuple(
+                np.load(os.path.join(d, f"{name}.npy"), mmap_mode="r")
+                for name in _ARRAYS
             )
     return _BLOCK_CACHE["blocks"][block]
 
@@ -198,10 +259,15 @@ def _block_of(col, num_blocks: int):
 
 
 def _spill_blocks(graph, salt: int, B: int, scratch: str) -> None:
-    """One-time spill of the hash-id-encoded edge table, one parquet file per
-    block. Pure projection of the cached edge table + one shuffle on block.
-    The manifest is written AFTER the parquet completes: its presence is the
-    workers' proof that the spill is whole."""
+    """One-time spill of the hash-id-encoded edge table, one parquet dir per
+    block (block = pmod(sid, B)). Stays entirely JVM-side — one columnar
+    shuffle + write, no Arrow transfer of the edge table to Python (an
+    applyInPandas spill was measured paying ~O(|E|) Arrow serialization on
+    top of the shuffle). The np.unique factorization happens once per NODE
+    at first touch (_localize_block) and is cached as mmap-able .npy.
+    The manifest (with the authoritative non-empty block list) is written
+    AFTER the parquet completes: its presence is the workers' proof that the
+    spill is whole."""
     (
         graph.edges
         .select(
@@ -213,9 +279,17 @@ def _spill_blocks(graph, salt: int, B: int, scratch: str) -> None:
         .repartition(B, "block")
         .write.partitionBy("block").mode("overwrite").parquet(scratch)
     )
+    from pyarrow import fs as pafs
+
     filesystem, root = _fs_and_root(scratch)
+    blocks = sorted(
+        int(i.base_name.split("=", 1)[1])
+        for i in filesystem.get_file_info(pafs.FileSelector(root))
+        if i.type == pafs.FileType.Directory and i.base_name.startswith("block=")
+    )
+    manifest = {"num_blocks": B, "salt": salt, "version": 3, "blocks": blocks}
     with filesystem.open_output_stream(f"{root}/{_MANIFEST}") as f:
-        f.write(json.dumps({"num_blocks": B, "salt": salt, "version": 2}).encode("utf-8"))
+        f.write(json.dumps(manifest).encode("utf-8"))
 
 
 def _csr_state(graph, B: int, scratch_dir: str | None) -> dict:
@@ -239,11 +313,15 @@ def _csr_state(graph, B: int, scratch_dir: str | None) -> dict:
         local_root = None if "://" in scratch else os.path.dirname(os.path.abspath(scratch))
 
         def _cleanup():
+            import shutil
+
             graph._csr_state = None
             if local_root:
-                import shutil
-
                 shutil.rmtree(local_root, ignore_errors=True)
+            # this node's factorized copy (single-node assumption is fine for
+            # local mode; on a cluster each node reclaims its tempdir on its
+            # own schedule)
+            shutil.rmtree(_node_cache_dir(scratch), ignore_errors=True)
 
         graph._register_cleanup(_cleanup)
     return state
