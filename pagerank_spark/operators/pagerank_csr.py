@@ -125,12 +125,18 @@ def _read_manifest(scratch: str) -> dict:
 def _node_cache_dir(scratch: str) -> str:
     """Local directory holding this node's factorized copies of the spill,
     once per node (same path for every worker on the node, keyed by the
-    spill's uuid-bearing path)."""
+    spill's uuid-bearing path). Prefers /dev/shm (tmpfs) when present so
+    publishing the arrays never touches disk — the cache lives in exactly
+    the pages the mmaps will read. Override with PAGERANK_CSR_CACHE_DIR
+    (e.g. point it at a local NVMe on memory-tight executors)."""
     import hashlib
     import tempfile
 
     tag = hashlib.md5(scratch.encode("utf-8")).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"pagerank_csr_nodecache_{tag}")
+    base = os.environ.get("PAGERANK_CSR_CACHE_DIR")
+    if base is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, f"pagerank_csr_nodecache_{tag}")
 
 
 def _localize_block(scratch: str, block: int) -> str:

@@ -182,6 +182,7 @@ def pagerank_refresh(
     ranks_dir: str,
     metrics: list | None = None,
     publish_mode: str = "manifest",
+    impl: str = "joinagg",
     **pagerank_kwargs,
 ):
     """One PageRank refresh over the accumulated edge log, WARM-STARTED from
@@ -191,7 +192,10 @@ def pagerank_refresh(
 
     Reads the currently published vector (``resolve_latest``) as x0 when
     present and publishes the new one via ``publish_ranks(publish_mode)``.
-    Returns the published ranks DataFrame."""
+    ``impl='csr'`` runs the refresh on the CSR/Arrow SpMV path (same
+    checkpoint/x0 contract; pays a one-time spill per refresh graph, so it
+    wins when refreshes iterate long — e.g. alpha near 1). Returns the
+    published ranks DataFrame."""
     from pagerank_spark.operators.graph_build import LinkGraph
 
     edges = spark.read.parquet(edge_log_dir).select("src", "dst")
@@ -205,7 +209,10 @@ def pagerank_refresh(
     }
     prev = resolve_latest(ranks_dir)
     x0 = spark.read.parquet(prev) if prev else None
-    ranks = graph.pagerank(x0_df=x0, metrics=metrics, **pr_kwargs)
+    if impl not in ("joinagg", "csr"):
+        raise ValueError(f"unknown impl {impl!r}; use 'joinagg' or 'csr'")
+    pr = graph.pagerank_csr if impl == "csr" else graph.pagerank
+    ranks = pr(x0_df=x0, metrics=metrics, **pr_kwargs)
     published = publish_ranks(ranks, ranks_dir, publish_mode)
     graph.unpersist()
     return spark.read.parquet(published)

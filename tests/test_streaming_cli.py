@@ -264,3 +264,32 @@ def test_publish_ranks_rename_mode_survives_stale_old(spark, tmp_path):
     assert resolve_latest(ranks_dir) == latest
     assert spark.read.parquet(latest).collect()[0]["url"] == "b"
     assert not os.path.exists(os.path.join(ranks_dir, "_old"))
+
+
+def test_pagerank_refresh_csr_impl_parity(spark, tmp_path):
+    # the refresh cadence can select the CSR/Arrow path; same published
+    # result (1e-9: identical math, float summation order may differ) and
+    # the same warm-start contract
+    from pagerank_spark.fixtures import synth_edges
+    from pagerank_spark.streaming.ingest import pagerank_refresh, resolve_latest
+
+    edge_log = str(tmp_path / "edges")
+    spark.createDataFrame(
+        synth_edges(n_vertices=40, n_edges=160, seed=9), ["src", "dst"]
+    ).write.parquet(edge_log)
+
+    va = {r["url"]: r["rank"] for r in pagerank_refresh(
+        spark, edge_log, str(tmp_path / "r_join"), apply_regex_filter=False,
+        impl="joinagg").collect()}
+    m_csr: list = []
+    vb = {r["url"]: r["rank"] for r in pagerank_refresh(
+        spark, edge_log, str(tmp_path / "r_csr"), apply_regex_filter=False,
+        impl="csr", metrics=m_csr).collect()}
+    assert set(va) == set(vb) and all(abs(va[u] - vb[u]) < 1e-9 for u in va)
+
+    # second CSR refresh warm-starts from the published vector: immediate stop
+    m2: list = []
+    pagerank_refresh(spark, edge_log, str(tmp_path / "r_csr"),
+                     apply_regex_filter=False, impl="csr", metrics=m2)
+    assert resolve_latest(str(tmp_path / "r_csr")).endswith("v1")
+    assert len(m2) < len(m_csr)
