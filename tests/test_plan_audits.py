@@ -1,0 +1,144 @@
+"""Plan audits: assertions on the PHYSICAL plans of the contract queries.
+
+The scale properties the engine claims (column pruning into the parquet
+scan, broadcast-not-shuffle for query-sized sides, no nested-loop joins on
+scale paths, SpMV stage parallelism pinned against AQE coalescing) are
+invisible to result-correctness tests — these lock them in via
+`.explain`-style plan introspection so a regression fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _formatted(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan_docs") / "documents.parquet")
+    spark.createDataFrame(
+        [(i, f"doc text number {i} with words", "en", i % 3) for i in range(50)],
+        ["doc_id", "text", "lang", "bucket_col"],
+    ).write.parquet(p)
+    return p
+
+
+def test_textops_scan_prunes_columns(spark, docs_path):
+    # token stats must read (doc_id, text) ONLY — a scan pulling the whole
+    # documents schema at 10^12 rows is reading data it throws away
+    from pagerank_spark.operators.textops import with_token_stats
+
+    q = with_token_stats(spark.read.parquet(docs_path)).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "n_chars_computed"
+    )
+    plan = _formatted(q)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "text" in scan[0] and "doc_id" in scan[0]
+    assert "lang" not in scan[0] and "bucket_col" not in scan[0]
+
+
+def test_filter_pushed_into_scan(spark, docs_path):
+    # a predicate on a scanned column must reach the parquet reader as a
+    # PushedFilters entry, not run as a post-scan Filter only
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(docs_path).where(F.col("lang") == "en").select("doc_id")
+    plan = _formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "lang" in pushed[0], plan
+
+
+def test_lsh_pair_join_is_equi_join_not_nested_loop(spark):
+    # the corpus-scale near-dup path must candidate-join on (tbl, bucket)
+    # as a hash-partitionable equi-join — never a cartesian or broadcast
+    # nested loop, which are the physical signatures of an accidental
+    # all-pairs comparison. (ann_lsh_topk materializes its query-sized
+    # result by design, so the lazy pairwise path is the one to audit.)
+    import numpy as np
+
+    from pagerank_spark.operators.similarity import lsh_near_duplicate_pairs
+
+    rng = np.random.RandomState(4)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.similarity import (
+        _exploded_tables,
+        with_lsh_buckets,
+    )
+
+    # same construction lsh_near_duplicate_pairs uses internally (it
+    # materializes its result, hiding the join from the returned plan)
+    e = with_lsh_buckets(emb, planes=4, tables=2, dim=8)
+    a = _exploded_tables(
+        e.select(F.col("vec_id").alias("id_a"), "buckets"), ["id_a"], 4, probe=True
+    )
+    b = _exploded_tables(
+        e.select(F.col("vec_id").alias("id_b"), "buckets"), ["id_b"], 4, probe=False
+    )
+    out = a.join(b, ["tbl", "bucket"]).where(F.col("id_a") < F.col("id_b"))
+    plan = _physical(out)
+    # keep the real operator's output green too
+    assert lsh_near_duplicate_pairs(
+        emb, threshold=0.9, planes=4, tables=2, dim=8
+    ).count() >= 0
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_search_topk_uses_take_ordered(spark, docs_path):
+    # filtered top-k must be TakeOrderedAndProject (k-sized per-partition
+    # heaps + one driver merge), never a full global Sort
+    from pagerank_spark.operators.graph_build import LinkGraph
+    from pagerank_spark.operators.search import search
+
+    g = LinkGraph.from_edges(
+        spark.createDataFrame([("a/x", "b/y"), ("b/y", "a/x")], ["src", "dst"]),
+        apply_regex_filter=False,
+    )
+    ranks = g.pagerank(max_iterations=2)
+    plan = _physical(search(ranks, "", 5))
+    assert "TakeOrderedAndProject" in plan, plan
+    g.unpersist()
+
+
+def test_csr_spmv_stage_keeps_block_parallelism(spark):
+    # regression guard for the AQE-coalescing bug: the vertex-sized input
+    # to the SpMV groupBy(block) rides an explicit repartition(B, block),
+    # which AQE preserves — so the stage keeps B partitions even though the
+    # data is tiny. (AQE would otherwise coalesce to 1 partition and
+    # serialize every block kernel through a single Python worker.)
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.pagerank_csr import _block_of
+
+    B = 16
+    x = spark.range(1000).select(
+        F.col("id").alias("vid"), F.lit(1.0).alias("rank")
+    )
+    xb = x.select(
+        "vid", "rank", _block_of(F.col("vid"), B).alias("block")
+    ).repartition(B, "block")
+    # AQE is ON in the test session; user repartitions are preserved, so
+    # the materialized partition count must be exactly B, not 1
+    assert xb.rdd.getNumPartitions() == B
