@@ -10,9 +10,11 @@ The bench graph is derived deterministically from the events table with a
 hub-skew term (10% of edges hit 97 hub vertices) so the shuffle/skew paths
 are actually exercised; V scales with the table so bigger sf => bigger graph.
 
-Usage: python bench.py [--scaling]   (--scaling: run PageRank at local[8]
-and local[32] and print both throughputs + scaling efficiency; protocol for
-the north rule's two-cluster-size criterion, results in BENCH/BASELINE.md)
+Usage: python bench.py [--scaling]   (--scaling: run PageRank at N and 4N
+cores — default local[2]/local[8], SPARK_GRAFT_SCALING_CORES — and print
+both throughputs + scaling efficiency; protocol for the north rule's
+two-cluster-size criterion, results in BENCH/BASELINE.md.
+SPARK_GRAFT_PR_IMPL=csr selects the CSR/Arrow implementation.)
 """
 
 from __future__ import annotations
@@ -144,7 +146,7 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         # two-parallelism-level protocol (no real cluster in this sandbox):
-        # identical job at local[8] and local[32], same input
+        # identical job at N and 4N cores, same input
         import subprocess
 
         # the sandbox host shows heavy run-to-run variance (same job: 15-115s),
