@@ -100,3 +100,16 @@ def test_listed_block_with_missing_parquet_raises(tmp_path):
     _fake_spill(root, {0: ([1], [2], [1.0])}, manifest_blocks=[0, 1])
     with pytest.raises(RuntimeError, match="corrupt|no parquet"):
         mod._load_block(root, 1)
+
+
+def test_node_cache_dir_env_override(tmp_path, monkeypatch):
+    # PAGERANK_CSR_CACHE_DIR redirects the node cache (e.g. to NVMe on
+    # memory-tight executors); default prefers /dev/shm when present
+    monkeypatch.setenv("PAGERANK_CSR_CACHE_DIR", str(tmp_path))
+    d = mod._node_cache_dir("/some/scratch/run-abc")
+    assert d.startswith(str(tmp_path))
+    monkeypatch.delenv("PAGERANK_CSR_CACHE_DIR")
+    d2 = mod._node_cache_dir("/some/scratch/run-abc")
+    assert d2.startswith("/dev/shm") or not os.path.isdir("/dev/shm")
+    # keyed by the scratch path: different spill => different cache dir
+    assert mod._node_cache_dir("/some/scratch/run-xyz") != d2
