@@ -248,6 +248,7 @@ def main() -> None:
             metrics: list = []
             pr(alpha=0.85, epsilon=1e-6, metrics=metrics).count()
             dt = time.monotonic() - t0
+            walls = sorted(m["wall_s"] for m in metrics)
             print(json.dumps({
                 "pagerank": {
                     "cores": CPUS,
@@ -256,6 +257,11 @@ def main() -> None:
                     "iterations": len(metrics),
                     "seconds": round(dt, 3),
                     "edges_per_sec": round(n_edges * len(metrics) / dt, 1),
+                    # setup-vs-steady-state decomposition: iteration walls
+                    # (median ~ steady state; seconds - sum(walls) ~ setup,
+                    # which for the CSR impl includes the one-time spill)
+                    "median_iter_s": round(walls[len(walls) // 2], 3) if walls else None,
+                    "iter_walls_s": [round(m["wall_s"], 3) for m in metrics],
                 }
             }))
             return
