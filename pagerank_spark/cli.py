@@ -5,8 +5,10 @@ Reference: pagerank.py:245-267 (argparse flags --data
 --max_iterations --epsilon --max_results --verbose) plus pagerank2.py:301-302
 (--power --s_weight for the embedding-boosted re-scoring).
 
-Run:
-    spark-submit --py-files pagerank_spark.zip -m pagerank_spark.cli \\
+Run (spark-submit takes a script file, not -m; the launcher just calls
+``main()`` — build the zip with ``python tools/make_pyfiles_zip.py``):
+
+    spark-submit --py-files pagerank_spark.zip spark_submit_launcher.py \\
         --data pages.parquet --search_query corona
 
 or locally: python -m pagerank_spark.cli --data /root/reference/small.csv.gz
