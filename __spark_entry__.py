@@ -165,6 +165,7 @@ BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 QUALITY_STOPWORDS_SQL = "'the','a','of','to','and','in','is','it','that','for','on','as'"
 NORM_TEXT = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 HEX15 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+U01 = "(" + HEX15 + ") / 1152921504606846976.0"  # 60-bit md5 / 2^60, bit-identical to sampling.uniform01
 SHINGLE_N = 3
 MINHASH_K = 16
 LSH_ROWS = 4
@@ -207,6 +208,27 @@ shash AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
+)
+"""
+
+# per-doc quality profile (same formula as the quality_scores oracle), kept
+# as a reusable CTE for the curation/selection twins
+QUALITY_CTE = f"""
+qbase AS (
+  SELECT doc_id, lang, source,
+         len({TOKS}) AS n_tok,
+         len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS bpe,
+         ROUND(CAST(len(list_filter({TOKS}, t -> t IN ({QUALITY_STOPWORDS_SQL}))) AS DOUBLE)
+               / len({TOKS}), 6) AS stopword_ratio,
+         ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+               / length(text), 6) AS punct_ratio
+  FROM documents
+),
+qq AS (
+  SELECT doc_id, lang, source, bpe,
+         ROUND(least(1.0, ln(1.0 + CAST(n_tok AS DOUBLE)) / ln(1001.0))
+               * (1.0 - punct_ratio) * (0.5 + 0.5 * stopword_ratio), 6) AS quality_score
+  FROM qbase
 )
 """
 
@@ -517,6 +539,88 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# --- sampling / curation (operators/sampling.py) ---
+
+STRAT_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+STRAT_DEFAULT = 0.05
+STRAT_SEED = "strat"
+
+
+def q_stratified_sample(spark, sf_dir):
+    from pagerank_spark.operators.sampling import stratified_sample, uniform01
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs, STRAT_RATES, strata_col="lang", id_col="doc_id",
+        default_rate=STRAT_DEFAULT, seed=STRAT_SEED,
+    )
+    return out.select(
+        "doc_id", "lang",
+        F.round(uniform01(F.col("doc_id"), STRAT_SEED), 6).alias("u"),
+    )
+
+
+TOPK_PER_LANG_K = 5
+
+
+def q_topk_per_lang(spark, sf_dir):
+    from pagerank_spark.operators.sampling import top_k_per_group
+    from pagerank_spark.operators.textops import with_quality_score
+
+    scored = with_quality_score(_docs(spark, sf_dir))
+    return top_k_per_group(scored, "lang", "quality_score", TOPK_PER_LANG_K).select(
+        "lang", "doc_id", "quality_score", F.col("rk").cast("long").alias("rk")
+    )
+
+
+N_SHARDS = 8
+SHARD_SEED = "shard"
+
+
+def q_interleave_shards(spark, sf_dir):
+    from pagerank_spark.operators.sampling import interleave_shards
+
+    return interleave_shards(_docs(spark, sf_dir), N_SHARDS, seed=SHARD_SEED).select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "pos"
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    from pagerank_spark.operators.dedup import ngram_jaccard_pairs
+    from pagerank_spark.operators.sampling import near_dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=NGRAM_THRESHOLD, max_shingle_df=NGRAM_MAX_DF
+    )
+    return near_dup_clusters(docs, pairs)
+
+
+CURATE_LANGS = ("en",)
+CURATE_MIN_QUALITY = 0.3
+
+
+def q_curate(spark, sf_dir):
+    from pagerank_spark.operators.sampling import curate
+
+    return curate(
+        _docs(spark, sf_dir),
+        allowed_langs=CURATE_LANGS,
+        min_quality=CURATE_MIN_QUALITY,
+    )
+
+
+def q_domain_stats(spark, sf_dir):
+    from pagerank_spark.operators.textops import with_quality_score, with_token_stats
+
+    prof = with_quality_score(with_token_stats(_docs(spark, sf_dir)))
+    return prof.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -555,6 +659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
+        "stratified_sample": q_stratified_sample,
+        "topk_per_lang": q_topk_per_lang,
+        "interleave_shards": q_interleave_shards,
+        "dedup_clusters": q_dedup_clusters,
+        "curate": q_curate,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -935,6 +1045,90 @@ WITH {MEDIA_META_CTE}
 SELECT doc_id, media_type, CAST(f AS BIGINT) AS frame_idx
 FROM meta CROSS JOIN generate_series(0, 63, {FRAME_EVERY_N}) t(f)
 WHERE media_type = 'video' AND f <= n_frames - 1
+"""
+
+    # --- sampling / curation twins (operators/sampling.py) ---
+
+    strat_u = U01.format(x=f"'{STRAT_SEED},' || CAST(doc_id AS VARCHAR)")
+    rate_case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(STRAT_RATES.items())
+    ) + f" ELSE {STRAT_DEFAULT} END"
+    sqls["stratified_sample"] = f"""
+WITH u AS (SELECT doc_id, lang, {strat_u} AS u FROM documents)
+SELECT doc_id, lang, ROUND(u, 6) AS u FROM u WHERE u < {rate_case}
+"""
+
+    sqls["topk_per_lang"] = f"""
+WITH {QUALITY_CTE},
+r AS (
+  SELECT lang, doc_id, quality_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM qq
+)
+SELECT lang, doc_id, quality_score, rk FROM r WHERE rk <= {TOPK_PER_LANG_K}
+"""
+
+    shard_h = HEX15.format(x=f"'{SHARD_SEED},' || CAST(doc_id AS VARCHAR)")
+    sqls["interleave_shards"] = f"""
+WITH h AS (SELECT doc_id, {shard_h} AS h FROM documents)
+SELECT doc_id, CAST(h % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS}
+            ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+FROM h
+"""
+
+    # near-dup clusters = connected components over the (uncapped-at-this-SF)
+    # ngram-jaccard pair list; canonical = min doc_id reachable
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE {SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+        >= {NGRAM_THRESHOLD}
+),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT und.u, reach.r FROM reach JOIN und ON und.v = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS canonical_id, (MIN(r) <> id) AS is_dup
+FROM reach GROUP BY id
+"""
+
+    allowed = ", ".join(f"'{lang}'" for lang in CURATE_LANGS)
+    sqls["curate"] = f"""
+WITH s AS (SELECT doc_id, {lang_scores} FROM documents),
+l AS (SELECT doc_id, {case} AS lang_pred FROM s),
+{QUALITY_CTE},
+k AS (SELECT md5({NORM_TEXT}) AS th, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
+d AS (SELECT doc_id, md5({NORM_TEXT}) AS th FROM documents)
+SELECT d.doc_id,
+       CASE WHEN l.lang_pred NOT IN ({allowed}) THEN 'lang'
+            WHEN qq.quality_score < {CURATE_MIN_QUALITY} THEN 'quality'
+            WHEN d.doc_id <> k.keep_id THEN 'dup'
+            ELSE 'kept' END AS drop_reason
+FROM d
+JOIN l USING (doc_id)
+JOIN qq USING (doc_id)
+JOIN k USING (th)
+"""
+
+    sqls["domain_stats"] = f"""
+WITH {QUALITY_CTE}
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(quality_score), 6) AS avg_quality
+FROM qq GROUP BY source
 """
 
     return sqls

@@ -1,0 +1,205 @@
+"""Deterministic sampling / selection / curation operators.
+
+The reference repo is a PageRank CLI and has no sampling surface; these are
+the selection operators a 100-TB training-data curation run needs on top of
+the dedup/quality stack (operators/dedup.py, operators/textops.py):
+
+  * ``stratified_sample`` — per-stratum Bernoulli sampling with a
+    deterministic md5-derived uniform, so the sample is reproducible across
+    runs/engines and the filter is a pure Column predicate (no shuffle; it
+    participates in predicate pushdown and partition pruning at the scan).
+  * ``top_k_per_group``   — rank<=k per group via a row_number window.
+    Spark >= 3.5 rewrites the rank filter into WindowGroupLimit, which takes
+    the top-k *before* the exchange on each map partition — the shuffle
+    moves O(groups*k) rows, not the corpus (audited in
+    tests/test_plan_audits.py).
+  * ``interleave_shards`` — deterministic global shuffle for training-data
+    ordering: shard by a 60-bit hash, order within shard by the same hash.
+    At cluster scale each shard is written independently; nothing global
+    sorts the corpus.
+  * ``near_dup_clusters`` — connected components over a near-duplicate pair
+    list (any of the dedup.py pair generators), canonical doc = min doc_id
+    per cluster. Reuses the star-contraction components operator, so the
+    scaling story (alternating large/small-star, broadcast-or-shuffle mins)
+    is inherited rather than re-implemented.
+  * ``curate``            — the composed keep/drop pipeline (lang allowlist
+    -> quality threshold -> exact-dedup keep-first) with a first-failing
+    drop_reason per doc, all as one Column expression over the text-stats
+    columns (single scan, no Python).
+
+Determinism contract: every random choice derives from
+``md5(seed || ',' || doc_id)`` truncated to 60 bits (textops.hexint15), the
+same convention the MinHash/SimHash/LSH operators use, so the DuckDB twins
+in __spark_entry__.py reproduce each sample bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.textops import hexint15
+
+# 2^60 — hexint15 yields a uniform integer in [0, 2^60)
+_HASH_SPACE = float(1 << 60)
+
+
+def uniform01(key: Column, seed: str) -> Column:
+    """Deterministic U[0,1) from a key column: md5-derived 60-bit int / 2^60.
+
+    Exactly reproducible in DuckDB as
+    ``('0x' || substr(md5(seed || ',' || key), 1, 15))::BIGINT / 2^60`` —
+    both engines divide the same exact int64 by the same power of two, so
+    the IEEE-754 doubles are bit-identical.
+    """
+    return hexint15(F.concat(F.lit(f"{seed},"), key.cast("string"))) / F.lit(_HASH_SPACE)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "strat",
+) -> DataFrame:
+    """Keep each row iff uniform01(id) < rates[stratum] (deterministic).
+
+    Unlike ``DataFrame.sampleBy`` the decision is a pure function of
+    (seed, id) — re-running the pipeline, resuming a failed job, or running
+    the DuckDB oracle selects the identical row set. The predicate is a
+    literal CASE chain over ``strata_col`` (rates dicts are small — language
+    / source lists), so Catalyst constant-folds it and pushes it into the
+    scan; no join, no shuffle, no UDF.
+    """
+    u = uniform01(F.col(id_col), seed)
+    rate: Column = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.where(u < rate)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (ties broken by ``tie_col`` asc).
+
+    Emits the input columns plus ``rk`` (1-based rank within the group).
+    The rank<=k filter is recognized by Spark's InferWindowGroupLimit rule:
+    each map task keeps only its local top-k per group before the exchange,
+    so the shuffle volume is bounded by groups*k regardless of corpus size
+    (plan-audited in tests/test_plan_audits.py).
+    """
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(order, F.col(tie_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def interleave_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic training-order assignment: (shard, pos) per row.
+
+    shard = hash % n_shards spreads any upstream clustering (by domain, by
+    crawl segment, by dedup survivor order) uniformly across shards; pos
+    orders rows *within* a shard by the same hash, i.e. a reproducible
+    global shuffle. Each shard's window is independent — at cluster scale
+    this is one hash-partitioned exchange on ``shard`` followed by a
+    per-partition sort, and shards stream to their writers without any
+    global sort.
+    """
+    h = hexint15(F.concat(F.lit(f"{seed},"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster near-duplicate pairs and pick one canonical doc per cluster.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair list from operators/dedup.py
+    (ngram_jaccard_pairs, minhash_near_duplicates, simhash_near_duplicates,
+    embedding_near_duplicates). Connected components — the star-contraction
+    operator the link graph already uses — merges transitive matches
+    (a~b, b~c => one cluster), canonical id = min doc_id in the cluster.
+
+    Returns (doc_id, canonical_id, is_dup): every doc appears exactly once;
+    docs with no near-dup are their own canonical. Downstream curation keeps
+    ``~is_dup``.
+    """
+    from pagerank_spark.operators.components import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("url").alias(id_col), F.col("component").alias("canonical_id")
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+            (F.coalesce("canonical_id", F.col(id_col)) != F.col(id_col)).alias("is_dup"),
+        )
+    )
+
+
+def curate(
+    docs: DataFrame,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composed curation verdict per doc: (doc_id, drop_reason).
+
+    drop_reason is the FIRST failing stage, evaluated in pipeline order:
+      'lang'    — predicted language not in ``allowed_langs``
+      'quality' — quality_score < min_quality
+      'dup'     — exact duplicate and not the keeper (min doc_id per hash)
+      'kept'    — passed every stage.
+
+    lang/quality are pure Column expressions over one scan; the dup stage is
+    the same map-side-combined groupBy exact_duplicates runs, joined back on
+    the 32-byte text hash. One scan + one hash-keyed self-aggregate — the
+    minimum work the semantics admit.
+    """
+    from pagerank_spark.operators.dedup import exact_duplicates
+    from pagerank_spark.operators.textops import with_lang_id, with_quality_score
+
+    scored = with_quality_score(with_lang_id(docs, text_col), text_col)
+    keepers = exact_duplicates(docs, text_col=text_col, id_col=id_col).select(
+        "text_hash", F.col("keep_id")
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        scored.withColumn("text_hash", F.md5(norm))
+        .join(keepers, "text_hash", "left")
+        .select(
+            F.col(id_col),
+            F.when(~F.col("lang_pred").isin(*allowed_langs), F.lit("lang"))
+            .when(F.col("quality_score") < min_quality, F.lit("quality"))
+            .when(F.col(id_col) != F.col("keep_id"), F.lit("dup"))
+            .otherwise(F.lit("kept"))
+            .alias("drop_reason"),
+        )
+    )

@@ -32,6 +32,11 @@ FAST_QUERIES = [
     "multimodal_meta",
     "frame_sample",
     "url_query_predicate",
+    "stratified_sample",
+    "topk_per_lang",
+    "interleave_shards",
+    "curate",
+    "domain_stats",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Sampling / selection / curation operators (operators/sampling.py).
+
+Correctness (vs pandas / union-find re-derivations) plus the scale
+properties: stratified_sample is a shuffle-free pure filter, and the
+top_k_per_group rank filter is rewritten to WindowGroupLimit so the shuffle
+moves only each map task's local top-k.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.sampling import (
+    curate,
+    interleave_shards,
+    near_dup_clusters,
+    stratified_sample,
+    top_k_per_group,
+    uniform01,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    langs = ["en", "de", "fr", "zh"]
+    rows = [(i, f"word{i % 7} text body {i}", langs[i % 4]) for i in range(2000)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
+
+
+def test_uniform01_range_and_determinism(spark, docs):
+    us = docs.select(uniform01(F.col("doc_id"), "s1").alias("u")).toPandas()["u"]
+    assert (us >= 0).all() and (us < 1).all()
+    again = docs.select(uniform01(F.col("doc_id"), "s1").alias("u")).toPandas()["u"]
+    assert (us.values == again.values).all()
+    other_seed = docs.select(uniform01(F.col("doc_id"), "s2").alias("u")).toPandas()["u"]
+    assert (us.values != other_seed.values).any()
+
+
+def test_stratified_sample_rates_and_default(spark, docs):
+    rates = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(docs, rates, default_rate=0.02).toPandas()
+    n = 500  # docs per stratum
+    got = out.groupby("lang").size().to_dict()
+    assert abs(got.get("en", 0) / n - 0.5) < 0.07
+    assert abs(got.get("de", 0) / n - 0.1) < 0.05
+    # fr/zh fall through to the default rate
+    for lang in ("fr", "zh"):
+        assert got.get(lang, 0) / n < 0.07
+    # deterministic: same selection on re-run
+    again = stratified_sample(docs, rates, default_rate=0.02).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_stratified_sample_is_pure_filter_no_shuffle(spark, docs):
+    plan = (
+        stratified_sample(docs, {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_top_k_per_group_matches_pandas(spark, docs):
+    scored = docs.withColumn("score", (F.col("doc_id") * 37 % 101).cast("double"))
+    out = top_k_per_group(scored, "lang", "score", k=3).toPandas()
+    pdf = scored.toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        expect = grp.sort_values(["score", "doc_id"], ascending=[False, True]).head(3)
+        got = out[out["lang"] == lang].sort_values("rk")
+        assert list(got["doc_id"]) == list(expect["doc_id"])
+        assert list(got["rk"]) == [1, 2, 3]
+
+
+def test_top_k_per_group_uses_window_group_limit(spark, docs):
+    plan = (
+        top_k_per_group(docs, "lang", "doc_id", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_interleave_shards_dense_and_balanced(spark, docs):
+    out = interleave_shards(docs, n_shards=8).toPandas()
+    assert len(out) == 2000
+    assert set(out["shard"]) == set(range(8))
+    for shard, grp in out.groupby("shard"):
+        # pos is a dense 1..n_shard permutation within each shard
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+        # uniform hash: no shard is empty or hoards the corpus
+        assert 150 < len(grp) < 350
+    again = interleave_shards(docs, n_shards=8).toPandas()
+    assert out.sort_values("doc_id")["shard"].tolist() == again.sort_values("doc_id")["shard"].tolist()
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_dup"])
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, True),  # transitive: 3~2~1
+        10: (10, False),
+        11: (10, True),
+        20: (20, False),  # singleton is its own canonical
+    }
+
+
+def test_curate_reasons_first_failing_stage(spark):
+    en = "the quick value of the table is on the row and it is fast " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, en),                          # kept
+            (2, en),                          # exact dup of 1 -> 'dup'
+            (3, "le la et les des une " * 20),  # French markers -> 'lang'
+            (4, "the of and in is it"),       # English but too short -> 'quality'
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["drop_reason"] for r in curate(docs, min_quality=0.3).collect()}
+    assert out == {1: "kept", 2: "dup", 3: "lang", 4: "quality"}
