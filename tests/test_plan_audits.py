@@ -142,3 +142,31 @@ def test_csr_spmv_stage_keeps_block_parallelism(spark):
     # AQE is ON in the test session; user repartitions are preserved, so
     # the materialized partition count must be exactly B, not 1
     assert xb.rdd.getNumPartitions() == B
+
+
+def test_bucketed_edge_table_join_and_agg_are_exchange_free(spark, tmp_path):
+    # the co-location contract: a bucketed+sorted edge table joins on its
+    # bucket key and aggregates by it without any Exchange — at 100 TB that
+    # is the difference between reading buckets and reshuffling the corpus
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.sources.table_io import TableIO
+
+    io = TableIO(spark)
+    edges = spark.createDataFrame(
+        [(f"u{i % 50}", f"u{(i * 7) % 50}", 1.0) for i in range(500)],
+        ["src", "dst", "weight"],
+    )
+    io.write_bucketed_edges(
+        edges, "edges_bucketed_audit", str(tmp_path / "eb"), buckets=8
+    )
+    t = io.read_table("edges_bucketed_audit")
+
+    joined = t.alias("a").hint("merge").join(t.alias("b"), "src")
+    plan = _physical(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+    agg = t.groupBy("src").agg(F.sum("weight"))
+    agg_plan = _physical(agg)
+    assert "Exchange" not in agg_plan, agg_plan
