@@ -136,6 +136,16 @@ def run_suite(spark, sf_dir: str) -> dict:
     ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=10).count()
     timings["ann_lsh"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.sampling import curate, stratified_sample
+
+    t0 = time.monotonic()
+    stratified_sample(docs, {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05).count()
+    timings["stratified_sample"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    curate(docs).count()
+    timings["curate"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 
