@@ -621,6 +621,39 @@ def q_domain_stats(spark, sf_dir):
     )
 
 
+def q_extract_edges(spark, sf_dir):
+    """North-star op #1 through the driver gate: synthesize deterministic
+    Common-Crawl-shaped pages from doc_ids, run the REAL Arrow pandas-UDF
+    HTML extractor (functions/extract.py), and compare against the
+    analytically-known edge set. Exercises scheme stripping, relative-href
+    resolution against the page domain, fragment-only drops, and
+    <script>-content skipping."""
+    from pagerank_spark.functions.extract import extract_edges_df
+
+    d = F.col("doc_id")
+    site = F.concat(F.lit("www.site"), (d % 50).cast("string"), F.lit(".test"))
+    url = F.concat(site, F.lit("/p"), d.cast("string"))
+    parts = [
+        # an anchor inside <script> is CDATA — must NOT be extracted
+        F.lit('<script><a href="http://skipme.test/x">s</a></script>')
+    ]
+    for k in (1, 2, 3):
+        t = (d * (k * 7) + k) % 500
+        tgt = F.concat(
+            F.lit('<a href="http://www.site'), (t % 50).cast("string"),
+            F.lit(".test/p"), t.cast("string"), F.lit('">x</a>'),
+        )
+        parts.append(tgt)
+    parts.append(F.lit('<a href="#frag">f</a>'))  # fragment-only: dropped
+    parts.append(  # relative href: resolved against the page's domain
+        F.concat(F.lit('<a href="/r'), d.cast("string"), F.lit('">r</a>'))
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(F.concat(*parts), "UTF-8").alias("html")
+    )
+    return extract_edges_df(pages)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -665,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "curate": q_curate,
         "domain_stats": q_domain_stats,
+        "extract_edges": q_extract_edges,
     }
 
 
@@ -1129,6 +1163,29 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
        ROUND(AVG(quality_score), 6) AS avg_quality
 FROM qq GROUP BY source
+"""
+
+    # the oracle is the analytically-known edge set of the synthesized pages
+    # (the parser's normalization spec applied by hand): 3 absolute anchors
+    # with scheme stripped + 1 domain-resolved relative anchor per page; the
+    # <script> anchor and the fragment-only anchor contribute nothing
+    sqls["extract_edges"] = """
+WITH srcs AS (
+  SELECT doc_id,
+         'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p'
+                    || CAST(doc_id AS VARCHAR) AS src,
+         'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test' AS site
+  FROM documents
+),
+abs_links AS (
+  SELECT src, ((doc_id * (k * 7) + k) % 500) AS t
+  FROM srcs CROSS JOIN generate_series(1, 3) g(k)
+)
+SELECT src,
+       'www.site' || CAST(t % 50 AS VARCHAR) || '.test/p' || CAST(t AS VARCHAR) AS dst
+FROM abs_links
+UNION ALL
+SELECT src, site || '/r' || CAST(doc_id AS VARCHAR) AS dst FROM srcs
 """
 
     return sqls

@@ -80,12 +80,22 @@ def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(text_hash, n_docs, keep_id) — one row per distinct normalized text;
-    keep_id = min doc id (the canonical survivor). Single hash groupBy."""
+    keep_id = min doc id (the canonical survivor). Single hash groupBy.
+
+    The groupBy keys on the RAW 16-byte md5 (collision-safe at any corpus
+    size, unlike a 64-bit hash) and the output converts back to the 32-char
+    hex form callers expect — the shuffle moves 16-byte binary keys instead
+    of 32-byte strings, a ~40% shuffle-byte cut on this (key, id)-shaped
+    exchange at corpus scale.
+    """
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return (
-        docs.select(F.md5(norm).alias("text_hash"), F.col(id_col))
-        .groupBy("text_hash")
+        docs.select(F.unhex(F.md5(norm)).alias("_th"), F.col(id_col))
+        .groupBy("_th")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .select(
+            F.lower(F.hex("_th")).alias("text_hash"), "n_docs", "keep_id"
+        )
     )
 
 

@@ -187,13 +187,15 @@ def curate(
     from pagerank_spark.operators.textops import with_lang_id, with_quality_score
 
     scored = with_quality_score(with_lang_id(docs, text_col), text_col)
+    # join on the raw 16-byte md5, not the 32-char hex — same ~40%
+    # shuffle-byte cut as exact_duplicates' groupBy
     keepers = exact_duplicates(docs, text_col=text_col, id_col=id_col).select(
-        "text_hash", F.col("keep_id")
+        F.unhex("text_hash").alias("_th"), F.col("keep_id")
     )
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return (
-        scored.withColumn("text_hash", F.md5(norm))
-        .join(keepers, "text_hash", "left")
+        scored.withColumn("_th", F.unhex(F.md5(norm)))
+        .join(keepers, "_th", "left")
         .select(
             F.col(id_col),
             F.when(~F.col("lang_pred").isin(*allowed_langs), F.lit("lang"))

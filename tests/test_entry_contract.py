@@ -37,6 +37,7 @@ FAST_QUERIES = [
     "interleave_shards",
     "curate",
     "domain_stats",
+    "extract_edges",
 ]
 
 

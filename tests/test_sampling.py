@@ -126,3 +126,18 @@ def test_curate_reasons_first_failing_stage(spark):
     )
     out = {r["doc_id"]: r["drop_reason"] for r in curate(docs, min_quality=0.3).collect()}
     assert out == {1: "kept", 2: "dup", 3: "lang", 4: "quality"}
+
+
+def test_sampling_invariant_under_input_partitioning(spark, docs):
+    # the (shard, pos) assignment and the stratified selection are pure
+    # functions of (seed, doc_id) — physical layout of the input must not
+    # change them (at cluster scale inputs arrive in arbitrary splits)
+    base = interleave_shards(docs, n_shards=8).toPandas().sort_values("doc_id")
+    shuffled_in = docs.repartition(13)
+    again = interleave_shards(shuffled_in, n_shards=8).toPandas().sort_values("doc_id")
+    assert base["shard"].tolist() == again["shard"].tolist()
+    assert base["pos"].tolist() == again["pos"].tolist()
+
+    s1 = sorted(stratified_sample(docs, {"en": 0.3}).toPandas()["doc_id"])
+    s2 = sorted(stratified_sample(shuffled_in, {"en": 0.3}).toPandas()["doc_id"])
+    assert s1 == s2
