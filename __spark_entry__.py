@@ -1154,7 +1154,7 @@ SELECT d.doc_id,
 FROM d
 JOIN l USING (doc_id)
 JOIN qq USING (doc_id)
-JOIN k USING (th)
+LEFT JOIN k USING (th)
 """
 
     sqls["domain_stats"] = f"""

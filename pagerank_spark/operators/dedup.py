@@ -78,24 +78,31 @@ def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(text_hash, n_docs, keep_id) — one row per distinct normalized text;
-    keep_id = min doc id (the canonical survivor). Single hash groupBy.
+def exact_duplicates_binary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(_th, n_docs, keep_id) keyed by the RAW 16-byte md5 of the normalized
+    text — collision-safe at any corpus size (unlike a 64-bit hash) while the
+    shuffle moves 16-byte binary keys instead of 32-char hex strings, a ~40%
+    shuffle-byte cut on this (key, id)-shaped exchange at corpus scale.
+    Internal form for callers that join back on the hash (curate); the
+    public `exact_duplicates` converts to the hex form of the contract."""
+    from pagerank_spark.operators.textops import normalized_text
 
-    The groupBy keys on the RAW 16-byte md5 (collision-safe at any corpus
-    size, unlike a 64-bit hash) and the output converts back to the 32-char
-    hex form callers expect — the shuffle moves 16-byte binary keys instead
-    of 32-byte strings, a ~40% shuffle-byte cut on this (key, id)-shaped
-    exchange at corpus scale.
-    """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = normalized_text(F.col(text_col))
     return (
         docs.select(F.unhex(F.md5(norm)).alias("_th"), F.col(id_col))
         .groupBy("_th")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
-        .select(
-            F.lower(F.hex("_th")).alias("text_hash"), "n_docs", "keep_id"
-        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, keep_id) — one row per distinct normalized text;
+    keep_id = min doc id (the canonical survivor). Single hash groupBy on
+    the binary md5 (see exact_duplicates_binary), hex output."""
+    return exact_duplicates_binary(docs, text_col, id_col).select(
+        F.lower(F.hex("_th")).alias("text_hash"), "n_docs", "keep_id"
     )
 
 

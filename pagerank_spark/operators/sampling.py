@@ -183,18 +183,21 @@ def curate(
     the 32-byte text hash. One scan + one hash-keyed self-aggregate — the
     minimum work the semantics admit.
     """
-    from pagerank_spark.operators.dedup import exact_duplicates
-    from pagerank_spark.operators.textops import with_lang_id, with_quality_score
+    from pagerank_spark.operators.dedup import exact_duplicates_binary
+    from pagerank_spark.operators.textops import (
+        normalized_text,
+        with_lang_id,
+        with_quality_score,
+    )
 
     scored = with_quality_score(with_lang_id(docs, text_col), text_col)
     # join on the raw 16-byte md5, not the 32-char hex — same ~40%
-    # shuffle-byte cut as exact_duplicates' groupBy
-    keepers = exact_duplicates(docs, text_col=text_col, id_col=id_col).select(
-        F.unhex("text_hash").alias("_th"), F.col("keep_id")
+    # shuffle-byte cut as exact_duplicates' groupBy, no hex round-trip
+    keepers = exact_duplicates_binary(docs, text_col=text_col, id_col=id_col).select(
+        "_th", "keep_id"
     )
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return (
-        scored.withColumn("_th", F.unhex(F.md5(norm)))
+        scored.withColumn("_th", F.unhex(F.md5(normalized_text(F.col(text_col)))))
         .join(keepers, "_th", "left")
         .select(
             F.col(id_col),

@@ -48,6 +48,16 @@ def hexint15(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def normalized_text(col: Column) -> Column:
+    """THE text-normalization used by every dedup key in the engine:
+    lowercase, trim, collapse whitespace runs. Batch exact dedup, streaming
+    dedup, fingerprints and curate all key on md5 of exactly this expression
+    — byte-exact agreement across them is a correctness contract (and the
+    DuckDB twins replicate it as
+    ``regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')``)."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
 def _ws_tokens(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -112,7 +122,7 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Add text_hash (md5 hex of normalized text) and fingerprint (60-bit
     int64). Normalization: lowercase, trim, collapse whitespace runs."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = normalized_text(F.col(text_col))
     return docs.withColumn("text_hash", F.md5(norm)).withColumn(
         "fingerprint", hexint15(norm)
     )

@@ -84,15 +84,21 @@ class TableIO:
         Parquet path: ``bucketBy().sortBy().saveAsTable`` with an explicit
         ``path`` (external table; metadata in the session catalog, a real
         metastore in production). Iceberg path: the same layout via a
-        ``bucket(n, key)`` partition transform.
+        ``bucket(n, key)`` partition transform; ``path`` is ignored there
+        (the catalog owns the location). Rows are NOT pre-clustered by the
+        transform value (Spark exposes no bucket() expression outside
+        partitionedBy), so the writer must not assume clustered input:
+        fanout writers are enabled on the table, and in-file ordering is the
+        table's concern (``ALTER TABLE ... WRITE ORDERED BY src`` against a
+        real catalog), not this writer's.
         """
         if self.fmt == "iceberg":
             from pyspark.sql import functions as F
 
             (
-                edges.sortWithinPartitions(key)
-                .writeTo(table_name)
+                edges.writeTo(table_name)
                 .using("iceberg")
+                .tableProperty("write.spark.fanout.enabled", "true")
                 .partitionedBy(F.bucket(buckets, key))
                 .createOrReplace()
             )

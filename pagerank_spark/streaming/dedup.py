@@ -17,9 +17,14 @@ Scale design:
     operator pays.
   * Arrow-batched pandas on the executor (input_hint mandate) — the state
     function sees whole per-key pandas frames, never row-at-a-time Python.
-  * Within a micro-batch the winner is the min doc_id, matching the batch
-    operator's keep_id = MIN(doc_id) semantics, so stream ≡ batch on any
-    prefix of the input (asserted in tests/test_streaming_dedup.py).
+  * Semantics are FIRST-SEEN-WINS: the survivor is the min doc_id within
+    the first micro-batch that contained the text. That equals the batch
+    operator's global-min keep_id whenever ids arrive in non-decreasing
+    order across batches (the normal ingest case: ids assigned at arrival);
+    if a LATER batch re-carries a smaller id, streaming keeps the earlier
+    doc while batch-over-everything would keep the smaller id — inherent to
+    streaming (an emitted survivor cannot be retracted from an append sink).
+    Both behaviors are pinned in tests/test_streaming_dedup.py.
 """
 
 from __future__ import annotations
@@ -40,11 +45,13 @@ DEDUP_OUT_SCHEMA = T.StructType(
     ]
 )
 
-# (first_doc_id, n_seen) per distinct hash
+# (first_doc_id, n_first_batch) per distinct hash — written ONCE at first
+# sight; duplicate batches read the state but never write it (no state-store
+# write amplification on the re-crawl path)
 DEDUP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("first_doc_id", T.LongType(), False),
-        T.StructField("n_seen", T.LongType(), False),
+        T.StructField("n_first_batch", T.LongType(), False),
     ]
 )
 
@@ -52,11 +59,9 @@ DEDUP_STATE_SCHEMA = T.StructType(
 def _dedup_state_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    batch = pd.concat(list(pdfs), ignore_index=True)
     if state.exists:
-        first_id, n_seen = state.get
-        state.update((int(first_id), int(n_seen) + len(batch)))
-        return  # seen in an earlier micro-batch: emit nothing
+        return  # seen in an earlier micro-batch: emit nothing, write nothing
+    batch = pd.concat(list(pdfs), ignore_index=True)
     winner = batch.sort_values("doc_id").iloc[0]
     state.update((int(winner["doc_id"]), len(batch)))
     yield pd.DataFrame(
@@ -75,13 +80,17 @@ def streaming_exact_dedup(
 
     Input: a streaming (doc_id, text, ...) frame. Output: one
     (text_hash, doc_id, text) row per distinct normalized text across the
-    entire stream, the row being the min-doc_id instance from the first
-    micro-batch that contained it — identical normalization + keep rule as
-    the batch operator (dedup.exact_duplicates), so replaying a stream
-    through this and running the batch dedup over the concatenated input
-    agree on every prefix.
+    entire stream, the row being the min-doc_id instance from the FIRST
+    micro-batch that contained it. Normalization is byte-identical to the
+    batch operator (textops.normalized_text), and when ids are assigned in
+    arrival order (non-decreasing across batches) the survivor equals the
+    batch operator's global-min keep_id; see the module docstring for the
+    one divergence streaming inherently has (a later batch re-carrying a
+    smaller id cannot unseat an already-emitted survivor).
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    from pagerank_spark.operators.textops import normalized_text
+
+    norm = normalized_text(F.col(text_col))
     keyed = docs.select(
         F.md5(norm).alias("text_hash"),
         F.col(id_col).cast("long").alias("doc_id"),

@@ -55,8 +55,9 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
     assert len(got) == 3
     assert sorted(got.values()) == [1, 2, 5]
 
-    # stream ≡ batch: the batch dedup over the concatenated input keeps the
-    # same doc ids
+    # with ids assigned in arrival order (min id of each text in its first
+    # batch, as here) the stream's survivors equal the batch operator's
+    # global-min keep_ids over the concatenated input
     from pagerank_spark.operators.dedup import exact_duplicates
 
     all_docs = spark.createDataFrame(BATCH1 + BATCH2, DOCS_SCHEMA)
@@ -64,6 +65,19 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
         r["text_hash"]: r["keep_id"] for r in exact_duplicates(all_docs).collect()
     }
     assert batch_keep == got
+
+
+def test_streaming_dedup_first_seen_wins_on_late_smaller_id(spark, tmp_path):
+    # the documented divergence from batch semantics: an emitted survivor
+    # cannot be retracted, so a LATER batch re-carrying a smaller id for an
+    # already-seen text is suppressed (first-seen-wins), while the batch
+    # operator over the concatenated input would keep the smaller id
+    in_dir = _write_batches(
+        spark, tmp_path, [[(5, "zeta text")], [(2, "zeta text")]]
+    )
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, in_dir, out_dir, ck)
+    assert [r["doc_id"] for r in spark.read.parquet(out_dir).collect()] == [5]
 
 
 def test_streaming_dedup_state_survives_restart(spark, tmp_path):
