@@ -513,6 +513,25 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+IVF_LISTS_Q = 8   # coarse cells for the contract corpus (sf0.01: ~5k vectors)
+IVF_NPROBE_Q = 2  # probe 2/8 lists => candidate scan is 1/4 of the corpus
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN (the data-adaptive, partition-pruned scale path): the
+    DuckDB twin rebuilds the identical index — same md5-sampled centroids,
+    same argmax assignment, same top-nprobe probe lists — so candidates and
+    rerank match bit-for-bit."""
+    from pagerank_spark.operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K,
+        n_lists=IVF_LISTS_Q, nprobe=IVF_NPROBE_Q,
+    ).select(
+        "query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     from pagerank_spark.operators.multimodal import decode_media, media_from_documents
 
@@ -690,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "stratified_sample": q_stratified_sample,
@@ -1054,6 +1074,56 @@ qprobes AS (
 cand AS (
   SELECT DISTINCT query_id, b.vec_id AS neighbor_id
   FROM qprobes a JOIN eb b USING (tbl, bucket) WHERE b.vec_id <> query_id
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qe.v, ne.v) / (qe.n * ne.n), 6) AS cosine
+  FROM cand JOIN e qe ON qe.vec_id = query_id JOIN e ne ON ne.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {ANN_K}
+"""
+
+    # IVF-Flat twin: rebuild the identical index from the parquet alone —
+    # centroids are the IVF_LISTS_Q vectors with the smallest
+    # md5('ivf,' || id) (ties -> smaller id, list_id = rank in that order),
+    # every vector goes to its max-cosine centroid (ties -> smaller list_id),
+    # a query probes its IVF_NPROBE_Q best lists, exact rerank within them.
+    sqls["ann_ivf"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+cent AS (
+  SELECT list_id, cv, cn FROM (
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('ivf,' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+           AS INT) - 1 AS list_id,
+           v AS cv, n AS cn
+    FROM e) WHERE list_id < {IVF_LISTS_Q}
+),
+scored AS (
+  SELECT e.vec_id, e.v, e.n, c.list_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn) DESC,
+                       c.list_id ASC) AS rk
+  FROM e CROSS JOIN cent c
+),
+asg AS (SELECT vec_id, v, n, list_id FROM scored WHERE rk = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, list_id FROM scored
+  WHERE rk <= {IVF_NPROBE_Q} AND vec_id IN ({qids})
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qprobe q JOIN asg a USING (list_id)
+  WHERE a.vec_id <> q.query_id
 ),
 sims AS (
   SELECT query_id, neighbor_id,

@@ -110,7 +110,11 @@ def run_suite(spark, sf_dir: str) -> dict:
         simhash,
         simhash_near_duplicates,
     )
-    from pagerank_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+    from pagerank_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        brute_force_topk,
+    )
 
     t0 = time.monotonic()
     minhash_near_duplicates(docs, threshold=0.25).count()
@@ -135,6 +139,10 @@ def run_suite(spark, sf_dir: str) -> dict:
     t0 = time.monotonic()
     ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=10).count()
     timings["ann_lsh"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    ann_ivf_topk(emb, [0, 1, 2, 3, 4], k=10, n_lists=8, nprobe=2).count()
+    timings["ann_ivf"] = time.monotonic() - t0
 
     from pagerank_spark.operators.sampling import curate, stratified_sample
 

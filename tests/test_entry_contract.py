@@ -29,6 +29,7 @@ FAST_QUERIES = [
     "dedup_exact",
     "simhash_sigs",
     "ann_topk",
+    "ann_ivf",
     "multimodal_meta",
     "frame_sample",
     "url_query_predicate",
