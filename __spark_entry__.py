@@ -427,6 +427,35 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+REP_N = 3
+
+
+def q_repetition_stats(spark, sf_dir):
+    from pagerank_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=REP_N)
+
+
+DECON_N = 5        # n-gram size for eval-overlap flagging
+DECON_EVAL_DOCS = 25   # deterministic md5-sampled "benchmark" drawn from the
+DECON_SEED = "eval"    # corpus itself (no external data in this sandbox)
+DECON_MIN_HITS = 1
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the 'eval set' is a deterministic md5
+    sample of the documents table (the sampled docs self-flag, and anything
+    sharing a 5-gram with them flags too — same rule as a real eval set)."""
+    from pagerank_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.orderBy(
+        F.md5(F.concat(F.lit(DECON_SEED + ","), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    ).limit(DECON_EVAL_DOCS)
+    return decontaminate(docs, ev, n=DECON_N, min_hits=DECON_MIN_HITS)
+
+
 NGRAM_THRESHOLD = 0.2
 
 
@@ -702,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_sigs": q_simhash_sigs,
@@ -934,6 +965,54 @@ SELECT md5({NORM_TEXT}) AS text_hash,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1
+"""
+
+    def ngram_hash_cte(n: int, name: str) -> str:
+        """Per-doc word-n-gram 60-bit hashes (distinct=False keeps every
+        occurrence — repetition stats need multiplicity; dedup wants the set)."""
+        return f"""{name} AS (
+  SELECT doc_id, {HEX15.format(x='g')} AS gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len({TOKS}) - {n - 1}, 1)),
+             i -> array_to_string(list_slice({TOKS}, i, i + {n - 1}), ' '))) AS g
+    FROM documents)
+)"""
+
+    sqls["repetition_stats"] = f"""
+WITH {ngram_hash_cte(REP_N, 'grams')},
+pg AS (SELECT doc_id, gh, COUNT(*) AS c FROM grams GROUP BY doc_id, gh),
+rep AS (
+  SELECT doc_id,
+         ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ngram_share,
+         ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+           AS dup_ngram_frac
+  FROM pg GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_words,
+         ROUND(CAST(len(list_distinct({TOKS})) AS DOUBLE) / len({TOKS}), 6)
+           AS distinct_word_ratio
+  FROM documents
+)
+SELECT w.doc_id, n_words, distinct_word_ratio, top_ngram_share, dup_ngram_frac
+FROM words w JOIN rep USING (doc_id)
+"""
+
+    sqls["decontaminate"] = f"""
+WITH {ngram_hash_cte(DECON_N, 'graw')},
+shn AS (SELECT DISTINCT doc_id, gh AS sh FROM graw),
+ev AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5('{DECON_SEED},' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+  LIMIT {DECON_EVAL_DOCS}
+),
+evsh AS (SELECT DISTINCT sh FROM shn JOIN ev USING (doc_id)),
+hits AS (SELECT doc_id, COUNT(*) AS h FROM shn JOIN evsh USING (sh) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS eval_ngram_hits,
+       COALESCE(h.h, 0) >= {DECON_MIN_HITS} AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
     sqls["ngram_jaccard"] = f"""

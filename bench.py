@@ -144,6 +144,21 @@ def run_suite(spark, sf_dir: str) -> dict:
     ann_ivf_topk(emb, [0, 1, 2, 3, 4], k=10, n_lists=8, nprobe=2).count()
     timings["ann_ivf"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.textops import repetition_stats
+
+    t0 = time.monotonic()
+    repetition_stats(docs, n=3).count()
+    timings["repetition_stats"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.dedup import decontaminate
+
+    t0 = time.monotonic()
+    ev = docs.orderBy(
+        F.md5(F.concat(F.lit("eval,"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    ).limit(25)
+    decontaminate(docs, ev, n=5).count()
+    timings["decontaminate"] = time.monotonic() - t0
+
     from pagerank_spark.operators.sampling import curate, stratified_sample
 
     t0 = time.monotonic()

@@ -466,3 +466,58 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, eval_ngram_hits, contaminated) — for every training document,
+    the number of DISTINCT eval-set word n-grams it contains, and a flag when
+    that count reaches ``min_hits``.
+
+    Benchmark decontamination for training pipelines (the GPT-3 appendix-C /
+    Pile-style n-gram overlap rule): any training doc sharing n-grams with a
+    held-out eval set is flagged so evaluation doesn't score memorized spans.
+    The reference has no document layer (its corpus is a link graph); this is
+    one of the training-data extensions the build brief mandates.
+
+    Scale shape: the eval set is benchmark-sized (orders of magnitude smaller
+    than the corpus), so its distinct n-gram hash set — 8-byte int64s via
+    ``shingle_hashes`` — is BROADCAST; the corpus side is one scan + explode
+    with the semi-join applied map-side (no shuffle of corpus shingles), and
+    the only wide exchange is the final partial-aggregated groupBy(doc_id)
+    over the rare hits. The left join back to docs broadcasts the hit table
+    (hits <= eval corpus reach, again tiny next to the corpus)."""
+    ev = (
+        shingle_hashes(eval_docs, n=n, text_col=text_col, id_col=id_col)
+        .select("sh").distinct()
+    )
+    hits = (
+        shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("eval_ngram_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("eval_ngram_hits"), F.lit(0).cast("long")).alias(
+                "eval_ngram_hits"
+            ),
+            (
+                F.coalesce(F.col("eval_ngram_hits"), F.lit(0).cast("long"))
+                >= F.lit(min_hits)
+            ).alias("contaminated"),
+        )
+    )

@@ -135,3 +135,58 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = with_lang_id(out, text_col)
     out = with_fingerprint(out, text_col)
     return out
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_words, distinct_word_ratio, top_ngram_share,
+    dup_ngram_frac) — Gopher/FineWeb-style intra-document repetition
+    signals over word n-grams (``n`` defaults to trigrams):
+
+      * distinct_word_ratio — |distinct words| / |words| (pure Column)
+      * top_ngram_share     — occurrences of the doc's most frequent n-gram
+                              over its total n-gram count ("fraction of
+                              content in the most common n-gram")
+      * dup_ngram_frac      — fraction of n-gram INSTANCES whose n-gram
+                              occurs more than once ("fraction of content
+                              inside duplicated n-grams")
+
+    Boilerplate and spam score high on all three; a curation pipeline
+    thresholds them (e.g. Gopher drops docs with top-2-gram share > 0.20).
+
+    Scale shape: n-grams are hashed to 60-bit int64 BEFORE the frequency
+    groupBy (8-byte shuffle keys, same design as dedup.shingle_hashes), the
+    (doc_id, gram) count partial-aggregates map-side, and the per-doc rollup
+    is a second partial-aggregated groupBy on doc_id alone — two exchanges
+    total, both on compact keys, no Python anywhere. Ratios rounded 6dp for
+    cross-engine stability (DuckDB twin in __spark_entry__.py)."""
+    toks = _ws_tokens(F.lower(F.col(text_col)))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
+    )
+    per_gram = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("_g"))
+        .select("doc_id", hexint15(F.col("_g")).alias("gh"))
+        .groupBy("doc_id", "gh")
+        .agg(F.count("*").alias("c"))
+    )
+    rep = per_gram.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_ngram_share"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("distinct_word_ratio"),
+    )
+    return words.join(rep, "doc_id").select(
+        "doc_id", "n_words", "distinct_word_ratio", "top_ngram_share", "dup_ngram_frac"
+    )

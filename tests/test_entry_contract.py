@@ -27,6 +27,8 @@ FAST_QUERIES = [
     "lang_id",
     "fingerprints",
     "dedup_exact",
+    "repetition_stats",
+    "decontaminate",
     "simhash_sigs",
     "ann_topk",
     "ann_ivf",

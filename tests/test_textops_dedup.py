@@ -388,3 +388,102 @@ def test_embedding_near_dup_lsh_plan_has_no_crossjoin(emb):
     plan = a.join(b, "bucket")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (textops.repetition_stats)
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_hand_computed(docs):
+    from pagerank_spark.operators.textops import repetition_stats
+
+    rows = {r["doc_id"]: r for r in repetition_stats(docs, n=3).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5}
+
+    # doc 5 = "the the the the the the": 4 trigram instances, all the same
+    # gram -> top share 1.0, dup frac 1.0; 6 words, 1 distinct
+    r5 = rows[5]
+    assert r5["n_words"] == 6
+    assert r5["distinct_word_ratio"] == round(1 / 6, 6)
+    assert r5["top_ngram_share"] == 1.0
+    assert r5["dup_ngram_frac"] == 1.0
+
+    # doc 0 = "the cat sat on the mat": 4 distinct trigrams, each once
+    r0 = rows[0]
+    assert r0["n_words"] == 6
+    assert r0["distinct_word_ratio"] == round(5 / 6, 6)
+    assert r0["top_ngram_share"] == 0.25
+    assert r0["dup_ngram_frac"] == 0.0
+
+    # doc 4 = "short" (< n words): whole text is the single gram
+    r4 = rows[4]
+    assert r4["n_words"] == 1
+    assert r4["top_ngram_share"] == 1.0
+    assert r4["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    # a spammy doc (one phrase repeated) must dominate a natural one
+    from pagerank_spark.operators.textops import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (0, "buy now " * 50),
+            (1, "an ordinary sentence with mostly unique words throughout it"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(d, n=2).collect()}
+    assert rows[0]["dup_ngram_frac"] > 0.9 > rows[1]["dup_ngram_frac"]
+    assert rows[0]["top_ngram_share"] > rows[1]["top_ngram_share"]
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (dedup.decontaminate)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_overlap(spark):
+    from pagerank_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # contains the eval 3-gram
+            (1, "totally unrelated words live here now"),
+            (2, "beta gamma delta appears in this doc"),  # same eval 3-gram
+            (3, "gamma delta alone is only a 2-gram"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "beta gamma delta")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in decontaminate(train, ev, n=3).collect()}
+    assert got[0]["contaminated"] and got[0]["eval_ngram_hits"] == 1
+    assert got[2]["contaminated"] and got[2]["eval_ngram_hits"] == 1
+    assert not got[1]["contaminated"] and got[1]["eval_ngram_hits"] == 0
+    assert not got[3]["contaminated"]  # 2-gram overlap is not a 3-gram hit
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from pagerank_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(0, "one two three four five six seven")], ["doc_id", "text"]
+    )
+    # eval doc shares the whole text -> 5 distinct 3-grams hit
+    ev = spark.createDataFrame(
+        [(9, "one two three four five six seven")], ["doc_id", "text"]
+    )
+    one = decontaminate(train, ev, n=3, min_hits=1).collect()[0]
+    assert one["eval_ngram_hits"] == 5 and one["contaminated"]
+    strict = decontaminate(train, ev, n=3, min_hits=6).collect()[0]
+    assert not strict["contaminated"]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    # the eval n-gram set must reach the corpus scan as a broadcast join —
+    # a shuffled corpus-side join would be the 100-TB bottleneck
+    from pagerank_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(9, "c d e")], ["doc_id", "text"])
+    plan = decontaminate(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
