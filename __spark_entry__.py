@@ -133,7 +133,7 @@ dang AS (
   SELECT url FROM gverts WHERE url NOT IN (SELECT DISTINCT src FROM gedges)
 ),
 it(iter, url, rank, resid) AS (
-  SELECT 0, url, 1.0 / sqrt((SELECT n FROM nn)), 1.0 FROM gverts
+  SELECT 0, url, 1.0 / sqrt((SELECT n FROM nn)), CAST(1.0 AS DOUBLE) FROM gverts
   UNION ALL
   SELECT t.iter + 1, t.url, t.xu / t.nrm,
          sqrt(greatest(0.0, 2.0 - 2.0 * t.sp / t.nrm))
@@ -359,6 +359,27 @@ def q_triangles_per_vertex(spark, sf_dir):
     )
 
 
+HITS_ITERS = 2
+
+# HITS needs degree skew to discriminate (the G graph is regular and the U
+# graph a near-matching — both degenerate to uniform scores): a dedicated
+# hub->authority generator where authority a_k's in-degree falls off with k
+# (every user-modulus >= k+1 feeds a_k, so a0 is the heaviest page).
+H_SQL = (
+    "SELECT 's' || CAST(event_id % 997 AS STRING) AS src, "
+    "'a' || CAST(event_id % (1 + (user_id % 97)) AS STRING) AS dst FROM events"
+)
+
+
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS after a fixed 2 rounds (deterministic, so the DuckDB
+    twin is the same recurrence unrolled — no epsilon coupling)."""
+    from pagerank_spark.operators.hits import hits
+
+    _views(spark, sf_dir, ("events",))
+    return hits(spark.sql(H_SQL), iterations=HITS_ITERS)
+
+
 SEARCH_QUERY = "test-p1 -test-p11"
 SEARCH_K = 25
 
@@ -374,6 +395,18 @@ def q_search_topk(spark, sf_dir):
 
 
 PERS_QUERY = "test-p3"
+
+
+def q_pagerank_personalized(spark, sf_dir):
+    """Converged personalized PageRank — the reference's flagship composition
+    (make_personalization_vector -> power_method, reference pagerank.py:97-145
+    and README Part 3): teleport mass goes to the query-matching urls instead
+    of uniform. The DuckDB twin extends the recursive-CTE fixpoint with the
+    same L1-then-L2-normalized v in the q-term."""
+    g = _graph_u(spark, sf_dir)
+    v = g.make_personalization_vector(PERS_QUERY)
+    ranks = g.pagerank(alpha=0.85, epsilon=1e-6, v_df=v)
+    return ranks.select("url", F.round("rank", 6).alias("rank"))
 
 
 def q_personalization(spark, sf_dir):
@@ -719,10 +752,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_iter1": q_pagerank_iter1,
         "pagerank_converged": q_pagerank_converged,
         "pagerank_csr": q_pagerank_csr,
+        "pagerank_personalized": q_pagerank_personalized,
         "components": q_components,
         "label_propagation3": q_label_propagation3,
         "triangles_global": q_triangles_global,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "hits": q_hits,
         "search_topk": q_search_topk,
         "personalization": q_personalization,
         "url_query_predicate": q_url_query_predicate,
@@ -867,6 +902,33 @@ SELECT verts.v AS url, CAST(COALESCE(c, 0) AS BIGINT) AS triangles
 FROM verts LEFT JOIN cnt USING (v)
 """
 
+    # HITS unrolled: authorities from previous hubs, hubs from current
+    # authorities, L2 normalization after each half-step (operators/hits.py)
+    hits_ctes = [f"""g AS ({H_SQL}),
+de AS (SELECT DISTINCT src, dst FROM g),
+hverts AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM de UNION ALL SELECT dst FROM de)),
+hn AS (SELECT COUNT(*) AS n FROM hverts),
+h0 AS (SELECT url, 1.0 / sqrt((SELECT n FROM hn)) AS h FROM hverts)"""]
+    for k in range(1, HITS_ITERS + 1):
+        hits_ctes.append(f"""a{k}u AS (
+  SELECT v.url, COALESCE(s.x, 0.0) AS a FROM hverts v LEFT JOIN (
+    SELECT dst AS url, SUM(p.h) AS x FROM de JOIN h{k-1} p ON p.url = de.src
+    GROUP BY dst) s USING (url)
+),
+a{k} AS (SELECT url, a / (SELECT sqrt(SUM(a * a)) FROM a{k}u) AS a FROM a{k}u),
+h{k}u AS (
+  SELECT v.url, COALESCE(s.x, 0.0) AS h FROM hverts v LEFT JOIN (
+    SELECT src AS url, SUM(p.a) AS x FROM de JOIN a{k} p ON p.url = de.dst
+    GROUP BY src) s USING (url)
+),
+h{k} AS (SELECT url, h / (SELECT sqrt(SUM(h * h)) FROM h{k}u) AS h FROM h{k}u)""")
+    sqls["hits"] = f"""
+WITH {','.join(hits_ctes)}
+SELECT v.url, ROUND(h{HITS_ITERS}.h, 6) AS hub, ROUND(a{HITS_ITERS}.a, 6) AS authority
+FROM hverts v JOIN h{HITS_ITERS} USING (url) JOIN a{HITS_ITERS} USING (url)
+"""
+
     # search over one U-graph power iteration
     upr1 = f"""
 {INGEST_CTE},
@@ -904,6 +966,48 @@ av AS (SELECT DISTINCT url FROM (
   SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
 ind3 AS (SELECT url, CASE WHEN {pers_pred} THEN 1.0 ELSE 0.0 END AS v FROM av)
 SELECT url, ROUND(v / (SELECT SUM(v) FROM ind3), 6) AS v FROM ind3
+"""
+
+    # converged personalized power method: the PR_CONV_SQL recursion over the
+    # U-graph with the q-term's uniform 1/sqrt(n) replaced by the
+    # L1-then-L2-normalized personalization vector (the same two-step
+    # normalization the engine performs: make_personalization_vector L1,
+    # _init_state L2 — composed in the same order so pre-round FP agrees)
+    sqls["pagerank_personalized"] = f"""
+WITH RECURSIVE {INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
+nn AS (SELECT COUNT(*) AS n FROM av),
+dang AS (SELECT url FROM av WHERE url NOT IN (SELECT DISTINCT src FROM uedges)),
+ind AS (SELECT url, CASE WHEN {pers_pred} THEN 1.0 ELSE 0.0 END AS i FROM av),
+v1 AS (SELECT url, i / (SELECT SUM(i) FROM ind) AS w FROM ind),
+pv AS (SELECT url, w / (SELECT sqrt(SUM(w * w)) FROM v1) AS v FROM v1),
+it(iter, url, rank, resid) AS (
+  SELECT 0, url, 1.0 / sqrt((SELECT n FROM nn)), CAST(1.0 AS DOUBLE) FROM av
+  UNION ALL
+  SELECT t.iter + 1, t.url, t.xu / t.nrm,
+         sqrt(greatest(0.0, 2.0 - 2.0 * t.sp / t.nrm))
+  FROM (
+    SELECT s.iter, s.url, s.xu, s.prev,
+           sqrt(SUM(s.xu * s.xu) OVER ()) AS nrm,
+           SUM(s.xu * s.prev) OVER () AS sp
+    FROM (
+      SELECT p.iter, p.url, p.rank AS prev,
+             0.85 * COALESCE(c.c, 0.0)
+             + (0.85 * (SELECT COALESCE(SUM(rank), 0.0) FROM it
+                        WHERE url IN (SELECT url FROM dang)) + 0.15)
+               * pv.v AS xu
+      FROM it p
+      JOIN pv ON pv.url = p.url
+      LEFT JOIN (SELECT e.dst, SUM(e.weight * p2.rank) AS c
+                 FROM uedges e JOIN it p2 ON p2.url = e.src GROUP BY e.dst) c
+        ON c.dst = p.url
+    ) s
+  ) t
+  WHERE (SELECT MIN(resid) FROM it) >= 1e-6 AND t.iter < 1000
+)
+SELECT url, ROUND(rank, 6) AS rank FROM it
+WHERE iter = (SELECT MAX(iter) FROM it)
 """
 
     sqls["url_query_predicate"] = f"""

@@ -104,6 +104,18 @@ def run_suite(spark, sf_dir: str) -> dict:
     graph.triangle_count().collect()
     timings["triangles"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.hits import hits as hits_op
+
+    t0 = time.monotonic()
+    hits_op(
+        spark.sql(
+            "SELECT 's' || CAST(event_id % 997 AS STRING) AS src, "
+            "'a' || CAST(event_id % (1 + (user_id % 97)) AS STRING) AS dst FROM events"
+        ),
+        iterations=2,
+    ).count()
+    timings["hits2"] = time.monotonic() - t0
+
     from pagerank_spark.operators.dedup import (
         embedding_near_duplicates,
         minhash_near_duplicates,

@@ -22,6 +22,7 @@ FAST_QUERIES = [
     "degrees",
     "dangling",
     "pagerank_iter1",
+    "hits",
     "token_stats",
     "quality_scores",
     "lang_id",
