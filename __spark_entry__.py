@@ -641,6 +641,43 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+PACK_CTX = 256
+PACK_SHARDS = 8
+PACK_SEED = "pack"
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concatenate-and-chunk sequence packing: deterministic shard
+    + order, running token sum, (seq_id, offset) per doc."""
+    from pagerank_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), ctx_len=PACK_CTX, n_shards=PACK_SHARDS, seed=PACK_SEED
+    ).select("doc_id", F.col("shard").cast("long").alias("shard"),
+             "n_tokens", "seq_id", "offset")
+
+
+TEMP_ALPHA = 0.5
+TEMP_TARGET = 150.0
+TEMP_SEED = "temp"
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-weighted multilingual sampling (p_g ∝ n_g^alpha): the
+    per-group rate math is sqrt-exact and summed in sorted group order, so
+    the DuckDB twin rebuilds the identical 12dp rates from the same counts."""
+    from pagerank_spark.operators.sampling import temperature_sample, uniform01
+
+    out = temperature_sample(
+        _docs(spark, sf_dir), alpha=TEMP_ALPHA, target_docs=TEMP_TARGET,
+        strata_col="lang", seed=TEMP_SEED,
+    )
+    return out.select(
+        "doc_id", "lang",
+        F.round(uniform01(F.col("doc_id"), TEMP_SEED), 6).alias("u"),
+    )
+
+
 TOPK_PER_LANG_K = 5
 
 
@@ -779,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "temperature_sample": q_temperature_sample,
         "topk_per_lang": q_topk_per_lang,
         "interleave_shards": q_interleave_shards,
         "dedup_clusters": q_dedup_clusters,
@@ -1343,6 +1382,46 @@ WHERE media_type = 'video' AND f <= n_frames - 1
     sqls["stratified_sample"] = f"""
 WITH u AS (SELECT doc_id, lang, {strat_u} AS u FROM documents)
 SELECT doc_id, lang, ROUND(u, 6) AS u FROM u WHERE u < {rate_case}
+"""
+
+    pack_h = HEX15.format(x=f"'{PACK_SEED},' || CAST(doc_id AS VARCHAR)")
+    sqls["pack_sequences"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+         {pack_h} AS hh
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(hh % {PACK_SHARDS} AS BIGINT) AS shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY hh % {PACK_SHARDS}
+                             ORDER BY hh ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS e
+  FROM s
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((e - n_tokens) // {PACK_CTX} AS BIGINT) AS seq_id,
+       CAST((e - n_tokens) % {PACK_CTX} AS BIGINT) AS offset
+FROM c
+"""
+
+    temp_u = U01.format(x=f"'{TEMP_SEED},' || CAST(doc_id AS VARCHAR)")
+    sqls["temperature_sample"] = f"""
+WITH cnt AS (
+  SELECT lang AS g, COUNT(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+z AS (SELECT SUM(sqrt(CAST(n AS DOUBLE)) ORDER BY g) AS z FROM cnt),
+rates AS (
+  SELECT g,
+         ROUND(LEAST(1.0, {TEMP_TARGET} * (sqrt(CAST(n AS DOUBLE)) / (SELECT z FROM z))
+                          / CAST(n AS DOUBLE)), 12) AS r
+  FROM cnt
+),
+u AS (SELECT doc_id, lang, {temp_u} AS u FROM documents)
+SELECT doc_id, lang, ROUND(u, 6) AS u
+FROM u JOIN rates ON rates.g = u.lang
+WHERE u < r
 """
 
     sqls["topk_per_lang"] = f"""

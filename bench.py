@@ -289,15 +289,26 @@ def main() -> None:
             # scaling protocol can be run against either implementation
             impl = os.environ.get("SPARK_GRAFT_PR_IMPL", "joinagg")
             pr = graph.pagerank_csr if impl == "csr" else graph.pagerank
+            # SPARK_GRAFT_PR_ALPHA drives iteration count (alpha -> 1 is the
+            # reference's slow-convergence Part-4 regime: the steady-state
+            # per-iteration comparison where the CSR path's one-time setup
+            # amortizes); SPARK_GRAFT_PR_MAXITER caps the run
+            alpha = float(os.environ.get("SPARK_GRAFT_PR_ALPHA", "0.85"))
+            max_iter = int(os.environ.get("SPARK_GRAFT_PR_MAXITER", "1000"))
+            # epsilon=0 + MAXITER=k forces exactly k iterations — the honest
+            # way to measure steady-state per-iteration rates on a synthetic
+            # expander that epsilon-converges in ~6-9 rounds at any alpha
+            eps = float(os.environ.get("SPARK_GRAFT_PR_EPSILON", "1e-6"))
             t0 = time.monotonic()
             metrics: list = []
-            pr(alpha=0.85, epsilon=1e-6, metrics=metrics).count()
+            pr(alpha=alpha, epsilon=eps, max_iterations=max_iter, metrics=metrics).count()
             dt = time.monotonic() - t0
             walls = sorted(m["wall_s"] for m in metrics)
             print(json.dumps({
                 "pagerank": {
                     "cores": CPUS,
                     "impl": impl,
+                    "alpha": alpha,
                     "edges": n_edges,
                     "iterations": len(metrics),
                     "seconds": round(dt, 3),

@@ -49,6 +49,8 @@ def hits(
     ``broadcast_scores``: hint the vertex-sized score vector as the build
     side of each join (right while it fits an executor; pass False at
     cluster scale to let both sides shuffle on the persisted edge layout)."""
+    if iterations < 1:
+        raise ValueError("hits() needs iterations >= 1")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()

@@ -208,3 +208,113 @@ def curate(
             .alias("drop_reason"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count: Column | None = None,
+    seed: str = "pack",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, seq_id, offset) — concatenate-and-chunk
+    sequence packing: documents are laid out in a deterministic pseudo-random
+    order within ``n_shards`` independent shards, the token stream is chunked
+    into fixed ``ctx_len`` training sequences, and each document learns which
+    sequence it starts in (``seq_id``, 0-based per shard) and at which token
+    ``offset`` inside it. A document longer than the remaining window simply
+    spills into the following sequence(s) — the standard GPT-style packing
+    where nothing is padded and nothing is dropped.
+
+    ``token_count``: expression for the per-doc token count (defaults to the
+    whitespace token count, matching textops.with_token_stats.ws_tokens).
+
+    Scale shape: ONE hash-partitioned exchange on ``shard`` + a
+    per-partition sort — the cumulative sum is a running window per shard,
+    never a global sort; shards stream to their writers independently.
+    Fully deterministic (md5-derived shard and order), so a resumed or
+    re-run job packs identically and the DuckDB twin reproduces every
+    (seq_id, offset) bit-for-bit."""
+    if token_count is None:
+        token_count = F.size(F.split(F.col(text_col), " "))
+    h = hexint15(F.concat(F.lit(f"{seed},"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            token_count.cast("long").alias("n_tokens"),
+        )
+        .withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("_end", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            # integer `div`, not `/`+cast: exact at any token-stream length
+            F.expr(f"(_end - n_tokens) div {int(ctx_len)}").alias("seq_id"),
+            ((F.col("_end") - F.col("n_tokens")) % F.lit(int(ctx_len))).alias(
+                "offset"
+            ),
+        )
+    )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, target_docs: float
+) -> dict[str, float]:
+    """Per-group Bernoulli rates for temperature-weighted sampling: group g
+    is drawn with probability p_g ∝ n_g^alpha (alpha<1 upweights the tail —
+    the multilingual-sampling rule of Lample & Conneau 2019 / mT5), scaled
+    so the expected total sample size is ``target_docs``, clamped to 1.
+    Plain driver math over a tiny per-group count dict.
+
+    Cross-engine determinism: weights sum in SORTED group order (DuckDB twin
+    uses ``SUM(w ORDER BY g)``), and alpha=0.5 routes through ``math.sqrt``
+    (correctly rounded by IEEE-754 on every platform, unlike general pow) —
+    so the twin reproduces every rate bit-for-bit before its 12dp round."""
+    import math
+
+    def w_of(n: int) -> float:
+        return math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha
+
+    weights = {g: w_of(n) for g, n in counts.items() if n > 0}
+    z = 0.0
+    for g in sorted(weights):
+        z += weights[g]
+    return {
+        g: min(1.0, target_docs * (w / z) / counts[g]) for g, w in weights.items()
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    target_docs: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Deterministic temperature sampling: one tiny groupBy-count collect
+    sizes the per-group rates (`temperature_rates`), then the selection is
+    the same pure-Column md5 predicate as ``stratified_sample`` — the corpus
+    side stays one scan with the filter pushed down; only the group-count
+    aggregate (|groups| rows) ever reaches the driver."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None
+    }
+    rates = temperature_rates(counts, alpha, target_docs)
+    # round the rates so the DuckDB twin (C pow vs JVM pow differ in the
+    # last ulp) compares the uniform against the identical literal
+    rates = {g: round(r, 12) for g, r in rates.items()}
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, default_rate=0.0, seed=seed
+    )

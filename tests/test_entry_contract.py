@@ -37,6 +37,8 @@ FAST_QUERIES = [
     "frame_sample",
     "url_query_predicate",
     "stratified_sample",
+    "pack_sequences",
+    "temperature_sample",
     "topk_per_lang",
     "interleave_shards",
     "curate",

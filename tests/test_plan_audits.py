@@ -170,3 +170,45 @@ def test_bucketed_edge_table_join_and_agg_are_exchange_free(spark, tmp_path):
     agg = t.groupBy("src").agg(F.sum("weight"))
     agg_plan = _physical(agg)
     assert "Exchange" not in agg_plan, agg_plan
+
+
+def test_ivf_assign_has_no_exchange(spark):
+    # IVF assignment is a per-row argmax over centroid literals: ONE scan,
+    # ZERO shuffle. An Exchange here would mean the corpus moves just to be
+    # labeled — the 100-TB regression this locks out.
+    import numpy as np
+
+    from pagerank_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    cents = ivf_centroids(emb, n_lists=4)
+    for method in ("exact", "arrow"):
+        plan = _physical(ivf_assign(emb, cents, method=method))
+        assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_bounded_exchanges_with_map_side_combine(spark, docs_path):
+    # the gram stream may shuffle at most thrice — (doc_id, gram-hash)
+    # frequency count, per-doc rollup, join co-partitioning — and the wide
+    # aggregations must partial-aggregate so gram counts combine map-side
+    from pagerank_spark.operators.textops import repetition_stats
+
+    plan = _physical(repetition_stats(spark.read.parquet(docs_path), n=3))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_decontaminate_eval_side_broadcasts(spark, docs_path):
+    # corpus-side shingles must meet the eval n-gram set via BroadcastHashJoin
+    # (eval is benchmark-sized); a SortMergeJoin here shuffles the corpus
+    from pagerank_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(docs_path)
+    ev = docs.limit(5)
+    plan = _physical(decontaminate(docs, ev, n=3))
+    assert "BroadcastHashJoin" in plan, plan

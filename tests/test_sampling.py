@@ -141,3 +141,83 @@ def test_sampling_invariant_under_input_partitioning(spark, docs):
     s1 = sorted(stratified_sample(docs, {"en": 0.3}).toPandas()["doc_id"])
     s2 = sorted(stratified_sample(shuffled_in, {"en": 0.3}).toPandas()["doc_id"])
     assert s1 == s2
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (pack_sequences)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_is_concat_and_chunk(spark, docs):
+    from pagerank_spark.operators.sampling import pack_sequences
+
+    out = pack_sequences(docs, ctx_len=16, n_shards=4).toPandas()
+    assert len(out) == 2000
+    assert set(out["shard"].unique()) <= {0, 1, 2, 3}
+    # replay each shard in (hash, doc_id) order: the running token stream
+    # chunked at 16 must give exactly (seq_id, offset)
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"pack,{i}".encode()).hexdigest()[:15], 16)
+
+    out["_h"] = out["doc_id"].map(h)
+    for shard, grp in out.groupby("shard"):
+        pos = 0
+        for _, row in grp.sort_values(["_h", "doc_id"]).iterrows():
+            assert row["seq_id"] == pos // 16
+            assert row["offset"] == pos % 16
+            pos += row["n_tokens"]
+    # deterministic across invocations
+    again = pack_sequences(docs, ctx_len=16, n_shards=4).toPandas()
+    key = ["doc_id", "shard", "seq_id", "offset"]
+    assert out[key].sort_values("doc_id").values.tolist() == \
+        again[key].sort_values("doc_id").values.tolist()
+
+
+def test_pack_sequences_nothing_dropped_nothing_padded(spark, docs):
+    from pagerank_spark.operators.sampling import pack_sequences
+
+    out = pack_sequences(docs, ctx_len=64, n_shards=2).toPandas()
+    # the final doc of each shard ends exactly at the total token count:
+    # sum(n_tokens) per shard == last doc's seq_id*64 + offset + n_tokens
+    for shard, grp in out.groupby("shard"):
+        total = grp["n_tokens"].sum()
+        last = grp.sort_values(["seq_id", "offset"]).iloc[-1]
+        assert last["seq_id"] * 64 + last["offset"] + last["n_tokens"] == total
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+def test_temperature_rates_flatten_distribution():
+    from pagerank_spark.operators.sampling import temperature_rates
+
+    counts = {"en": 8000, "de": 1000, "fr": 100}
+    flat = temperature_rates(counts, alpha=0.5, target_docs=1000)
+    prop = temperature_rates(counts, alpha=1.0, target_docs=1000)
+    # proportional sampling keeps rates equal across groups; alpha<1 must
+    # upweight the tail (fr rate > en rate)
+    assert abs(prop["en"] - prop["fr"]) < 1e-12
+    assert flat["fr"] > flat["de"] > flat["en"]
+    # expected sample size ~ target (no clamping binds here)
+    exp = sum(flat[g] * n for g, n in counts.items())
+    assert exp == pytest.approx(1000, rel=1e-9)
+
+
+def test_temperature_rates_clamp():
+    from pagerank_spark.operators.sampling import temperature_rates
+
+    r = temperature_rates({"en": 1000, "rare": 2}, alpha=0.5, target_docs=900)
+    assert r["rare"] == 1.0  # can't sample more than everything
+    assert 0 < r["en"] <= 1.0
+
+
+def test_temperature_sample_deterministic_and_sized(spark, docs):
+    from pagerank_spark.operators.sampling import temperature_sample
+
+    a = sorted(temperature_sample(docs, alpha=0.5, target_docs=400).toPandas()["doc_id"])
+    b = sorted(temperature_sample(docs, alpha=0.5, target_docs=400).toPandas()["doc_id"])
+    assert a == b
+    # 4 equal-sized strata => temperature is a no-op vs proportional: ~400
+    assert 300 <= len(a) <= 500

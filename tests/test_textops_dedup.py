@@ -478,12 +478,16 @@ def test_decontaminate_min_hits_threshold(spark):
     assert not strict["contaminated"]
 
 
-def test_decontaminate_broadcasts_eval_side(spark):
-    # the eval n-gram set must reach the corpus scan as a broadcast join —
-    # a shuffled corpus-side join would be the 100-TB bottleneck
+def test_decontaminate_self_eval_counts_all_shingles(spark):
+    # an eval doc drawn from the corpus itself must self-flag with hits equal
+    # to its full distinct-shingle count (the contract query's construction)
     from pagerank_spark.operators.dedup import decontaminate
 
-    train = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
-    ev = spark.createDataFrame([(9, "c d e")], ["doc_id", "text"])
-    plan = decontaminate(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    train = spark.createDataFrame(
+        [(0, "u v w x y z"), (1, "p q r s t u")], ["doc_id", "text"]
+    )
+    ev = train.where("doc_id = 0")
+    got = {r["doc_id"]: r for r in decontaminate(train, ev, n=3).collect()}
+    assert got[0]["eval_ngram_hits"] == 4  # 6 words -> 4 trigrams
+    assert got[0]["contaminated"]
+    assert not got[1]["contaminated"]
