@@ -415,6 +415,26 @@ def q_personalization(spark, sf_dir):
     return v.select("url", F.round("v", 6).alias("v"))
 
 
+def q_url_parts(spark, sf_dir):
+    """URL structure columns over the U-graph vertex set (host / domain /
+    path / depth / dir-flag) — the per-site keys curation policies group on."""
+    from pagerank_spark.functions.urls import with_url_parts
+
+    g = _graph_u(spark, sf_dir)
+    return with_url_parts(g.vertices).select(
+        "url", "host", "domain", "path", "path_depth", "is_dir"
+    )
+
+
+def q_domain_counts(spark, sf_dir):
+    from pagerank_spark.functions.urls import domain_page_counts
+
+    g = _graph_u(spark, sf_dir)
+    return domain_page_counts(g.vertices).select(
+        "domain", F.col("n_pages").cast("long").alias("n_pages")
+    )
+
+
 def q_url_query_predicate(spark, sf_dir):
     from pagerank_spark.functions.url_query import url_satisfies_query_col
 
@@ -798,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk": q_search_topk,
         "personalization": q_personalization,
         "url_query_predicate": q_url_query_predicate,
+        "url_parts": q_url_parts,
+        "domain_counts": q_domain_counts,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1047,6 +1069,34 @@ it(iter, url, rank, resid) AS (
 )
 SELECT url, ROUND(rank, 6) AS rank FROM it
 WHERE iter = (SELECT MAX(iter) FROM it)
+"""
+
+    url_parts_cte = f"""{INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
+ub AS (
+  SELECT url,
+         regexp_extract(url, '^(?:[a-z]+://)?([^/]+)', 1) AS host,
+         regexp_extract(url, '^(?:[a-z]+://)?[^/]+(/.*)$', 1) AS path
+  FROM av
+),
+ud AS (SELECT url, host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS dd, path FROM ub),
+uparts AS (
+  SELECT url, host,
+         CASE WHEN dd = '' THEN host ELSE dd END AS domain,
+         path,
+         CAST(len(regexp_extract_all(path, '/')) AS BIGINT) AS path_depth,
+         url LIKE '%/' AS is_dir
+  FROM ud
+)"""
+    sqls["url_parts"] = f"""
+WITH {url_parts_cte}
+SELECT url, host, domain, path, path_depth, is_dir FROM uparts
+"""
+
+    sqls["domain_counts"] = f"""
+WITH {url_parts_cte}
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages FROM uparts GROUP BY domain
 """
 
     sqls["url_query_predicate"] = f"""

@@ -1,0 +1,69 @@
+"""URL structure columns for web-corpus curation.
+
+The reference treats urls as opaque strings (substring predicates only,
+reference pagerank.py:196-242); large-scale curation additionally groups,
+rates and caps by site — host/domain extraction and path shape are the
+standard keys (per-domain quotas, domain-level dedup, boilerplate hosts).
+
+All pure Column expressions (whole-stage codegen, no UDF), each with an
+ANSI-SQL twin in __spark_entry__.py built from the same regexes:
+
+  host       everything between the optional scheme and the first '/'
+  domain     the last two dot-labels of host (host itself if undotted) —
+             a deterministic registrable-domain approximation (a real
+             public-suffix list is a broadcast-joined lookup table away,
+             deliberately not baked in)
+  path       '/...' suffix after the host ('' when absent)
+  path_depth number of '/' in path (0 when no path)
+  is_dir     url ends in '/' (the reference's regex filter targets these)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HOST_RE = r"^(?:[a-z]+://)?([^/]+)"
+PATH_RE = r"^(?:[a-z]+://)?[^/]+(/.*)$"
+DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def host_col(url: Column) -> Column:
+    return F.regexp_extract(url, HOST_RE, 1)
+
+
+def domain_col(url: Column) -> Column:
+    h = host_col(url)
+    d = F.regexp_extract(h, DOMAIN_RE, 1)
+    return F.when(d == "", h).otherwise(d)
+
+
+def path_col(url: Column) -> Column:
+    return F.regexp_extract(url, PATH_RE, 1)
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add (host, domain, path, path_depth, is_dir) to ``df``."""
+    u = F.col(url_col)
+    p = path_col(u)
+    return (
+        df.withColumn("host", host_col(u))
+        .withColumn("domain", domain_col(u))
+        .withColumn("path", p)
+        .withColumn(
+            "path_depth", F.size(F.regexp_extract_all(p, F.lit("/"), 0)).cast("long")
+        )
+        .withColumn("is_dir", u.endswith("/"))
+    )
+
+
+def domain_page_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, n_pages) — the per-site rollup quota/cap policies key on.
+    One partial-aggregated groupBy; at corpus scale domains are the natural
+    skew axis, and the map-side combine means even a 10^9-page domain adds
+    one partial row per upstream partition to the shuffle."""
+    return (
+        df.select(domain_col(F.col(url_col)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_pages"))
+    )

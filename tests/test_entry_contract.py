@@ -36,6 +36,8 @@ FAST_QUERIES = [
     "multimodal_meta",
     "frame_sample",
     "url_query_predicate",
+    "url_parts",
+    "domain_counts",
     "stratified_sample",
     "pack_sequences",
     "temperature_sample",

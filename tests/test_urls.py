@@ -1,0 +1,46 @@
+"""URL structure columns (functions/urls.py)."""
+
+from __future__ import annotations
+
+from pagerank_spark.functions.urls import domain_page_counts, with_url_parts
+
+CASES = [
+    # (url, host, domain, path, path_depth, is_dir)
+    ("https://www.d3.test-p7/x/y", "www.d3.test-p7", "d3.test-p7", "/x/y", 2, False),
+    ("http://example.com/", "example.com", "example.com", "/", 1, True),
+    ("www.a.b.c.example.org/p", "www.a.b.c.example.org", "c.example.org"
+     if False else "example.org", "/p", 1, False),
+    ("localhost/x", "localhost", "localhost", "/x", 1, False),
+    ("plainhost", "plainhost", "plainhost", "", 0, False),
+]
+
+
+def test_url_parts_hand_cases(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], ["url"])
+    got = {r["url"]: r for r in with_url_parts(df).collect()}
+    for url, host, domain, path, depth, is_dir in CASES:
+        r = got[url]
+        assert r["host"] == host, url
+        assert r["domain"] == domain, url
+        assert r["path"] == path, url
+        assert r["path_depth"] == depth, url
+        assert r["is_dir"] == is_dir, url
+
+
+def test_domain_page_counts(spark):
+    urls = [
+        "www.a.example.com/1",
+        "www.b.example.com/2",
+        "example.com/3",
+        "other.net/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r["domain"]: r["n_pages"] for r in domain_page_counts(df).collect()}
+    assert got == {"example.com": 3, "other.net": 1}
+
+
+def test_url_parts_no_udf_in_plan(spark):
+    # pure Column expressions: the physical plan must contain no Python eval
+    df = spark.createDataFrame([("a.b/c",)], ["url"])
+    plan = with_url_parts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
