@@ -380,6 +380,19 @@ def q_hits(spark, sf_dir):
     return hits(spark.sql(H_SQL), iterations=HITS_ITERS)
 
 
+KCORE_K = 3
+
+
+def q_k_core3(spark, sf_dir):
+    """Vertices of the 3-core of the (undirected, simplified) H graph —
+    iterative peeling; the DuckDB twin is the same fixpoint as a recursive
+    CTE. The H graph's skewed degrees make the peel cascade non-trivial."""
+    from pagerank_spark.operators.kcore import k_core
+
+    _views(spark, sf_dir, ("events",))
+    return k_core(spark.sql(H_SQL), k=KCORE_K)
+
+
 SEARCH_QUERY = "test-p1 -test-p11"
 SEARCH_K = 25
 
@@ -815,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_global": q_triangles_global,
         "triangles_per_vertex": q_triangles_per_vertex,
         "hits": q_hits,
+        "k_core3": q_k_core3,
         "search_topk": q_search_topk,
         "personalization": q_personalization,
         "url_query_predicate": q_url_query_predicate,
@@ -988,6 +1002,47 @@ h{k} AS (SELECT url, h / (SELECT sqrt(SUM(h * h)) FROM h{k}u) AS h FROM h{k}u)""
 WITH {','.join(hits_ctes)}
 SELECT v.url, ROUND(h{HITS_ITERS}.h, 6) AS hub, ROUND(a{HITS_ITERS}.a, 6) AS authority
 FROM hverts v JOIN h{HITS_ITERS} USING (url) JOIN a{HITS_ITERS} USING (url)
+"""
+
+    # k-core peeling fixpoint: the recursive working table is the surviving
+    # undirected edge set; a step emits iter+1 only while it still shrinks
+    # (an empty survivor set ends the recursion silently, so the final
+    # select re-checks stability — an unstable last set means the core is
+    # empty). Mirrors operators/kcore.py round-for-round.
+    sqls["k_core3"] = f"""
+WITH RECURSIVE g AS ({H_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM g WHERE src <> dst
+),
+it(iter, a, b) AS (
+  SELECT 0, a, b FROM und
+  UNION ALL
+  SELECT iter + 1, a, b FROM (
+    SELECT e.iter, e.a, e.b,
+           COUNT(*) OVER () AS n_surv,
+           (SELECT COUNT(*) FROM it) AS n_prev
+    FROM it e
+    WHERE e.a IN (SELECT v FROM (SELECT a AS v FROM it UNION ALL SELECT b FROM it) t
+                  GROUP BY v HAVING COUNT(*) >= {KCORE_K})
+      AND e.b IN (SELECT v FROM (SELECT a AS v FROM it UNION ALL SELECT b FROM it) t
+                  GROUP BY v HAVING COUNT(*) >= {KCORE_K})
+  ) s
+  WHERE n_surv < n_prev
+),
+last AS (SELECT a, b FROM it WHERE iter = (SELECT MAX(iter) FROM it)),
+lsurv AS (
+  SELECT e.a, e.b FROM last e
+  WHERE e.a IN (SELECT v FROM (SELECT a AS v FROM last UNION ALL SELECT b FROM last) t
+                GROUP BY v HAVING COUNT(*) >= {KCORE_K})
+    AND e.b IN (SELECT v FROM (SELECT a AS v FROM last UNION ALL SELECT b FROM last) t
+                GROUP BY v HAVING COUNT(*) >= {KCORE_K})
+),
+final AS (
+  SELECT a, b FROM last
+  WHERE (SELECT COUNT(*) FROM lsurv) = (SELECT COUNT(*) FROM last)
+)
+SELECT DISTINCT url FROM (SELECT a AS url FROM final UNION ALL SELECT b FROM final) t
 """
 
     # search over one U-graph power iteration

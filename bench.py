@@ -116,6 +116,18 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["hits2"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.kcore import k_core
+
+    t0 = time.monotonic()
+    k_core(
+        spark.sql(
+            "SELECT 's' || CAST(event_id % 997 AS STRING) AS src, "
+            "'a' || CAST(event_id % (1 + (user_id % 97)) AS STRING) AS dst FROM events"
+        ),
+        k=3,
+    ).count()
+    timings["k_core3"] = time.monotonic() - t0
+
     from pagerank_spark.operators.dedup import (
         embedding_near_duplicates,
         minhash_near_duplicates,

@@ -1,0 +1,76 @@
+"""k-core decomposition (fixed k): the maximal subgraph where every vertex
+has undirected degree >= k, by iterative peeling (Seidman 1983; the
+MapReduce formulation is the standard repeated degree-filter).
+
+The reference has no graph algorithms beyond PageRank (reference
+pagerank.py); k-core joins components / label propagation / triangles /
+HITS in the engine's north-rule graph layer. Curation use: the k-core of a
+link graph is the densely-cross-linked "site cluster" backbone — a common
+spam/boilerplate signal at web scale.
+
+Scale shape per round: ONE partial-aggregated degree count over the
+(deduplicated, undirected) edge list + two semi-joins against the surviving
+vertex set — the vertex side is degree-filtered and broadcasts while it
+fits, the edge side stays partitioned in place. Rounds are O(peeling
+depth), typically tens; each round's edge set is localCheckpoint-ed so
+lineage stays flat. The DuckDB twin replicates the peeling fixpoint as a
+recursive CTE with the same stop rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _undirect(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    s, d = F.col(src_col), F.col(dst_col)
+    return (
+        edges.where(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """(url,) — the vertices of the k-core of the undirected simple graph
+    underlying ``edges`` (self-loops dropped, multi-edges collapsed).
+    Possibly empty. Deterministic."""
+    if k < 1:
+        raise ValueError("k_core needs k >= 1")
+    cur = _undirect(edges, src_col, dst_col).localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("_d"))
+        )
+        good = F.broadcast(deg.where(F.col("_d") >= k).select("v"))
+        nxt = (
+            cur.join(good.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(good.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur.unpersist()
+        if n_nxt == n_cur:  # stable: every remaining endpoint has deg >= k
+            cur = nxt
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(f"k_core did not stabilize in {max_rounds} rounds")
+    return (
+        cur.select(F.col("a").alias("url"))
+        .union(cur.select(F.col("b").alias("url")))
+        .distinct()
+    )

@@ -23,6 +23,7 @@ FAST_QUERIES = [
     "dangling",
     "pagerank_iter1",
     "hits",
+    "k_core3",
     "token_stats",
     "quality_scores",
     "lang_id",
