@@ -493,6 +493,18 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Per-lang document-length quantiles — exact type-7 percentiles, which
+    Spark `percentile` and DuckDB `quantile_cont` compute bit-identically."""
+    from pagerank_spark.operators.textops import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir)).select(
+        F.col("grp").alias("lang"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "p50", "p90", "p99",
+    )
+
+
 REP_N = 3
 
 
@@ -840,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "repetition_stats": q_repetition_stats,
+        "length_quantiles": q_length_quantiles,
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1213,6 +1226,15 @@ SELECT md5({NORM_TEXT}) AS text_hash,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1
+"""
+
+    sqls["length_quantiles"] = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(CAST(len({TOKS}) AS DOUBLE), 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(len({TOKS}) AS DOUBLE), 0.9), 6) AS p90,
+       ROUND(quantile_cont(CAST(len({TOKS}) AS DOUBLE), 0.99), 6) AS p99
+FROM documents GROUP BY lang
 """
 
     def ngram_hash_cte(n: int, name: str) -> str:

@@ -190,3 +190,36 @@ def repetition_stats(
     return words.join(rep, "doc_id").select(
         "doc_id", "n_words", "distinct_word_ratio", "top_ngram_share", "dup_ngram_frac"
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    probs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(group, n_docs, p50, p90, p99) — per-group document-length quantiles
+    (whitespace tokens), the distribution summary every corpus report leads
+    with (length filters are tuned off these tails).
+
+    EXACT type-7 interpolated percentiles via Spark's ``percentile``
+    aggregate — bit-identical to DuckDB's ``quantile_cont`` (probed: both
+    compute rank p*(n-1) with the same lerp), so the oracle hash-matches
+    without approximation. One partial-aggregated groupBy; exact percentile
+    needs the group's values collected per reducer, which is fine for
+    group-by-language/source cardinalities (use approx_percentile when
+    grouping by a high-cardinality key instead)."""
+    toks = F.size(_ws_tokens(F.lower(F.col(text_col)))).cast("double")
+    plist = ", ".join(f"{p}D" for p in probs)
+    qs = F.expr(f"percentile(_len, array({plist}))")
+    out = docs.select(F.col(group_col).alias("grp"), toks.alias("_len")).groupBy(
+        "grp"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        qs.alias("_q"),
+    )
+    cols = [
+        F.round(F.element_at("_q", i + 1), 6).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return out.select("grp", "n_docs", *cols)

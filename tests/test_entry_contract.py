@@ -30,6 +30,7 @@ FAST_QUERIES = [
     "fingerprints",
     "dedup_exact",
     "repetition_stats",
+    "length_quantiles",
     "decontaminate",
     "simhash_sigs",
     "ann_topk",

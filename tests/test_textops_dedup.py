@@ -491,3 +491,19 @@ def test_decontaminate_self_eval_counts_all_shingles(spark):
     assert got[0]["eval_ngram_hits"] == 4  # 6 words -> 4 trigrams
     assert got[0]["contaminated"]
     assert not got[1]["contaminated"]
+
+
+def test_length_quantiles_hand_computed(spark):
+    from pagerank_spark.operators.textops import length_quantiles
+
+    rows = [(i, " ".join(["w"] * n), "en") for i, n in enumerate([1, 2, 3, 4, 100])]
+    rows += [(10, "a b", "de")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["grp"]: r for r in length_quantiles(df).collect()}
+    en = got["en"]
+    # lengths [1,2,3,4,100]: p50 = 3 exactly; p90 = rank 0.9*4=3.6 ->
+    # 4 + 0.6*(100-4) = 61.6
+    assert en["n_docs"] == 5
+    assert en["p50"] == 3.0
+    assert en["p90"] == pytest.approx(61.6, abs=1e-6)
+    assert got["de"]["p50"] == 2.0
