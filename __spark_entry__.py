@@ -1139,16 +1139,18 @@ SELECT url, ROUND(rank, 6) AS rank FROM it
 WHERE iter = (SELECT MAX(iter) FROM it)
 """
 
+    from pagerank_spark.functions.urls import DOMAIN_RE, HOST_RE, PATH_RE
+
     url_parts_cte = f"""{INGEST_CTE},
 av AS (SELECT DISTINCT url FROM (
   SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
 ub AS (
   SELECT url,
-         regexp_extract(url, '^(?:[a-z]+://)?([^/]+)', 1) AS host,
-         regexp_extract(url, '^(?:[a-z]+://)?[^/]+(/.*)$', 1) AS path
+         regexp_extract(url, '{HOST_RE}', 1) AS host,
+         regexp_extract(url, '{PATH_RE}', 1) AS path
   FROM av
 ),
-ud AS (SELECT url, host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS dd, path FROM ub),
+ud AS (SELECT url, host, regexp_extract(host, '{DOMAIN_RE}', 1) AS dd, path FROM ub),
 uparts AS (
   SELECT url, host,
          CASE WHEN dd = '' THEN host ELSE dd END AS domain,

@@ -8,12 +8,13 @@ standard keys (per-domain quotas, domain-level dedup, boilerplate hosts).
 All pure Column expressions (whole-stage codegen, no UDF), each with an
 ANSI-SQL twin in __spark_entry__.py built from the same regexes:
 
-  host       everything between the optional scheme and the first '/'
+  host       the authority minus scheme (RFC-3986-shaped: any-case scheme,
+             optional userinfo@ stripped, :port and ?#-suffixes excluded)
   domain     the last two dot-labels of host (host itself if undotted) —
              a deterministic registrable-domain approximation (a real
              public-suffix list is a broadcast-joined lookup table away,
              deliberately not baked in)
-  path       '/...' suffix after the host ('' when absent)
+  path       '/...' suffix after the authority ('' when absent)
   path_depth number of '/' in path (0 when no path)
   is_dir     url ends in '/' (the reference's regex filter targets these)
 """
@@ -23,8 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-HOST_RE = r"^(?:[a-z]+://)?([^/]+)"
-PATH_RE = r"^(?:[a-z]+://)?[^/]+(/.*)$"
+# scheme per RFC 3986 (ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )), any case:
+# a lowercase-only scheme class silently returns 'HTTP:' as the host for
+# uppercase urls and folds ports into the domain rollup key
+_SCHEME = r"(?:[A-Za-z][A-Za-z0-9+.-]*://)?"
+HOST_RE = rf"^{_SCHEME}(?:[^/@?#]*@)?([^/:?#]+)"
+PATH_RE = rf"^{_SCHEME}[^/?#]+(/[^?#]*)"
 DOMAIN_RE = r"([^.]+\.[^.]+)$"
 
 

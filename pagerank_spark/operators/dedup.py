@@ -495,8 +495,11 @@ def decontaminate(
     ``shingle_hashes`` — is BROADCAST; the corpus side is one scan + explode
     with the semi-join applied map-side (no shuffle of corpus shingles), and
     the only wide exchange is the final partial-aggregated groupBy(doc_id)
-    over the rare hits. The left join back to docs broadcasts the hit table
-    (hits <= eval corpus reach, again tiny next to the corpus)."""
+    over the hits. The left join back to docs is deliberately NOT
+    broadcast-hinted: a boilerplate n-gram in the eval set can contaminate a
+    corpus-sized fraction of docs, so the hit table is eval-bounded only in
+    the best case — the planner (AQE) broadcasts it when runtime stats say
+    it is actually small, and shuffles it when it is not."""
     ev = (
         shingle_hashes(eval_docs, n=n, text_col=text_col, id_col=id_col)
         .select("sh").distinct()
@@ -509,7 +512,7 @@ def decontaminate(
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("eval_ngram_hits"), F.lit(0).cast("long")).alias(

@@ -59,12 +59,19 @@ def hits(
         e.select(F.col("dst").alias("url"))
     ).distinct()
     n = verts.count()
+    if n == 0:  # empty edge set: empty result, not a ZeroDivisionError
+        e.unpersist()
+        return verts.select(
+            "url", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
     h = verts.withColumn("h", F.lit(1.0 / float(n) ** 0.5))
 
     maybe_bc = F.broadcast if broadcast_scores else (lambda df: df)
     a = None
     for _ in range(iterations):
-        # authorities from previous hubs
+        # authorities from previous hubs. Eager checkpoint BEFORE the norm
+        # agg so the join computes once: the norm's .first() then reads the
+        # materialized blocks and the normalization is a projection on them.
         a = (
             e.join(maybe_bc(h.withColumnRenamed("url", "src")), "src")
             .groupBy("dst")
@@ -72,7 +79,7 @@ def hits(
             .withColumnRenamed("dst", "url")
         )
         a = verts.join(a, "url", "left").fillna(0.0, ["a"])
-        a = _l2_normalized(a, "a").localCheckpoint(eager=False)
+        a = _l2_normalized(a.localCheckpoint(eager=True), "a")
         # hubs from current authorities
         h = (
             e.join(maybe_bc(a.withColumnRenamed("url", "dst")), "dst")
@@ -81,9 +88,8 @@ def hits(
             .withColumnRenamed("src", "url")
         )
         h = verts.join(h, "url", "left").fillna(0.0, ["h"])
-        h = _l2_normalized(h, "h").localCheckpoint(eager=False)
-    e.unpersist()
-    return (
+        h = _l2_normalized(h.localCheckpoint(eager=True), "h")
+    out = (
         verts.join(h, "url", "left")
         .join(a, "url", "left")
         .select(
@@ -91,4 +97,7 @@ def hits(
             F.round(F.coalesce("h", F.lit(0.0)), 6).alias("hub"),
             F.round(F.coalesce("a", F.lit(0.0)), 6).alias("authority"),
         )
+        .localCheckpoint(eager=True)  # materialize while e is still cached
     )
+    e.unpersist()
+    return out

@@ -37,25 +37,38 @@ def k_core(
     k: int,
     src_col: str = "src",
     dst_col: str = "dst",
-    max_rounds: int = 200,
+    max_rounds: int | None = None,
+    broadcast_vertices: bool = True,
 ) -> DataFrame:
     """(url,) — the vertices of the k-core of the undirected simple graph
     underlying ``edges`` (self-loops dropped, multi-edges collapsed).
-    Possibly empty. Deterministic."""
+    Possibly empty. Deterministic.
+
+    ``max_rounds=None`` (default) peels to the fixpoint — termination is
+    guaranteed because every non-final round strictly shrinks the edge set,
+    and peeling depth is O(V) worst-case (a 2N-vertex path at k=2 peels one
+    vertex per end per round). Pass a cap to fail fast instead on graphs
+    where that depth is operationally unacceptable. ``broadcast_vertices``:
+    hint the degree-filtered vertex set as the semi-join build side (right
+    while it fits an executor; pass False at cluster scale for the shuffle
+    semi-join against the partitioned edge set)."""
     if k < 1:
         raise ValueError("k_core needs k >= 1")
+    maybe_bc = F.broadcast if broadcast_vertices else (lambda df: df)
     cur = _undirect(edges, src_col, dst_col).localCheckpoint(eager=True)
     n_cur = cur.count()
-    for _ in range(max_rounds):
-        if n_cur == 0:
-            break
+    rounds = 0
+    while n_cur > 0:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(f"k_core did not stabilize in {max_rounds} rounds")
         deg = (
             cur.select(F.col("a").alias("v"))
             .unionAll(cur.select(F.col("b").alias("v")))
             .groupBy("v")
             .agg(F.count("*").alias("_d"))
         )
-        good = F.broadcast(deg.where(F.col("_d") >= k).select("v"))
+        good = maybe_bc(deg.where(F.col("_d") >= k).select("v"))
         nxt = (
             cur.join(good.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(good.withColumnRenamed("v", "b"), "b", "left_semi")
@@ -63,12 +76,10 @@ def k_core(
         )
         n_nxt = nxt.count()
         cur.unpersist()
+        cur = nxt
         if n_nxt == n_cur:  # stable: every remaining endpoint has deg >= k
-            cur = nxt
             break
-        cur, n_cur = nxt, n_nxt
-    else:
-        raise RuntimeError(f"k_core did not stabilize in {max_rounds} rounds")
+        n_cur = n_nxt
     return (
         cur.select(F.col("a").alias("url"))
         .union(cur.select(F.col("b").alias("url")))

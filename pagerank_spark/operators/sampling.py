@@ -44,6 +44,15 @@ from pagerank_spark.operators.textops import hexint15
 _HASH_SPACE = float(1 << 60)
 
 
+def shard_hash(key: Column, seed: str) -> Column:
+    """THE deterministic shard-assignment hash (60-bit md5 of 'seed,key') —
+    `interleave_shards` and `pack_sequences` both key their shard (% n) and
+    in-shard order on exactly this expression; the DuckDB twins rebuild it
+    via the shared HEX15 convention. Single definition so the cross-engine
+    determinism contract can't silently fork."""
+    return hexint15(F.concat(F.lit(f"{seed},"), key.cast("string")))
+
+
 def uniform01(key: Column, seed: str) -> Column:
     """Deterministic U[0,1) from a key column: md5-derived 60-bit int / 2^60.
 
@@ -119,7 +128,7 @@ def interleave_shards(
     per-partition sort, and shards stream to their writers without any
     global sort.
     """
-    h = hexint15(F.concat(F.lit(f"{seed},"), F.col(id_col).cast("string")))
+    h = shard_hash(F.col(id_col), seed)
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return (
         df.withColumn("_h", h)
@@ -239,7 +248,7 @@ def pack_sequences(
     (seq_id, offset) bit-for-bit."""
     if token_count is None:
         token_count = F.size(F.split(F.col(text_col), " "))
-    h = hexint15(F.concat(F.lit(f"{seed},"), F.col(id_col).cast("string")))
+    h = shard_hash(F.col(id_col), seed)
     w = (
         Window.partitionBy("shard")
         .orderBy(F.col("_h").asc(), F.col(id_col).asc())

@@ -8,8 +8,10 @@ CASES = [
     # (url, host, domain, path, path_depth, is_dir)
     ("https://www.d3.test-p7/x/y", "www.d3.test-p7", "d3.test-p7", "/x/y", 2, False),
     ("http://example.com/", "example.com", "example.com", "/", 1, True),
-    ("www.a.b.c.example.org/p", "www.a.b.c.example.org", "c.example.org"
-     if False else "example.org", "/p", 1, False),
+    ("www.a.b.c.example.org/p", "www.a.b.c.example.org", "example.org", "/p", 1, False),
+    ("HTTP://Example.com/x", "Example.com", "Example.com", "/x", 1, False),
+    ("https://user@example.com:8080/a/b?q=/z", "example.com", "example.com", "/a/b", 2, False),
+    ("s3a://bucket/key/part", "bucket", "bucket", "/key/part", 2, False),
     ("localhost/x", "localhost", "localhost", "/x", 1, False),
     ("plainhost", "plainhost", "plainhost", "", 0, False),
 ]
