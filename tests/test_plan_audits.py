@@ -212,3 +212,29 @@ def test_decontaminate_eval_side_broadcasts(spark, docs_path):
     ev = docs.limit(5)
     plan = _physical(decontaminate(docs, ev, n=3))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_single_exchange(spark, docs_path):
+    # concat-and-chunk packing must be ONE hash exchange on shard + a
+    # per-partition window — a second exchange or a global sort would make
+    # training-order assignment a corpus-wide shuffle at 100 TB
+    from pagerank_spark.operators.sampling import pack_sequences
+
+    plan = _physical(pack_sequences(spark.read.parquet(docs_path), ctx_len=64))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan  # no global sort
+    # column pruning: only (doc_id, text) leave the scan
+    fmt = _formatted(pack_sequences(spark.read.parquet(docs_path), ctx_len=64))
+    scan = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert scan and "lang" not in scan[0], fmt
+
+
+def test_stratified_filter_reaches_the_scan(spark, docs_path):
+    # the md5 sampling predicate is a pure Column filter: it must run inside
+    # the scan stage (no exchange at all), keeping sampling shuffle-free
+    from pagerank_spark.operators.sampling import stratified_sample
+
+    plan = _physical(
+        stratified_sample(spark.read.parquet(docs_path), {"en": 0.5})
+    )
+    assert "Exchange" not in plan, plan
