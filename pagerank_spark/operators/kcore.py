@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pagerank_spark.operators.hits import (
+    BROADCAST_VERTEX_THRESHOLD,
+    resolve_broadcast,
+)
+
 
 def _undirect(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     s, d = F.col(src_col), F.col(dst_col)
@@ -38,7 +43,8 @@ def k_core(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int | None = None,
-    broadcast_vertices: bool = True,
+    broadcast_vertices: bool | None = None,
+    broadcast_threshold: int = BROADCAST_VERTEX_THRESHOLD,
 ) -> DataFrame:
     """(url,) — the vertices of the k-core of the undirected simple graph
     underlying ``edges`` (self-loops dropped, multi-edges collapsed).
@@ -49,12 +55,16 @@ def k_core(
     and peeling depth is O(V) worst-case (a 2N-vertex path at k=2 peels one
     vertex per end per round). Pass a cap to fail fast instead on graphs
     where that depth is operationally unacceptable. ``broadcast_vertices``:
-    hint the degree-filtered vertex set as the semi-join build side (right
-    while it fits an executor; pass False at cluster scale for the shuffle
-    semi-join against the partitioned edge set)."""
+    hint the degree-filtered vertex set as the semi-join build side. None
+    (default) auto-selects per round from the surviving graph size — the
+    vertex count is bounded by 2x the undirected edge count, which each
+    round already computes for the stop rule, so the policy costs nothing
+    and a peel that starts on the shuffle path flips to broadcast as the
+    core shrinks. Cluster-scale callers can no longer OOM an executor on a
+    vertex-sized build side by forgetting to pass False
+    (pagerank.py:120-124's count-threshold rule, via resolve_broadcast)."""
     if k < 1:
         raise ValueError("k_core needs k >= 1")
-    maybe_bc = F.broadcast if broadcast_vertices else (lambda df: df)
     cur = _undirect(edges, src_col, dst_col).localCheckpoint(eager=True)
     n_cur = cur.count()
     rounds = 0
@@ -62,6 +72,11 @@ def k_core(
         rounds += 1
         if max_rounds is not None and rounds > max_rounds:
             raise RuntimeError(f"k_core did not stabilize in {max_rounds} rounds")
+        maybe_bc = (
+            F.broadcast
+            if resolve_broadcast(broadcast_vertices, 2 * n_cur, broadcast_threshold)
+            else (lambda df: df)
+        )
         deg = (
             cur.select(F.col("a").alias("v"))
             .unionAll(cur.select(F.col("b").alias("v")))

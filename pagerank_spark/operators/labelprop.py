@@ -23,15 +23,21 @@ def label_propagation(
     num_partitions: int | None = None,
     stop_when_stable: bool = True,
     broadcast_labels: bool | None = None,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """Return (url, label). Labels initialized to the vertex id.
 
     ``broadcast_labels``: the label vector is vertex-sized (tiny next to the
     message table); broadcasting it keeps the edge table in place and leaves
-    one shuffle per round (the groupBy(u,label) count). Auto: broadcast when
-    < 10M vertices; set False at cluster scale so the join falls back to the
-    co-partitioned shuffle path.
+    one shuffle per round (the groupBy(u,label) count). None (default)
+    auto-selects via the shared count-threshold policy
+    (hits.resolve_broadcast, 10M vertices); set False at cluster scale so
+    the join falls back to the co-partitioned shuffle path.
     """
+    from pagerank_spark.operators.hits import (
+        BROADCAST_VERTEX_THRESHOLD,
+        resolve_broadcast,
+    )
     spark = edges.sparkSession
     num_partitions = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -50,8 +56,10 @@ def label_propagation(
         .persist()
     )
     labels = vertices.select("url", F.col("url").alias("label")).localCheckpoint(eager=True)
-    if broadcast_labels is None:
-        broadcast_labels = vertices.count() < 10_000_000
+    if broadcast_labels is None:  # only pay the count job when auto-deciding
+        broadcast_labels = resolve_broadcast(
+            None, vertices.count(), broadcast_threshold or BROADCAST_VERTEX_THRESHOLD
+        )
 
     w = Window.partitionBy("u").orderBy(F.desc("_cnt"), F.asc("label"))
     for _ in range(max_iterations):

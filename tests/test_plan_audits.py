@@ -229,6 +229,37 @@ def test_pack_sequences_single_exchange(spark, docs_path):
     assert scan and "lang" not in scan[0], fmt
 
 
+@pytest.mark.parametrize("n_vertices, expect_broadcast", [(50, True), (10**10, False)])
+def test_hits_join_strategy_flips_with_input_size(spark, n_vertices, expect_broadcast):
+    # the broadcast auto-policy (resolve_broadcast, shared by hits/k_core/
+    # label_propagation): a vertex-sized score table is the broadcast build
+    # side while it fits an executor, and the SAME code path plans a shuffle
+    # join once the vertex count crosses the threshold — so a cluster-scale
+    # caller cannot OOM on a 10^9-row build side by default. Asserted on the
+    # physical plan of the half-round with the planner's own small-table
+    # broadcasting disabled, so the policy alone decides.
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.hits import _half_round, resolve_broadcast
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.createDataFrame(
+            [(f"u{i}", f"u{(i * 3) % 7}") for i in range(20)], ["src", "dst"]
+        )
+        verts = e.select(F.col("src").alias("url")).distinct()
+        scores = verts.withColumn("h", F.lit(1.0))
+        broadcast = resolve_broadcast(None, n_vertices)
+        assert broadcast == expect_broadcast
+        plan = _physical(
+            _half_round(e, scores, verts, "src", "dst", "h", "a", broadcast)
+        )
+        assert ("BroadcastHashJoin" in plan) == expect_broadcast, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_stratified_filter_reaches_the_scan(spark, docs_path):
     # the md5 sampling predicate is a pure Column filter: it must run inside
     # the scan stage (no exchange at all), keeping sampling shuffle-free
