@@ -122,21 +122,76 @@ def _read_manifest(scratch: str) -> dict:
         ) from e
 
 
-def _node_cache_dir(scratch: str) -> str:
-    """Local directory holding this node's factorized copies of the spill,
-    once per node (same path for every worker on the node, keyed by the
-    spill's uuid-bearing path). Prefers /dev/shm (tmpfs) when present so
-    publishing the arrays never touches disk — the cache lives in exactly
-    the pages the mmaps will read. Override with PAGERANK_CSR_CACHE_DIR
-    (e.g. point it at a local NVMe on memory-tight executors)."""
-    import hashlib
+_BLOCK_META = "_meta.json"
+# skip a cache base when the block's arrays would eat more than this share
+# of its CURRENT free space (tmpfs is bounded: filling /dev/shm turns later
+# allocations anywhere on the node into hard failures)
+_SHM_BUDGET_FRACTION = float(os.environ.get("PAGERANK_CSR_SHM_FRACTION", "0.5"))
+
+
+def _cache_bases() -> list:
+    """Candidate cache roots in preference order. /dev/shm (tmpfs — the
+    publish never touches disk; the cache IS the pages the mmaps read) then
+    the disk tempdir as the always-available fallback. An explicit
+    PAGERANK_CSR_CACHE_DIR (e.g. a local NVMe on memory-tight executors)
+    replaces the whole list."""
     import tempfile
 
-    tag = hashlib.md5(scratch.encode("utf-8")).hexdigest()[:16]
     base = os.environ.get("PAGERANK_CSR_CACHE_DIR")
-    if base is None:
-        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    return os.path.join(base, f"pagerank_csr_nodecache_{tag}")
+    if base is not None:
+        return [base]
+    out = []
+    if os.path.isdir("/dev/shm"):
+        out.append("/dev/shm")
+    tmp = tempfile.gettempdir()
+    if tmp not in out:
+        out.append(tmp)
+    return out
+
+
+def _node_cache_dirs(scratch: str) -> list:
+    """This node's cache directories for the spill (same paths for every
+    worker on the node, keyed by the spill's uuid-bearing path), one per
+    candidate base. A block lives in exactly one of them — whichever base
+    had budget when the block was first localized."""
+    import hashlib
+
+    tag = hashlib.md5(scratch.encode("utf-8")).hexdigest()[:16]
+    return [os.path.join(b, f"pagerank_csr_nodecache_{tag}") for b in _cache_bases()]
+
+
+def _fits_budget(base_dir: str, nbytes: int, fraction: float) -> bool:
+    try:
+        st = os.statvfs(base_dir)
+    except OSError:
+        return False
+    return nbytes <= fraction * st.f_bavail * st.f_frsize
+
+
+def _publish_block(dst: str, arrays: dict) -> bool:
+    """Atomically publish the block dir (arrays + length manifest). Returns
+    False when the write fails midway (e.g. tmpfs filled under us) — the
+    half-written tmp dir is removed and the caller tries the next base."""
+    import shutil
+
+    tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        os.makedirs(tmp, exist_ok=True)
+        meta = {}
+        for name, arr in arrays.items():
+            with open(os.path.join(tmp, f"{name}.npy"), "wb") as out:
+                np.save(out, np.ascontiguousarray(arr), allow_pickle=False)
+            meta[name] = [len(arr), str(arr.dtype)]
+        with open(os.path.join(tmp, _BLOCK_META), "w") as out:
+            json.dump(meta, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    try:
+        os.rename(tmp, dst)
+    except OSError:  # another worker won the race — use its copy
+        shutil.rmtree(tmp, ignore_errors=True)
+    return True
 
 
 def _localize_block(scratch: str, block: int) -> str:
@@ -144,11 +199,18 @@ def _localize_block(scratch: str, block: int) -> str:
     building it from the spill parquet on the node's first touch (atomic
     publish via rename so concurrent workers never see a half-written block;
     the losing builder discards its copy). Every later task on the node —
-    whichever Python worker it lands on — mmaps the published arrays."""
-    dst = os.path.join(_node_cache_dir(scratch), f"block={block}")
-    if os.path.isdir(dst):
-        return dst
-    import io
+    whichever Python worker it lands on — mmaps the published arrays.
+
+    Cache-budget rule: a base (e.g. /dev/shm) is only written when the
+    block's arrays fit within _SHM_BUDGET_FRACTION of its free space —
+    tmpfs is bounded, and filling it surfaces later as SIGBUS on someone
+    ELSE's mapping, the worst failure mode on the node. A publish that
+    still fails midway (ENOSPC race) falls through to the next base; the
+    disk tempdir is written unconditionally as the last resort."""
+    candidates = [os.path.join(d, f"block={block}") for d in _node_cache_dirs(scratch)]
+    for dst in candidates:
+        if os.path.isdir(dst):
+            return dst
 
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
@@ -175,24 +237,50 @@ def _localize_block(scratch: str, block: int) -> str:
         "did_codes": did_codes.astype(np.int32),
         "w": np.ascontiguousarray(t["weight"].to_numpy(), dtype=np.float64),
     }
-    tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
-    for name, arr in arrays.items():
-        with open(os.path.join(tmp, f"{name}.npy"), "wb") as out:
-            np.save(out, np.ascontiguousarray(arr), allow_pickle=False)
-    try:
-        os.rename(tmp, dst)
-    except OSError:  # another worker won the race — use its copy
-        import shutil
+    nbytes = sum(a.nbytes for a in arrays.values())
+    for i, dst in enumerate(candidates):
+        last = i == len(candidates) - 1
+        if not last and not _fits_budget(os.path.dirname(os.path.dirname(dst)),
+                                         nbytes, _SHM_BUDGET_FRACTION):
+            continue
+        if _publish_block(dst, arrays):
+            return dst
+    raise RuntimeError(
+        f"pagerank_csr could not publish block {block} to any cache base "
+        f"({_cache_bases()}): all writes failed (disk full?)"
+    )
 
-        shutil.rmtree(tmp, ignore_errors=True)
-    return dst
+
+def _mmap_block(d: str):
+    """mmap the block dir's arrays, VERIFIED against its length manifest.
+    Raises OSError/ValueError when the dir was evicted or truncated between
+    the existence check and the read — the caller rebuilds from the spill
+    instead of handing the kernel a garbage mapping."""
+    with open(os.path.join(d, _BLOCK_META)) as f:
+        meta = json.load(f)
+    out = []
+    for name in _ARRAYS:
+        arr = np.load(os.path.join(d, f"{name}.npy"), mmap_mode="r")
+        want_len, want_dtype = meta[name]
+        if len(arr) != want_len or str(arr.dtype) != want_dtype:
+            raise ValueError(
+                f"cached block {d!r} array {name}: have ({len(arr)}, "
+                f"{arr.dtype}), manifest says ({want_len}, {want_dtype})"
+            )
+        out.append(arr)
+    return tuple(out)
 
 
 def _load_block(scratch: str, block: int):
     """mmap the block's factorized CSR arrays. O(1) after the node's first
     touch: np.load(mmap_mode='r') maps the pages every other worker on the
-    node already faulted in — no read, no decode, no factorization."""
+    node already faulted in — no read, no decode, no factorization.
+
+    Eviction-safe: the mmap is verified against the block's length manifest;
+    a cache dir deleted or truncated under us (bounded /dev/shm, tmp
+    cleaners) is REBUILT from the spill once, and a second failure raises —
+    never a silent garbage mapping. Already-issued mmaps stay valid even if
+    the file is unlinked (the inode lives until unmapped)."""
     if _BLOCK_CACHE["dir"] != scratch:
         # manifest first: distinguishes 'spill missing/unreadable' (raise)
         # from 'block genuinely empty' (absent from the manifest block list)
@@ -205,11 +293,24 @@ def _load_block(scratch: str, block: int):
         if present is not None and block not in present:
             _BLOCK_CACHE["blocks"][block] = None  # genuinely no edges
         else:
-            d = _localize_block(scratch, block)
-            _BLOCK_CACHE["blocks"][block] = tuple(
-                np.load(os.path.join(d, f"{name}.npy"), mmap_mode="r")
-                for name in _ARRAYS
-            )
+            import shutil
+
+            try:
+                blk = _mmap_block(_localize_block(scratch, block))
+            except (OSError, ValueError, KeyError):
+                # evicted/corrupt cache: drop every base's copy, rebuild
+                # from the spill, and verify again — or fail loudly
+                for d in _node_cache_dirs(scratch):
+                    shutil.rmtree(os.path.join(d, f"block={block}"),
+                                  ignore_errors=True)
+                try:
+                    blk = _mmap_block(_localize_block(scratch, block))
+                except (OSError, ValueError, KeyError) as e:
+                    raise RuntimeError(
+                        f"pagerank_csr block {block}: node cache was evicted "
+                        f"and could not be rebuilt from {scratch!r}"
+                    ) from e
+            _BLOCK_CACHE["blocks"][block] = blk
     return _BLOCK_CACHE["blocks"][block]
 
 
@@ -327,7 +428,8 @@ def _csr_state(graph, B: int, scratch_dir: str | None) -> dict:
             # this node's factorized copy (single-node assumption is fine for
             # local mode; on a cluster each node reclaims its tempdir on its
             # own schedule)
-            shutil.rmtree(_node_cache_dir(scratch), ignore_errors=True)
+            for d in _node_cache_dirs(scratch):
+                shutil.rmtree(d, ignore_errors=True)
 
         graph._register_cleanup(_cleanup)
     return state

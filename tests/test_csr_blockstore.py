@@ -73,9 +73,11 @@ def test_load_block_is_mmap_from_node_cache(tmp_path):
     arrays = mod._load_block(root, 0)
     # served as mmaps (OS page cache is the real store) from the node cache
     assert all(isinstance(a, np.memmap) for a in arrays)
-    cache = mod._node_cache_dir(root)
-    names = sorted(os.listdir(os.path.join(cache, "block=0")))
-    assert names == sorted(f"{n}.npy" for n in mod._ARRAYS)
+    published = [os.path.join(d, "block=0") for d in mod._node_cache_dirs(root)
+                 if os.path.isdir(os.path.join(d, "block=0"))]
+    assert len(published) == 1  # exactly one base holds the block
+    names = sorted(os.listdir(published[0]))
+    assert names == sorted([f"{n}.npy" for n in mod._ARRAYS] + [mod._BLOCK_META])
     # a second process-level load (cold dict) reuses the published files
     _reset_cache()
     again = mod._load_block(root, 0)
@@ -104,12 +106,86 @@ def test_listed_block_with_missing_parquet_raises(tmp_path):
 
 def test_node_cache_dir_env_override(tmp_path, monkeypatch):
     # PAGERANK_CSR_CACHE_DIR redirects the node cache (e.g. to NVMe on
-    # memory-tight executors); default prefers /dev/shm when present
+    # memory-tight executors) and replaces the whole candidate list;
+    # default prefers /dev/shm when present, with the disk tempdir as the
+    # always-available fallback base
     monkeypatch.setenv("PAGERANK_CSR_CACHE_DIR", str(tmp_path))
-    d = mod._node_cache_dir("/some/scratch/run-abc")
-    assert d.startswith(str(tmp_path))
+    dirs = mod._node_cache_dirs("/some/scratch/run-abc")
+    assert len(dirs) == 1 and dirs[0].startswith(str(tmp_path))
     monkeypatch.delenv("PAGERANK_CSR_CACHE_DIR")
-    d2 = mod._node_cache_dir("/some/scratch/run-abc")
-    assert d2.startswith("/dev/shm") or not os.path.isdir("/dev/shm")
-    # keyed by the scratch path: different spill => different cache dir
-    assert mod._node_cache_dir("/some/scratch/run-xyz") != d2
+    dirs2 = mod._node_cache_dirs("/some/scratch/run-abc")
+    if os.path.isdir("/dev/shm"):
+        assert dirs2[0].startswith("/dev/shm") and len(dirs2) == 2
+    # keyed by the scratch path: different spill => different cache dirs
+    assert mod._node_cache_dirs("/some/scratch/run-xyz") != dirs2
+
+
+def test_evicted_cache_dir_is_rebuilt_from_spill(tmp_path):
+    # round-4 hardening: /dev/shm is bounded — a block dir deleted by tmpfs
+    # pressure (or a tmp cleaner) between runs must be REBUILT from the
+    # spill, not crash and not serve garbage
+    root = str(tmp_path / "spill")
+    sid, did, w = [5, 9, 5], [1, 1, 2], [0.5, 1.0, 0.5]
+    _fake_spill(root, {0: (sid, did, w)})
+
+    first = tuple(list(a) for a in mod._load_block(root, 0))
+    # evict: remove every base's copy, as tmpfs pressure would
+    import shutil
+    for d in mod._node_cache_dirs(root):
+        shutil.rmtree(os.path.join(d, "block=0"), ignore_errors=True)
+    _reset_cache()
+    rebuilt = tuple(list(a) for a in mod._load_block(root, 0))
+    assert rebuilt == first
+
+
+def test_truncated_cache_is_detected_and_rebuilt(tmp_path):
+    # verify-on-load: an array shorter than its length manifest entry (the
+    # mid-write/truncation corruption mode) is detected, the block is
+    # rebuilt from the spill, and the result is correct — never a silent
+    # garbage mapping
+    root = str(tmp_path / "spill")
+    sid, did, w = [5, 9, 5, 7], [1, 1, 2, 3], [0.5, 1.0, 0.5, 1.0]
+    _fake_spill(root, {0: (sid, did, w)})
+
+    first = tuple(list(a) for a in mod._load_block(root, 0))
+    blockdir = [os.path.join(d, "block=0") for d in mod._node_cache_dirs(root)
+                if os.path.isdir(os.path.join(d, "block=0"))][0]
+    # truncate one array but leave the manifest claiming the full length
+    np.save(os.path.join(blockdir, "w.npy"), np.array([0.5]), allow_pickle=False)
+    _reset_cache()
+    rebuilt = tuple(list(a) for a in mod._load_block(root, 0))
+    assert rebuilt == first
+
+
+def test_evicted_cache_with_dead_spill_raises_cleanly(tmp_path):
+    # if the cache is gone AND the spill cannot rebuild it, the kernel must
+    # raise (converging to garbage ranks is the unacceptable outcome)
+    root = str(tmp_path / "spill")
+    _fake_spill(root, {0: ([1], [2], [1.0])})
+    mod._load_block(root, 0)
+
+    import shutil
+    for d in mod._node_cache_dirs(root):
+        shutil.rmtree(os.path.join(d, "block=0"), ignore_errors=True)
+    shutil.rmtree(f"{root}/block=0")  # spill data gone; manifest remains
+    _reset_cache()
+    with pytest.raises(RuntimeError, match="corrupt|could not be rebuilt"):
+        mod._load_block(root, 0)
+
+
+def test_shm_budget_skips_tight_base(tmp_path, monkeypatch):
+    # cache-budget rule: when the block's arrays exceed the budget fraction
+    # of a base's free space, that base is skipped and the block lands on
+    # the fallback base — filling tmpfs would SIGBUS someone else's mapping
+    if not os.path.isdir("/dev/shm"):
+        pytest.skip("no /dev/shm on this host")
+    monkeypatch.delenv("PAGERANK_CSR_CACHE_DIR", raising=False)
+    root = str(tmp_path / "spill")
+    _fake_spill(root, {0: ([1, 2, 3], [4, 5, 6], [1.0, 1.0, 1.0])})
+
+    monkeypatch.setattr(mod, "_SHM_BUDGET_FRACTION", 0.0)  # nothing fits shm
+    arrays = mod._load_block(root, 0)
+    assert list(arrays[0]) == [1, 2, 3]
+    shm_dir, fallback_dir = mod._node_cache_dirs(root)
+    assert not os.path.isdir(os.path.join(shm_dir, "block=0"))
+    assert os.path.isdir(os.path.join(fallback_dir, "block=0"))
