@@ -309,17 +309,37 @@ def temperature_sample(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     seed: str = "temp",
+    max_driver_groups: int = 100_000,
 ) -> DataFrame:
-    """Deterministic temperature sampling: one tiny groupBy-count collect
-    sizes the per-group rates (`temperature_rates`), then the selection is
-    the same pure-Column md5 predicate as ``stratified_sample`` — the corpus
-    side stays one scan with the filter pushed down; only the group-count
-    aggregate (|groups| rows) ever reaches the driver."""
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(strata_col).count().collect()
-        if r[0] is not None
-    }
+    """Deterministic temperature sampling, auto-selecting the rate plumbing
+    from the stratum cardinality:
+
+    * |groups| <= ``max_driver_groups`` (languages, sources): one tiny
+      groupBy-count collect sizes the per-group rates
+      (`temperature_rates`), then the selection is the same pure-Column md5
+      predicate as ``stratified_sample`` — the corpus side stays one scan
+      with the filter PUSHED DOWN; only |groups| rows reach the driver.
+    * above the budget (per-domain temperature at 10^8 domains): no
+      collect — rates are computed distributed and JOINED back on the
+      stratum (``temperature_sample_joined``), selecting the identical row
+      set (pytest pins the two variants bit-exact). The corpus pays one
+      join instead of a pushed-down filter; that is the honest price of a
+      rate table too big for a CASE literal or the driver's memory.
+
+    The cardinality probe is ``limit(max_driver_groups + 1).collect()`` on
+    the group-count aggregate — never more than the budget + 1 rows on the
+    driver, and on the small-cardinality path it IS the counts collect (no
+    extra job)."""
+    head = (
+        df.groupBy(strata_col).count().limit(max_driver_groups + 1).collect()
+        if max_driver_groups > 0
+        else []
+    )
+    if max_driver_groups <= 0 or len(head) > max_driver_groups:
+        return temperature_sample_joined(
+            df, alpha, target_docs, strata_col=strata_col, id_col=id_col, seed=seed
+        )
+    counts = {r[0]: r[1] for r in head if r[0] is not None}
     rates = temperature_rates(counts, alpha, target_docs)
     # round the rates so the DuckDB twin (C pow vs JVM pow differ in the
     # last ulp) compares the uniform against the identical literal
@@ -327,3 +347,56 @@ def temperature_sample(
     return stratified_sample(
         df, rates, strata_col=strata_col, id_col=id_col, default_rate=0.0, seed=seed
     )
+
+
+def temperature_sample_joined(
+    df: DataFrame,
+    alpha: float,
+    target_docs: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """High-cardinality variant: rates computed distributed, joined back on
+    the stratum — nothing group-sized ever reaches the driver.
+
+    Mirrors ``temperature_rates`` operation-for-operation so the selected
+    row set is IDENTICAL to the driver variant (pinned by pytest):
+    weight = sqrt(n) at alpha=0.5 (IEEE sqrt is correctly rounded
+    everywhere) else pow(n, alpha); the normalizer z accumulates in SORTED
+    stratum order via a single-partition global window over the GROUP
+    table (|groups| rows — the one deliberately serial step, same
+    summation order as the driver's sorted() loop); rate = min(1,
+    target*(w/z)/n) half-even-rounded to 12dp (``bround`` == Python
+    ``round``). Selection is the same md5 uniform; null strata are dropped
+    (the driver variant's default_rate=0.0). The rate table is an
+    aggregate output, so AQE broadcast-joins it while it is small and
+    shuffle-joins above the threshold."""
+    counts = (
+        df.groupBy(strata_col).count()
+        .where(F.col(strata_col).isNotNull() & (F.col("count") > 0))
+    )
+    w = (
+        F.sqrt(F.col("count").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("count").cast("double"), F.lit(float(alpha)))
+    )
+    zwin = Window.orderBy(F.col(strata_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rates = (
+        counts.withColumn("_w", w)
+        .withColumn("_z", F.sum("_w").over(zwin))
+        .select(
+            strata_col,
+            F.bround(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_docs)) * (F.col("_w") / F.col("_z")) / F.col("count"),
+                ),
+                12,
+            ).alias("_rate"),
+        )
+    )
+    u = uniform01(F.col(id_col), seed)
+    return df.join(rates, strata_col).where(u < F.col("_rate")).select(*df.columns)

@@ -221,3 +221,46 @@ def test_temperature_sample_deterministic_and_sized(spark, docs):
     assert a == b
     # 4 equal-sized strata => temperature is a no-op vs proportional: ~400
     assert 300 <= len(a) <= 500
+
+
+def test_temperature_joined_variant_matches_driver_bitexact(spark, docs):
+    # round-4 item: the join-based high-cardinality variant must select the
+    # IDENTICAL row set as the driver-collect variant — same weights, same
+    # sorted-order normalizer, same half-even 12dp rounding, same md5
+    # uniform — at alpha=0.5 (the sqrt fast path) AND a pow alpha
+    from pagerank_spark.operators.sampling import (
+        temperature_sample,
+        temperature_sample_joined,
+    )
+
+    for alpha in (0.5, 0.7):
+        drv = temperature_sample(docs, alpha=alpha, target_docs=300)
+        jnd = temperature_sample_joined(docs, alpha=alpha, target_docs=300)
+        assert drv.columns == jnd.columns
+        a = sorted(map(tuple, drv.select("doc_id", "lang").collect()))
+        b = sorted(map(tuple, jnd.select("doc_id", "lang").collect()))
+        assert a == b and len(a) > 0, alpha
+
+
+def test_temperature_dispatcher_flips_on_cardinality(spark, docs, monkeypatch):
+    # the dispatcher: under the budget -> driver CASE-literal path (one
+    # limit(budget+1) collect, filter pushes to the scan); over it -> the
+    # join path, chosen WITHOUT collecting the group table
+    from pagerank_spark.operators import sampling
+
+    called = {"joined": 0}
+    orig = sampling.temperature_sample_joined
+
+    def spy(*a, **kw):
+        called["joined"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(sampling, "temperature_sample_joined", spy)
+
+    small = sampling.temperature_sample(docs, alpha=0.5, target_docs=300)
+    assert called["joined"] == 0  # few langs: driver path
+    big = sampling.temperature_sample(docs, alpha=0.5, target_docs=300,
+                                      max_driver_groups=2)
+    assert called["joined"] == 1  # 4 strata > budget of 2: join path
+    assert sorted(r["doc_id"] for r in small.collect()) == \
+           sorted(r["doc_id"] for r in big.collect())
