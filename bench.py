@@ -193,6 +193,50 @@ def run_suite(spark, sf_dir: str) -> dict:
     curate(docs).count()
     timings["curate"] = time.monotonic() - t0
 
+    # sampling / packing / corpus-report layer (round-4: previously
+    # unbenched contract queries, so regressions there are visible)
+    from pagerank_spark.operators.sampling import (
+        interleave_shards,
+        near_dup_clusters,
+        pack_sequences,
+        top_k_per_group,
+    )
+    from pagerank_spark.operators.textops import length_quantiles, with_quality_score
+
+    t0 = time.monotonic()
+    pack_sequences(docs, ctx_len=2048, n_shards=64).count()
+    timings["pack_sequences"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    interleave_shards(docs, 64).count()
+    timings["interleave_shards"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    length_quantiles(docs).count()
+    timings["length_quantiles"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    top_k_per_group(with_quality_score(docs), "lang", "quality_score", 5).count()
+    timings["topk_per_lang"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.dedup import ngram_jaccard_pairs
+
+    t0 = time.monotonic()
+    near_dup_clusters(
+        docs, ngram_jaccard_pairs(docs, n=3, threshold=0.4, max_shingle_df=500)
+    ).count()
+    timings["dedup_clusters"] = time.monotonic() - t0
+
+    from pagerank_spark.functions.urls import domain_page_counts, with_url_parts
+
+    t0 = time.monotonic()
+    with_url_parts(graph.vertices).count()
+    timings["url_parts"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    domain_page_counts(graph.vertices).count()
+    timings["domain_counts"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 
