@@ -723,6 +723,26 @@ def q_temperature_sample(spark, sf_dir):
     )
 
 
+def q_temperature_sample_joined(spark, sf_dir):
+    """The high-cardinality (join-based) temperature-sampling variant run
+    against the SAME oracle as the driver-collect path: rates computed
+    distributed (sorted-order normalizer window) and joined back must
+    select the identical rows — the DuckDB twin is shared verbatim."""
+    from pagerank_spark.operators.sampling import (
+        temperature_sample_joined,
+        uniform01,
+    )
+
+    out = temperature_sample_joined(
+        _docs(spark, sf_dir), alpha=TEMP_ALPHA, target_docs=TEMP_TARGET,
+        strata_col="lang", seed=TEMP_SEED,
+    )
+    return out.select(
+        "doc_id", "lang",
+        F.round(uniform01(F.col("doc_id"), TEMP_SEED), 6).alias("u"),
+    )
+
+
 TOPK_PER_LANG_K = 5
 
 
@@ -867,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "temperature_sample": q_temperature_sample,
+        "temperature_sample_joined": q_temperature_sample_joined,
         "topk_per_lang": q_topk_per_lang,
         "interleave_shards": q_interleave_shards,
         "dedup_clusters": q_dedup_clusters,
@@ -1552,6 +1573,9 @@ SELECT doc_id, lang, ROUND(u, 6) AS u
 FROM u JOIN rates ON rates.g = u.lang
 WHERE u < r
 """
+    # the join-based variant selects the identical row set (pinned bit-exact
+    # in pytest), so it shares the twin verbatim
+    sqls["temperature_sample_joined"] = sqls["temperature_sample"]
 
     sqls["topk_per_lang"] = f"""
 WITH {QUALITY_CTE},

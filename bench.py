@@ -307,6 +307,62 @@ def main() -> None:
         }))
         return
 
+    if "--personalized-batch" in sys.argv:
+        # amortization protocol (round-4 stretch item): Q personalized runs
+        # over ONE graph — batch-CSR (one spill, warm mmap blocks for
+        # queries 2..Q) vs Q independent v1 join-agg runs on the same
+        # prebuilt edge table (v1 has no spill to amortize; it is the
+        # honest baseline). Arms ALTERNATE in fresh subprocesses, best-of-N
+        # per arm — measured same-session the second arm inherits the
+        # first's JVM/GC state and the comparison is order-contaminated.
+        import subprocess
+        import tempfile
+
+        repeats = int(os.environ.get("SPARK_GRAFT_PBATCH_REPEATS", "2"))
+        parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", SHUFFLE_PARTS)
+        edges_dir = os.environ.get("SPARK_GRAFT_EDGES_DIR") or tempfile.mkdtemp(
+            prefix="bench_pbatch_edges_"
+        )
+        prep = subprocess.run(
+            [sys.executable, __file__, "--make-scaling-input"],
+            capture_output=True, text=True,
+            env=dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
+                     SPARK_GRAFT_SHUFFLE_PARTS=str(parts),
+                     SPARK_GRAFT_EDGES_DIR=edges_dir),
+        )
+        if prep.returncode != 0:
+            sys.stderr.write(prep.stderr[-4000:])
+            raise SystemExit("personalized-batch input materialization failed")
+        best: dict[str, dict] = {}
+        for _ in range(repeats):
+            for impl in ("joinagg", "csr"):
+                env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR,
+                           SPARK_GRAFT_PR_IMPL=impl,
+                           SPARK_GRAFT_SHUFFLE_PARTS=str(parts),
+                           SPARK_GRAFT_EDGES_DIR=edges_dir)
+                out = subprocess.run(
+                    [sys.executable, __file__, "--pbatch-arm"],
+                    capture_output=True, text=True, env=env,
+                )
+                if out.returncode != 0:
+                    sys.stderr.write(out.stderr[-4000:])
+                    raise SystemExit(f"pbatch arm {impl} failed rc={out.returncode}")
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                if impl not in best or r["seconds"] < best[impl]["seconds"]:
+                    best[impl] = r
+        v1, csr = best["joinagg"], best["csr"]
+        print(json.dumps({
+            "metric": f"personalized_batch_q{v1['q']}",
+            "sf": SF_DIR, "cores": CPUS, "edges": v1["edges"],
+            "v1_seconds": v1["seconds"], "csr_seconds": csr["seconds"],
+            "csr_setup_s": csr["setup_s"],
+            "speedup": round(v1["seconds"] / csr["seconds"], 3),
+            "v1_per_query_s": v1["per_query_s"],
+            "csr_per_query_s": csr["per_query_s"],
+            "iterations": csr["iterations"],
+        }))
+        return
+
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=SHUFFLE_PARTS)
     try:
         if "--make-scaling-input" in sys.argv:
@@ -323,6 +379,65 @@ def main() -> None:
             graph.edges.write.mode("overwrite").parquet(f"{out}/edges")
             graph.vertices.write.mode("overwrite").parquet(f"{out}/vertices")
             print(json.dumps({"edges": graph.num_edges(), "vertices": graph.num_vertices()}))
+            return
+
+        if "--pbatch-arm" in sys.argv:
+            # one arm of the personalized-batch protocol: Q personalization
+            # runs through ONE impl (SPARK_GRAFT_PR_IMPL), fresh JVM — the
+            # driver (--personalized-batch below) alternates arms in
+            # subprocesses so neither impl inherits the other's JVM state
+            from pyspark.sql import functions as F
+
+            from pagerank_spark.operators.graph_build import LinkGraph
+            from pagerank_spark.operators.personalize import personalized_batch
+
+            Q = int(os.environ.get("SPARK_GRAFT_PBATCH_Q", "8"))
+            impl = os.environ.get("SPARK_GRAFT_PR_IMPL", "csr")
+            alpha = float(os.environ.get("SPARK_GRAFT_PR_ALPHA", "0.85"))
+            eps = float(os.environ.get("SPARK_GRAFT_PR_EPSILON", "1e-6"))
+            max_iter = int(os.environ.get("SPARK_GRAFT_PR_MAXITER", "1000"))
+            pre = os.environ.get("SPARK_GRAFT_EDGES_DIR")
+            if pre:
+                graph = LinkGraph(
+                    spark.read.parquet(f"{pre}/edges"),
+                    spark.read.parquet(f"{pre}/vertices"),
+                    num_partitions=SHUFFLE_PARTS,
+                )
+            else:
+                spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView("events")
+                n_events = spark.table("events").count()
+                graph = LinkGraph.from_edges(
+                    spark.sql(bench_graph_sql(n_events, BENCH_MULT)),
+                    apply_regex_filter=False,
+                )
+            n_edges = graph.num_edges()
+            # Q deterministic personalization vectors (hash-bucket
+            # indicators), materialized BEFORE the timer — identical for
+            # both arms and not what the protocol measures
+            vs = {}
+            for r in range(Q):
+                v = graph.vertices.withColumn(
+                    "v",
+                    F.when(F.abs(F.xxhash64("url")) % Q == r, 1.0).otherwise(0.0),
+                )
+                total = v.agg(F.sum("v")).first()[0]
+                vs[f"q{r}"] = (
+                    v.withColumn("v", F.col("v") / F.lit(float(total)))
+                    .localCheckpoint(eager=True)
+                )
+            m: list = []
+            t0 = time.monotonic()
+            personalized_batch(graph, vs, impl=impl, alpha=alpha,
+                               epsilon=eps, max_iterations=max_iter,
+                               num_blocks=SHUFFLE_PARTS, metrics=m)
+            t = time.monotonic() - t0
+            print(json.dumps({
+                "impl": impl, "q": Q, "edges": n_edges, "cores": CPUS,
+                "seconds": round(t, 3),
+                "setup_s": round(m[0].get("setup_wall_s", 0.0), 3),
+                "per_query_s": [round(x["wall_s"], 3) for x in m],
+                "iterations": [x["iterations"] for x in m],
+            }))
             return
 
         if "--pagerank-only" in sys.argv:

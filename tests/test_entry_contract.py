@@ -43,6 +43,7 @@ FAST_QUERIES = [
     "stratified_sample",
     "pack_sequences",
     "temperature_sample",
+    "temperature_sample_joined",
     "topk_per_lang",
     "interleave_shards",
     "curate",
