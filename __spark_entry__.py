@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pagerank_spark.functions.urls import HOST_RE
 from pagerank_spark.operators.dedup import MINHASH_P, minhash_params
 from pagerank_spark.operators.similarity import (
     LSH_PLANES,
@@ -126,14 +127,17 @@ pr1 AS (SELECT url, ROUND(xu / (SELECT l2 FROM nrm), 6) AS rank FROM xun)
 # recursion continues while the last iteration's residual >= epsilon and
 # iter < max_iterations (Spark loop: break AFTER the iteration that reached
 # epsilon, returning that iteration's vector == MAX(iter) here).
-PR_CONV_SQL = f"""
-WITH RECURSIVE {GEDGE_CTE},
-nn AS (SELECT COUNT(*) AS n FROM gverts),
+def _pr_conv_sql(graph_cte: str, edges: str, verts: str) -> str:
+    """Recursive-CTE converged power method over any (edges, verts) CTE pair
+    (same template backs the page-graph and host-graph twins)."""
+    return f"""
+WITH RECURSIVE {graph_cte},
+nn AS (SELECT COUNT(*) AS n FROM {verts}),
 dang AS (
-  SELECT url FROM gverts WHERE url NOT IN (SELECT DISTINCT src FROM gedges)
+  SELECT url FROM {verts} WHERE url NOT IN (SELECT DISTINCT src FROM {edges})
 ),
 it(iter, url, rank, resid) AS (
-  SELECT 0, url, 1.0 / sqrt((SELECT n FROM nn)), CAST(1.0 AS DOUBLE) FROM gverts
+  SELECT 0, url, 1.0 / sqrt((SELECT n FROM nn)), CAST(1.0 AS DOUBLE) FROM {verts}
   UNION ALL
   SELECT t.iter + 1, t.url, t.xu / t.nrm,
          sqrt(greatest(0.0, 2.0 - 2.0 * t.sp / t.nrm))
@@ -149,7 +153,7 @@ it(iter, url, rank, resid) AS (
                * (1.0 / sqrt((SELECT n FROM nn))) AS xu
       FROM it p
       LEFT JOIN (SELECT e.dst, SUM(e.weight * p2.rank) AS c
-                 FROM gedges e JOIN it p2 ON p2.url = e.src GROUP BY e.dst) c
+                 FROM {edges} e JOIN it p2 ON p2.url = e.src GROUP BY e.dst) c
         ON c.dst = p.url
     ) s
   ) t
@@ -158,6 +162,102 @@ it(iter, url, rank, resid) AS (
 SELECT url, ROUND(rank, 6) AS rank FROM it
 WHERE iter = (SELECT MAX(iter) FROM it)
 """
+
+
+PR_CONV_SQL = _pr_conv_sql(GEDGE_CTE, "gedges", "gverts")
+
+# H: page-url edges with scheme + path over 37 hosts — the host-graph
+# rollup input (~60k page links collapse to <=37*36 host edges, the
+# two-orders-of-magnitude reduction the operator exists for)
+HOSTG_SQL = (
+    "SELECT 'http://www.h' || CAST(user_id % 37 AS STRING) || '.example/p' "
+    "|| CAST(event_id % 211 AS STRING) AS src, "
+    "'http://www.h' || CAST((user_id * 5 + 2) % 37 AS STRING) || '.example/p' "
+    "|| CAST((event_id * 17 + 3) % 211 AS STRING) AS dst FROM events"
+)
+
+# host rollup + k/outdeg weights (mirrors operators/hostgraph.py exactly:
+# self-loops dropped BEFORE aggregation, vertex set from the rolled-up edges)
+HEDGE_CTE = f"""
+hraw AS ({HOSTG_SQL}),
+hb AS (
+  SELECT regexp_extract(src, '{HOST_RE}', 1) AS src,
+         regexp_extract(dst, '{HOST_RE}', 1) AS dst
+  FROM hraw
+),
+hg AS (SELECT src, dst, COUNT(*) AS k FROM hb WHERE src <> dst GROUP BY src, dst),
+hod AS (SELECT src, CAST(SUM(k) AS BIGINT) AS outdeg FROM hg GROUP BY src),
+hedges AS (
+  SELECT hg.src, hg.dst, CAST(hg.k AS DOUBLE) / hod.outdeg AS weight
+  FROM hg JOIN hod USING (src)
+),
+hverts AS (
+  SELECT DISTINCT url FROM (SELECT src AS url FROM hg UNION ALL SELECT dst FROM hg)
+)
+"""
+
+# B: branching graph (outdeg ~ events/997 per vertex, dst depends on user_id
+# so each src has MANY out-neighbors) — exercises the walk operator's actual
+# CHOICE and multi-hop BFS fan-out, which the functional G graph (outdeg 1)
+# cannot
+B_SQL = (
+    "SELECT 'n' || CAST(event_id % 997 AS STRING) AS src, "
+    "'n' || CAST((event_id * 31 + user_id * 7 + 1) % 997 AS STRING) AS dst FROM events"
+)
+
+BEDGE_CTE = f"""
+b AS ({B_SQL}),
+bverts AS (
+  SELECT DISTINCT url FROM (SELECT src AS url FROM b UNION ALL SELECT dst FROM b)
+),
+bedges AS (SELECT DISTINCT src, dst FROM b)
+"""
+
+# deterministic random walks over the B graph (operators/walks.py): step t of
+# walk w moves to argmin over out-neighbors of the 60-bit md5 of
+# w || '|t|' || dst — unrolled to WALK_LEN chained CTEs
+WALK_LEN = 3
+WALK_WPV = 2
+
+# BFS link distance (operators/distance.py): seeds = urls ending in '0',
+# unrolled level CTEs with the settled-set anti-join
+BFS_DEPTH = 3
+
+
+def _bfs_cte(edges: str = "bedges", verts: str = "bverts", depth: int = BFS_DEPTH) -> str:
+    parts = [f"d0 AS (SELECT url, 0 AS dist FROM {verts} WHERE url LIKE '%0')"]
+    for k in range(1, depth + 1):
+        seen = " UNION ALL ".join(f"SELECT url FROM d{j}" for j in range(k))
+        parts.append(
+            f"d{k} AS (SELECT DISTINCT e.dst AS url, {k} AS dist "
+            f"FROM d{k - 1} f JOIN {edges} e ON e.src = f.url "
+            f"WHERE e.dst NOT IN ({seen}))"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM d{j}" for j in range(depth + 1))
+    parts.append(f"alld AS ({union})")
+    return ",\n".join(parts)
+
+
+def _walks_cte(edges: str = "gedges", length: int = WALK_LEN, wpv: int = WALK_WPV) -> str:
+    """Chained CTEs w0, s1..sL, allw: the unrolled deterministic-walk twin
+    (arg_min over the same 60-bit hash the engine's min_by keys on)."""
+    parts = [
+        f"st AS (SELECT DISTINCT src AS url FROM {edges})",
+        f"w0 AS (SELECT url || '#' || CAST(r AS STRING) AS walk_id, 0 AS step, url "
+        f"FROM st CROSS JOIN generate_series(0, {wpv - 1}) t(r))",
+    ]
+    for t in range(1, length + 1):
+        prev = "w0" if t == 1 else f"s{t - 1}"
+        h = HEX15.format(x=f"w.walk_id || '|{t}|' || e.dst")
+        parts.append(
+            f"s{t} AS (SELECT w.walk_id, {t} AS step, arg_min(e.dst, {h}) AS url "
+            f"FROM {prev} w JOIN {edges} e ON e.src = w.url GROUP BY w.walk_id)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM {n}" for n in ["w0"] + [f"s{t}" for t in range(1, length + 1)]
+    )
+    parts.append(f"allw AS ({union})")
+    return ",\n".join(parts)
 
 # documents text primitives
 TOKS = "string_split(lower(text), ' ')"
@@ -837,6 +937,85 @@ def q_extract_edges(spark, sf_dir):
     return extract_edges_df(pages)
 
 
+def q_host_graph(spark, sf_dir):
+    """Page-level url edges (scheme + path) collapsed to the host graph."""
+    from pagerank_spark.operators.hostgraph import host_graph
+
+    _views(spark, sf_dir, ("events",))
+    raw = spark.sql(HOSTG_SQL)
+    return host_graph(raw).select(
+        "src", "dst", F.col("n_links").cast("long").alias("n_links")
+    )
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Converged PageRank over the rolled-up host graph — the standard
+    site-level authority score, every downstream operator unchanged."""
+    from pagerank_spark.operators.hostgraph import host_linkgraph
+
+    _views(spark, sf_dir, ("events",))
+    g = host_linkgraph(spark.sql(HOSTG_SQL))
+    ranks = g.pagerank(alpha=0.85, epsilon=1e-6)
+    return ranks.select("url", F.round("rank", 6).alias("rank"))
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic uniform random walks (DeepWalk corpus) over the
+    branching B graph — every step is a real multi-neighbor choice."""
+    from pagerank_spark.operators.walks import random_walks
+
+    _views(spark, sf_dir, ("events",))
+    return random_walks(
+        spark.sql(B_SQL), walk_length=WALK_LEN, walks_per_vertex=WALK_WPV
+    )
+
+
+def q_walk_sentences(spark, sf_dir):
+    """Walks folded to word2vec training lines (walk_id, sentence)."""
+    from pagerank_spark.operators.walks import random_walks, walk_sentences
+
+    _views(spark, sf_dir, ("events",))
+    return walk_sentences(
+        random_walks(spark.sql(B_SQL), walk_length=WALK_LEN, walks_per_vertex=WALK_WPV)
+    )
+
+
+def q_spam_mass(spark, sf_dir):
+    """TrustRank + spam-mass composition over the U graph: the seed set is
+    the personalization query's match set delivered as a TABLE (the trust.py
+    seed-list spelling), so PR and TR are two converged fixpoints over the
+    same prepared graph."""
+    from pagerank_spark.functions.url_query import url_satisfies_query_col
+    from pagerank_spark.operators.trust import spam_mass, trust_rank
+
+    g = _graph_u(spark, sf_dir)
+    seeds = g.vertices.filter(url_satisfies_query_col(F.col("url"), PERS_QUERY))
+    pr = g.pagerank(alpha=0.85, epsilon=1e-6)
+    tr = trust_rank(g, seeds, alpha=0.85, epsilon=1e-6)
+    return spam_mass(pr, tr).select(
+        "url",
+        F.round("pagerank", 6).alias("pagerank"),
+        F.round("trustrank", 6).alias("trustrank"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
+def q_link_distance(spark, sf_dir):
+    """BFS hop distance from the seed frontier (urls ending in '0') over
+    the branching B graph, capped at BFS_DEPTH levels."""
+    from pagerank_spark.operators.distance import link_distance
+
+    _views(spark, sf_dir, ("events",))
+    e = spark.sql(B_SQL)
+    seeds = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .filter(F.col("url").endswith("0"))
+    )
+    return link_distance(e, seeds, max_depth=BFS_DEPTH)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -894,6 +1073,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "domain_stats": q_domain_stats,
         "extract_edges": q_extract_edges,
+        "host_graph": q_host_graph,
+        "host_pagerank": q_host_pagerank,
+        "random_walks": q_random_walks,
+        "walk_sentences": q_walk_sentences,
+        "spam_mass": q_spam_mass,
+        "link_distance": q_link_distance,
     }
 
 
@@ -1671,6 +1856,98 @@ SELECT src,
 FROM abs_links
 UNION ALL
 SELECT src, site || '/r' || CAST(doc_id AS VARCHAR) AS dst FROM srcs
+"""
+
+    sqls["host_graph"] = f"""
+WITH {HEDGE_CTE}
+SELECT src, dst, CAST(k AS BIGINT) AS n_links FROM hg
+"""
+
+    sqls["host_pagerank"] = _pr_conv_sql(HEDGE_CTE, "hedges", "hverts")
+
+    sqls["random_walks"] = f"""
+WITH {BEDGE_CTE},
+{_walks_cte(edges="bedges")}
+SELECT walk_id, CAST(step AS INT) AS step, url FROM allw
+"""
+
+    sqls["walk_sentences"] = f"""
+WITH {BEDGE_CTE},
+{_walks_cte(edges="bedges")}
+SELECT walk_id, string_agg(url, ' ' ORDER BY step) AS sentence
+FROM allw GROUP BY walk_id
+"""
+
+    sqls["link_distance"] = f"""
+WITH {BEDGE_CTE},
+{_bfs_cte()}
+SELECT url, CAST(dist AS INT) AS dist FROM alld
+"""
+
+    # two independent recursive fixpoints over the SAME ingested U graph
+    # (uniform teleport = itu, seed-restricted teleport = itp), then the
+    # spam-mass ratio — mirrors q_spam_mass: pr, tr, (pr-tr)/pr
+    sqls["spam_mass"] = f"""
+WITH RECURSIVE {INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
+nn AS (SELECT COUNT(*) AS n FROM av),
+dang AS (SELECT url FROM av WHERE url NOT IN (SELECT DISTINCT src FROM uedges)),
+ind AS (SELECT url, CASE WHEN {pers_pred} THEN 1.0 ELSE 0.0 END AS i FROM av),
+v1 AS (SELECT url, i / (SELECT SUM(i) FROM ind) AS w FROM ind),
+pv AS (SELECT url, w / (SELECT sqrt(SUM(w * w)) FROM v1) AS v FROM v1),
+itu(iter, url, rank, resid) AS (
+  SELECT 0, url, 1.0 / sqrt((SELECT n FROM nn)), CAST(1.0 AS DOUBLE) FROM av
+  UNION ALL
+  SELECT t.iter + 1, t.url, t.xu / t.nrm,
+         sqrt(greatest(0.0, 2.0 - 2.0 * t.sp / t.nrm))
+  FROM (
+    SELECT s.iter, s.url, s.xu, s.prev,
+           sqrt(SUM(s.xu * s.xu) OVER ()) AS nrm,
+           SUM(s.xu * s.prev) OVER () AS sp
+    FROM (
+      SELECT p.iter, p.url, p.rank AS prev,
+             0.85 * COALESCE(c.c, 0.0)
+             + (0.85 * (SELECT COALESCE(SUM(rank), 0.0) FROM itu
+                        WHERE url IN (SELECT url FROM dang)) + 0.15)
+               * (1.0 / sqrt((SELECT n FROM nn))) AS xu
+      FROM itu p
+      LEFT JOIN (SELECT e.dst, SUM(e.weight * p2.rank) AS c
+                 FROM uedges e JOIN itu p2 ON p2.url = e.src GROUP BY e.dst) c
+        ON c.dst = p.url
+    ) s
+  ) t
+  WHERE (SELECT MIN(resid) FROM itu) >= 1e-6 AND t.iter < 1000
+),
+itp(iter, url, rank, resid) AS (
+  SELECT 0, url, 1.0 / sqrt((SELECT n FROM nn)), CAST(1.0 AS DOUBLE) FROM av
+  UNION ALL
+  SELECT t.iter + 1, t.url, t.xu / t.nrm,
+         sqrt(greatest(0.0, 2.0 - 2.0 * t.sp / t.nrm))
+  FROM (
+    SELECT s.iter, s.url, s.xu, s.prev,
+           sqrt(SUM(s.xu * s.xu) OVER ()) AS nrm,
+           SUM(s.xu * s.prev) OVER () AS sp
+    FROM (
+      SELECT p.iter, p.url, p.rank AS prev,
+             0.85 * COALESCE(c.c, 0.0)
+             + (0.85 * (SELECT COALESCE(SUM(rank), 0.0) FROM itp
+                        WHERE url IN (SELECT url FROM dang)) + 0.15)
+               * pv.v AS xu
+      FROM itp p
+      JOIN pv ON pv.url = p.url
+      LEFT JOIN (SELECT e.dst, SUM(e.weight * p2.rank) AS c
+                 FROM uedges e JOIN itp p2 ON p2.url = e.src GROUP BY e.dst) c
+        ON c.dst = p.url
+    ) s
+  ) t
+  WHERE (SELECT MIN(resid) FROM itp) >= 1e-6 AND t.iter < 1000
+)
+SELECT u.url, ROUND(u.rank, 6) AS pagerank, ROUND(p.rank, 6) AS trustrank,
+       ROUND((u.rank - p.rank) / u.rank, 6) AS spam_mass
+FROM (SELECT url, rank FROM itu WHERE iter = (SELECT MAX(iter) FROM itu)) u
+JOIN (SELECT url, rank FROM itp WHERE iter = (SELECT MAX(iter) FROM itp)) p
+  USING (url)
 """
 
     return sqls

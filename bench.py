@@ -128,6 +128,40 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["k_core3"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.walks import random_walks
+
+    t0 = time.monotonic()
+    random_walks(graph.edges, walk_length=4, walks_per_vertex=1).count()
+    timings["random_walks4"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.distance import link_distance
+
+    t0 = time.monotonic()
+    link_distance(
+        graph.edges,
+        graph.vertices.filter(F.col("url").endswith("0")),
+        max_depth=3,
+    ).count()
+    timings["link_distance3"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.hostgraph import host_graph, host_linkgraph
+
+    hg_sql = (
+        "SELECT 'http://www.h' || CAST(user_id % 499 AS STRING) || '.example/p' "
+        "|| CAST(event_id AS STRING) AS src, "
+        "'http://www.h' || CAST((user_id * 5 + 2) % 499 AS STRING) || '.example/p' "
+        "|| CAST((event_id * 17 + 3) % 9973 AS STRING) AS dst FROM events"
+    )
+    t0 = time.monotonic()
+    host_graph(spark.sql(hg_sql)).count()
+    timings["host_graph"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    hgraph = host_linkgraph(spark.sql(hg_sql))
+    hgraph.pagerank(alpha=0.85, epsilon=1e-6).count()
+    timings["host_pagerank"] = time.monotonic() - t0
+    hgraph.unpersist()
+
     from pagerank_spark.operators.dedup import (
         embedding_near_duplicates,
         minhash_near_duplicates,

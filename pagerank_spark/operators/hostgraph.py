@@ -1,0 +1,78 @@
+"""Host-level rollup of a page-level link graph.
+
+The reference operates strictly on page urls (pagerank.py:22-94); at web
+scale the standard first reduction is the HOST GRAPH — collapse every page
+url to its authority and aggregate parallel links — which shrinks a
+10^11-edge page graph by ~two orders of magnitude while preserving the
+site-level link structure (the WebGraph framework's host-graph datasets and
+Common Crawl's host-level webgraph releases are this exact shape).
+
+Spark shape
+-----------
+One pure-Column ``regexp_extract`` per endpoint (whole-stage codegen, no
+UDF — functions/urls.py host_col) followed by ONE partial-aggregated
+``groupBy(src, dst)``: map-side combine collapses each upstream partition's
+parallel links before the shuffle, so the exchange carries at most one row
+per (partition, host-pair) — the host graph's size, not the page graph's.
+Self-loops (intra-host navigation, typically the majority of a site's
+links) are dropped by default BEFORE the aggregation so they never reach
+the shuffle.
+
+``host_linkgraph`` turns the rollup into a :class:`LinkGraph` whose edge
+weights are ``n_links / total-outlinks(src_host)`` — exactly the
+k/outdeg semantics ``LinkGraph.from_edges`` gives duplicate page edges
+(graph_build.py _weight_and_dedup), so every downstream operator
+(pagerank, HITS, components, …) runs unchanged on the host graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.functions.urls import host_col
+from pagerank_spark.operators.graph_build import LinkGraph
+
+
+def host_graph(raw_edges: DataFrame, keep_self: bool = False) -> DataFrame:
+    """Collapse page-level url edges to host-level edges.
+
+    ``raw_edges``: (src, dst) page-url strings, duplicates allowed.
+    Returns (src, dst, n_links) where src/dst are hosts and ``n_links``
+    counts the page-level links collapsed into the host pair.
+    """
+    hg = raw_edges.select(
+        host_col(F.col("src")).alias("src"),
+        host_col(F.col("dst")).alias("dst"),
+    )
+    if not keep_self:
+        hg = hg.filter(F.col("src") != F.col("dst"))
+    return hg.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))
+
+
+def host_linkgraph(
+    raw_edges: DataFrame,
+    keep_self: bool = False,
+    num_partitions: int | None = None,
+) -> LinkGraph:
+    """Host-graph as a :class:`LinkGraph` (weight = n_links / outlinks(src)).
+
+    The host vertex set is derived from the rolled-up edges (a host whose
+    every link was an intra-host self-loop disappears with them when
+    ``keep_self=False`` — it has no inter-host presence).
+    """
+    hg = host_graph(raw_edges, keep_self=keep_self)
+    out_deg = hg.groupBy("src").agg(F.sum("n_links").alias("_od"))
+    edges = (
+        hg.join(out_deg, "src")
+        .withColumn(
+            "weight", F.col("n_links").cast("double") / F.col("_od").cast("double")
+        )
+        .drop("n_links", "_od")
+    )
+    vertices = (
+        hg.select(F.col("src").alias("url"))
+        .union(hg.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    return LinkGraph(edges, vertices, num_partitions)

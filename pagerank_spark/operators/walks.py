@@ -1,0 +1,107 @@
+"""Deterministic uniform random walks over the link graph (DeepWalk corpus).
+
+The reference consumes PRETRAINED word vectors (gensim downloads,
+pagerank.py:16 / pagerank2.py:14) to expand queries; a web-native engine
+can train its own url embeddings from the graph itself. The
+graph-structure half of that pipeline — generating the walk corpus that
+word2vec/DeepWalk trains on (Perozzi et al., KDD'14) — is pure dataflow
+and lives here; the trained vectors then flow back in through the
+word2vec-text contract in functions/embeddings_io.py.
+
+Determinism instead of RNG state: step ``t`` of walk ``w`` at vertex ``u``
+moves to ``argmin_{(u,d) in E} md5_60(w || '|t|' || d)`` — the argmin of a
+60-bit hash over the out-neighbors IS a uniform draw (each neighbor is
+equally likely to hold the minimum), but it is reproducible across runs,
+engines and partitionings, needs no seed plumbing into executors, and is
+insensitive to duplicate edges (the hash depends only on the neighbor, so
+multiplicity never skews the draw — no dedup pass needed). A tie would
+require an md5 collision between two 60-bit neighbor hashes within one
+step; treated as absent.
+
+Spark shape (per step, the same at 10^11 edges)
+-----------------------------------------------
+  1. join walk state (one row per live walk) to edges on cur == src —
+     the edge table is the big side and arrives pre-partitioned by src
+     (LinkGraph caches it that way), so only the walk state shuffles;
+  2. groupBy(walk_id).agg(min_by(dst, hash)) — every candidate row for a
+     walk comes from the single src partition that held its current
+     vertex, so the partial aggregate collapses each walk to ONE row
+     before the exchange; the shuffle carries O(#walks), never O(edges).
+
+Walks that reach a dangling vertex simply drop out of the join (the
+standard DeepWalk truncation). Lineage is cut with an eager
+``localCheckpoint`` every ``checkpoint_every`` steps, the same pattern as
+the pagerank fixpoint loop (operators/pagerank.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.textops import hexint15
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_vertex: int = 1,
+    starts: DataFrame | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(walk_id, step, url) rows for deterministic uniform random walks.
+
+    ``edges``: (src, dst) string columns (extra columns ignored; duplicate
+    edges harmless, see module docstring). ``starts``: optional (url)
+    DataFrame of start vertices — defaults to every vertex with at least
+    one out-edge. Each start spawns ``walks_per_vertex`` walks with ids
+    ``url#0 .. url#<w-1>``; step 0 is the start vertex itself and a walk
+    contributes ``walk_length + 1`` rows unless truncated at a dangling
+    vertex.
+    """
+    if walk_length < 0:
+        raise ValueError("walk_length must be >= 0")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    e = edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    if starts is None:
+        starts = e.select(F.col("src").alias("url")).distinct()
+    state = starts.select(
+        F.col("url").cast("string").alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("_r"),
+    ).select(
+        F.concat(F.col("url"), F.lit("#"), F.col("_r").cast("string")).alias("walk_id"),
+        "url",
+    )
+    steps = [state.withColumn("step", F.lit(0).cast("int"))]
+    for t in range(1, walk_length + 1):
+        cand = state.join(e, state["url"] == e["src"]).select(
+            "walk_id",
+            F.col("dst"),
+            hexint15(F.concat(F.col("walk_id"), F.lit(f"|{t}|"), F.col("dst"))).alias("_h"),
+        )
+        state = cand.groupBy("walk_id").agg(F.min_by("dst", "_h").alias("url"))
+        if t % checkpoint_every == 0 and t < walk_length:
+            state = state.localCheckpoint(eager=True)
+        steps.append(state.withColumn("step", F.lit(t).cast("int")))
+    out = reduce(DataFrame.unionByName, steps)
+    return out.select("walk_id", "step", "url")
+
+
+def walk_sentences(walks: DataFrame) -> DataFrame:
+    """(walk_id, sentence) — each walk's vertices space-joined in step order,
+    the exact line format word2vec-style trainers consume (and that
+    functions/embeddings_io.py round-trips). One partial-aggregated
+    groupBy; the in-group sort is a vertex-array sort per walk, never a
+    global one."""
+    return walks.groupBy("walk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "url"))),
+                lambda s: s["url"],
+            ),
+            " ",
+        ).alias("sentence")
+    )

@@ -1,0 +1,137 @@
+"""Host-graph rollup and deterministic random walks."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.hostgraph import host_graph, host_linkgraph
+from pagerank_spark.operators.walks import random_walks, walk_sentences
+
+PAGES = [
+    # (src, dst) page-level links across three hosts a.test / b.test / c.test
+    ("http://a.test/1", "http://b.test/x"),
+    ("http://a.test/2", "http://b.test/y"),  # parallel at host level (a->b)
+    ("http://a.test/1", "http://a.test/2"),  # intra-host self-loop
+    ("https://B.code@b.test:8080/z?q=1", "http://c.test/"),  # userinfo+port+query
+    ("http://c.test/", "http://a.test/1"),
+]
+
+
+def test_host_graph_rollup(spark):
+    raw = spark.createDataFrame(PAGES, ["src", "dst"])
+    got = {(r.src, r.dst): r.n_links for r in host_graph(raw).collect()}
+    assert got == {("a.test", "b.test"): 2, ("b.test", "c.test"): 1, ("c.test", "a.test"): 1}
+
+
+def test_host_graph_keep_self(spark):
+    raw = spark.createDataFrame(PAGES, ["src", "dst"])
+    got = {(r.src, r.dst): r.n_links for r in host_graph(raw, keep_self=True).collect()}
+    assert got[("a.test", "a.test")] == 1
+    assert len(got) == 4
+
+
+def test_host_linkgraph_weights_and_pagerank(spark):
+    raw = spark.createDataFrame(PAGES, ["src", "dst"])
+    g = host_linkgraph(raw, num_partitions=4)
+    try:
+        w = {(r.src, r.dst): r.weight for r in g.edges.collect()}
+        # a.test's two inter-host links both go to b.test -> weight 1.0
+        assert w == {
+            ("a.test", "b.test"): pytest.approx(1.0),
+            ("b.test", "c.test"): pytest.approx(1.0),
+            ("c.test", "a.test"): pytest.approx(1.0),
+        }
+        assert {r.url for r in g.vertices.collect()} == {"a.test", "b.test", "c.test"}
+        # a 3-cycle with uniform weights -> uniform stationary distribution
+        ranks = g.pagerank(epsilon=1e-9, max_iterations=200).collect()
+        vals = [r.rank for r in ranks]
+        assert max(vals) - min(vals) < 1e-6
+    finally:
+        g.unpersist()
+
+
+WALK_EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("a", "b"),  # duplicate edge: must not skew the draw
+    # "d" dangling target only reachable from nowhere; "e" -> d truncates
+    ("e", "d"),
+]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _expected_walks(edges, starts, length, wpv):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    rows = set()
+    for u in starts:
+        for r in range(wpv):
+            wid, cur = f"{u}#{r}", u
+            rows.add((wid, 0, cur))
+            for t in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(nbrs, key=lambda d: _h60(f"{wid}|{t}|{d}"))
+                rows.add((wid, t, cur))
+    return rows
+
+
+def test_random_walks_match_reference_model(spark):
+    raw = spark.createDataFrame(WALK_EDGES, ["src", "dst"])
+    got = {
+        (r.walk_id, r.step, r.url)
+        for r in random_walks(raw, walk_length=5, walks_per_vertex=2).collect()
+    }
+    exp = _expected_walks(WALK_EDGES, ["a", "b", "c", "e"], 5, 2)
+    assert got == exp
+    # walk e#*: one hop to dangling d, then truncated
+    assert ("e#0", 1, "d") in got and not any(w == "e#0" and s > 1 for w, s, _ in got)
+
+
+def test_random_walks_deterministic_and_edge_following(spark):
+    raw = spark.createDataFrame(WALK_EDGES, ["src", "dst"])
+    a = sorted(map(tuple, random_walks(raw, 4, 1).collect()))
+    b = sorted(map(tuple, random_walks(raw, 4, 1).collect()))
+    assert a == b
+    edge_set = set(WALK_EDGES)
+    byw = {}
+    for wid, step, url in a:
+        byw.setdefault(wid, {})[step] = url
+    for wid, seq in byw.items():
+        for t in range(1, max(seq) + 1):
+            assert (seq[t - 1], seq[t]) in edge_set
+
+
+def test_random_walks_checkpoint_parity(spark):
+    raw = spark.createDataFrame(WALK_EDGES, ["src", "dst"])
+    a = sorted(map(tuple, random_walks(raw, 6, 2, checkpoint_every=2).collect()))
+    b = sorted(map(tuple, random_walks(raw, 6, 2, checkpoint_every=100).collect()))
+    assert a == b
+
+
+def test_walk_sentences(spark):
+    raw = spark.createDataFrame(WALK_EDGES, ["src", "dst"])
+    walks = random_walks(raw, walk_length=3, walks_per_vertex=1)
+    sents = {r.walk_id: r.sentence for r in walk_sentences(walks).collect()}
+    byw = {}
+    for r in walks.collect():
+        byw.setdefault(r.walk_id, {})[r.step] = r.url
+    for wid, seq in byw.items():
+        assert sents[wid] == " ".join(seq[t] for t in sorted(seq))
+    # sentence starts with the start vertex
+    assert all(s.split(" ")[0] == wid.split("#")[0] for wid, s in sents.items())
+
+
+def test_random_walks_explicit_starts_and_zero_length(spark):
+    raw = spark.createDataFrame(WALK_EDGES, ["src", "dst"])
+    starts = spark.createDataFrame([("a",), ("zzz",)], ["url"])
+    rows = random_walks(raw, walk_length=0, walks_per_vertex=1, starts=starts).collect()
+    assert {(r.walk_id, r.step, r.url) for r in rows} == {("a#0", 0, "a"), ("zzz#0", 0, "zzz")}

@@ -1,0 +1,110 @@
+"""TrustRank / spam-mass and BFS link-distance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.distance import link_distance
+from pagerank_spark.operators.graph_build import LinkGraph
+from pagerank_spark.operators.trust import make_seed_vector, spam_mass, trust_rank
+
+EDGES = [
+    ("good1", "good2"),
+    ("good2", "good1"),
+    ("good1", "page3"),
+    ("page3", "spam1"),
+    ("spam1", "spam2"),
+    ("spam2", "spam1"),
+    ("spam2", "spam1"),  # duplicate edge
+]
+
+
+@pytest.fixture(scope="module")
+def tgraph(spark):
+    raw = spark.createDataFrame(EDGES, ["src", "dst"])
+    g = LinkGraph.from_edges(raw, apply_regex_filter=False, num_partitions=4)
+    yield g
+    g.unpersist()
+
+
+def test_make_seed_vector(spark, tgraph):
+    seeds = spark.createDataFrame([("good1",), ("good2",), ("nowhere",)], ["url"])
+    v = {r.url: r.v for r in make_seed_vector(tgraph, seeds).collect()}
+    assert v["good1"] == pytest.approx(0.5) and v["good2"] == pytest.approx(0.5)
+    assert v["page3"] == 0.0 and v["spam1"] == 0.0
+    assert "nowhere" not in v  # not a vertex
+
+
+def test_make_seed_vector_no_match_raises(spark, tgraph):
+    seeds = spark.createDataFrame([("nowhere",)], ["url"])
+    with pytest.raises(AssertionError):
+        make_seed_vector(tgraph, seeds)
+
+
+def test_trust_rank_equals_personalized_pagerank(spark, tgraph):
+    """Seed-table TrustRank == query-predicate personalized PageRank when
+    the seed set equals the query's match set (reference pagerank.py:97-119
+    composition, seed-list spelling)."""
+    seeds = spark.createDataFrame([("good1",), ("good2",)], ["url"])
+    tr = {r.url: r.rank for r in trust_rank(tgraph, seeds, epsilon=1e-9).collect()}
+    v = tgraph.make_personalization_vector("good")
+    pp = {r.url: r.rank for r in tgraph.pagerank(v_df=v, epsilon=1e-9).collect()}
+    assert tr.keys() == pp.keys()
+    for u in tr:
+        assert tr[u] == pytest.approx(pp[u], abs=1e-12)
+
+
+def test_spam_mass_separates_spam_cluster(spark, tgraph):
+    seeds = spark.createDataFrame([("good1",), ("good2",)], ["url"])
+    pr = tgraph.pagerank(epsilon=1e-9)
+    tr = trust_rank(tgraph, seeds, epsilon=1e-9)
+    m = {r.url: r.spam_mass for r in spam_mass(pr, tr).collect()}
+    # trust never teleports into the spam cycle's basin beyond what flows
+    # through page3, so the spam cluster's mass is markedly higher than the
+    # trusted core's
+    assert m["good1"] < 0.3 and m["good2"] < 0.3
+    assert m["spam1"] > m["good1"] and m["spam2"] > m["good2"]
+    # arithmetic contract: m = (pr - tr) / pr
+    prd = {r.url: r.rank for r in pr.collect()}
+    trd = {r.url: r.rank for r in tr.collect()}
+    for u, mm in m.items():
+        assert mm == pytest.approx((prd[u] - trd[u]) / prd[u], abs=1e-12)
+
+
+DEDGES = [
+    ("s", "a"),
+    ("a", "b"),
+    ("b", "c"),
+    ("c", "d"),
+    ("x", "s"),   # upstream of the seed: unreachable, must be absent
+    ("a", "s"),   # back-edge: s already settled at 0
+    ("iso1", "iso2"),
+]
+
+
+def test_link_distance_basic(spark):
+    e = spark.createDataFrame(DEDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",)], ["url"])
+    got = {r.url: r.dist for r in link_distance(e, seeds, max_depth=10).collect()}
+    assert got == {"s": 0, "a": 1, "b": 2, "c": 3, "d": 4}
+
+
+def test_link_distance_depth_cap_and_multi_seed(spark):
+    e = spark.createDataFrame(DEDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",), ("c",)], ["url"])
+    got = {r.url: r.dist for r in link_distance(e, seeds, max_depth=2).collect()}
+    # c is a seed: d settles at 1, not 4; depth cap stops at 2
+    assert got == {"s": 0, "c": 0, "a": 1, "d": 1, "b": 2}
+
+
+def test_link_distance_seed_not_in_graph(spark):
+    e = spark.createDataFrame(DEDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("ghost",)], ["url"])
+    got = {r.url: r.dist for r in link_distance(e, seeds, max_depth=3).collect()}
+    assert got == {"ghost": 0}
+
+
+def test_link_distance_zero_depth(spark):
+    e = spark.createDataFrame(DEDGES, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",)], ["url"])
+    got = {r.url: r.dist for r in link_distance(e, seeds, max_depth=0).collect()}
+    assert got == {"s": 0}
