@@ -259,6 +259,70 @@ def _walks_cte(edges: str = "gedges", length: int = WALK_LEN, wpv: int = WALK_WP
     parts.append(f"allw AS ({union})")
     return ",\n".join(parts)
 
+
+# HyperBall (operators/hyperball.py): m=16 HLL registers as 16 columns,
+# one max-aggregate per round; twin unrolls rounds as chained CTEs and
+# replays the EXACT estimator float fold (left-assoc sums, same literals)
+HB_ROUNDS = 3
+HB_M = 16
+
+
+def _hb_init_cte(verts: str = "bverts", m: int = HB_M) -> str:
+    """c0: per-vertex initial registers r0..r{m-1} — bucket = h%m gets
+    rank 1 + trailing-zeros of h>>log2m (57 when those bits are all zero),
+    identical to hyperball.init_counters."""
+    log2m = m.bit_length() - 1
+    h = HEX15.format(x="url")
+    regs = ", ".join(
+        f"CASE WHEN bk = {j} THEN rho ELSE 0 END AS r{j}" for j in range(m)
+    )
+    return f"""c0 AS (
+  SELECT url, {regs} FROM (
+    SELECT url, h % {m} AS bk,
+           CASE WHEN (h >> {log2m}) = 0 THEN {61 - log2m}
+                ELSE CAST(round(log2(CAST((h >> {log2m}) & (-(h >> {log2m})) AS DOUBLE))) AS INT) + 1
+           END AS rho
+    FROM (SELECT url, {h} AS h FROM {verts})
+  )
+)"""
+
+
+def _hb_round_ctes(edges: str = "bedges", rounds: int = HB_ROUNDS, m: int = HB_M) -> str:
+    parts = []
+    for t in range(1, rounds + 1):
+        mx = ", ".join(f"MAX(r{j}) AS r{j}" for j in range(m))
+        rs = ", ".join(f"c.r{j}" for j in range(m))
+        parts.append(
+            f"c{t} AS (SELECT url, {mx} FROM ("
+            f"SELECT * FROM c{t - 1} UNION ALL "
+            f"SELECT e.src AS url, {rs} FROM {edges} e JOIN c{t - 1} c ON c.url = e.dst"
+            f") GROUP BY url)"
+        )
+    return ",\n".join(parts)
+
+
+def _hb_est_sql(m: int = HB_M) -> str:
+    """The HLL estimate over r0..r{m-1}, float-op-for-float-op the twin of
+    hyperball.ball_estimate: left-assoc 2^-r sum, alpha*m^2 emitted as the
+    python-computed double literal, linear counting below 2.5m."""
+    s = " + ".join(f"power(2.0, -r{j})" for j in range(m))
+    v = " + ".join(f"(CASE WHEN r{j} = 0 THEN 1 ELSE 0 END)" for j in range(m))
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    raw = f"({alpha * m * m!r} / ({s}))"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * m!r} AND ({v}) > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / ({v})) ELSE {raw} END"
+    )
+
+
+def _hb_balls_cte(rounds: int = HB_ROUNDS) -> str:
+    est = _hb_est_sql()
+    union = " UNION ALL ".join(
+        f"SELECT url, {t} AS round, {est} AS ball FROM c{t}" for t in range(rounds + 1)
+    )
+    return f"allb AS ({union})"
+
+
 # documents text primitives
 TOKS = "string_split(lower(text), ' ')"
 BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -1016,6 +1080,30 @@ def q_link_distance(spark, sf_dir):
     return link_distance(e, seeds, max_depth=BFS_DEPTH)
 
 
+def q_neighborhood_function(spark, sf_dir):
+    """HyperBall global neighborhood function N(r) over the branching B
+    graph — sum of per-vertex HLL ball estimates at radii 0..HB_ROUNDS."""
+    from pagerank_spark.operators.hyperball import hyperball, neighborhood_function
+
+    _views(spark, sf_dir, ("events",))
+    balls = hyperball(spark.sql(B_SQL), rounds=HB_ROUNDS)
+    return neighborhood_function(balls).select(
+        "round", F.round("nf", 4).alias("nf")
+    )
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Per-vertex harmonic centrality estimate (Boldi-Vigna) truncated at
+    HB_ROUNDS, from the same HyperBall counters."""
+    from pagerank_spark.operators.hyperball import harmonic_centrality, hyperball
+
+    _views(spark, sf_dir, ("events",))
+    balls = hyperball(spark.sql(B_SQL), rounds=HB_ROUNDS)
+    return harmonic_centrality(balls).select(
+        "url", F.round("harmonic", 4).alias("harmonic")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1079,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_sentences": q_walk_sentences,
         "spam_mass": q_spam_mass,
         "link_distance": q_link_distance,
+        "neighborhood_function": q_neighborhood_function,
+        "harmonic_centrality": q_harmonic_centrality,
     }
 
 
@@ -1882,6 +1972,26 @@ FROM allw GROUP BY walk_id
 WITH {BEDGE_CTE},
 {_bfs_cte()}
 SELECT url, CAST(dist AS INT) AS dist FROM alld
+"""
+
+    hb_ctes = f"""WITH {BEDGE_CTE},
+{_hb_init_cte()},
+{_hb_round_ctes()},
+{_hb_balls_cte()}"""
+
+    sqls["neighborhood_function"] = f"""{hb_ctes}
+SELECT round, CAST(SUM(CAST(ROUND(ball, 4) AS DECIMAL(28,4))) AS DOUBLE) AS nf
+FROM allb GROUP BY round
+"""
+
+    # ordered SUM = the Spark side's round-ascending array fold
+    sqls["harmonic_centrality"] = f"""{hb_ctes}
+SELECT url, ROUND(SUM((ball - prev) / round ORDER BY round), 4) AS harmonic
+FROM (SELECT url, round, ball,
+             LAG(ball) OVER (PARTITION BY url ORDER BY round) AS prev
+      FROM allb)
+WHERE round >= 1
+GROUP BY url
 """
 
     # two independent recursive fixpoints over the SAME ingested U graph

@@ -162,6 +162,13 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["host_pagerank"] = time.monotonic() - t0
     hgraph.unpersist()
 
+    from pagerank_spark.operators.hyperball import harmonic_centrality, hyperball
+
+    t0 = time.monotonic()
+    hb = hyperball(graph.edges, rounds=3)
+    harmonic_centrality(hb).count()
+    timings["hyperball3"] = time.monotonic() - t0
+
     from pagerank_spark.operators.dedup import (
         embedding_near_duplicates,
         minhash_near_duplicates,
