@@ -920,6 +920,21 @@ def q_topk_per_lang(spark, sf_dir):
     )
 
 
+WSAMP_K = 20
+WSAMP_SEED = "wsamp"
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted without-replacement draw of WSAMP_K docs per
+    language (Efraimidis-Spirakis keys over the deterministic uniform)."""
+    from pagerank_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).withColumn("w", F.length("text").cast("double"))
+    return weighted_sample(
+        docs, k=WSAMP_K, weight_col="w", group_col="lang", seed=WSAMP_SEED
+    ).select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
+
+
 N_SHARDS = 8
 SHARD_SEED = "shard"
 
@@ -1156,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "temperature_sample_joined": q_temperature_sample_joined,
         "topk_per_lang": q_topk_per_lang,
+        "weighted_sample": q_weighted_sample,
         "interleave_shards": q_interleave_shards,
         "dedup_clusters": q_dedup_clusters,
         "curate": q_curate,
@@ -1861,6 +1877,18 @@ r AS (
   FROM qq
 )
 SELECT lang, doc_id, quality_score, rk FROM r WHERE rk <= {TOPK_PER_LANG_K}
+"""
+
+    # Efraimidis-Spirakis: k smallest -ln(u)/w per lang, w = char length
+    ws_u = U01.format(x=f"'{WSAMP_SEED},' || CAST(doc_id AS VARCHAR)")
+    sqls["weighted_sample"] = f"""
+SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY (-ln({ws_u})) / LENGTH(text), doc_id ASC) AS rk
+  FROM documents WHERE LENGTH(text) > 0
+)
+WHERE rk <= {WSAMP_K}
 """
 
     shard_h = HEX15.format(x=f"'{SHARD_SEED},' || CAST(doc_id AS VARCHAR)")

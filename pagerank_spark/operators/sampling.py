@@ -13,6 +13,10 @@ the dedup/quality stack (operators/dedup.py, operators/textops.py):
     the top-k *before* the exchange on each map partition — the shuffle
     moves O(groups*k) rows, not the corpus (audited in
     tests/test_plan_audits.py).
+  * ``weighted_sample``   — exact weighted sampling without replacement
+    (Efraimidis-Spirakis keys over the deterministic uniform), top-k per
+    group via the same WindowGroupLimit-bounded window as
+    ``top_k_per_group``.
   * ``interleave_shards`` — deterministic global shuffle for training-data
     ordering: shard by a 60-bit hash, order within shard by the same hash.
     At cluster scale each shard is written independently; nothing global
@@ -109,6 +113,44 @@ def top_k_per_group(
     return (
         df.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis, IPL 97(5) 2006): each row draws key ``-ln(u)/w`` from its
+    deterministic uniform ``u = uniform01(seed, id)``; the k smallest keys
+    — per ``group_col``, or globally when None — are exactly a draw of k
+    items with probability proportional to ``weight_col`` at each step,
+    without replacement. ``rk`` (1-based key order) IS the sequential E-S
+    selection order, so a caller can re-cut to any k' <= k for free.
+
+    Rows with weight <= 0 are dropped (zero selection probability; also
+    keeps ``ln``'s operand positive — u = 0 itself yields key = +inf,
+    i.e. "never selected", matching the u -> 0 limit). Distributed shape
+    is identical to ``top_k_per_group``: the rank<=k filter rewrites to
+    WindowGroupLimit, every map task keeps only its local k smallest keys
+    before the exchange, so the shuffle carries O(groups*k) rows — a
+    weight-proportional corpus draw at 100 TB is one bounded exchange.
+    The same closed form makes the DuckDB twin a one-line window.
+    """
+    u = uniform01(F.col(id_col), seed)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    parts = [group_col] if group_col is not None else []
+    w = Window.partitionBy(*parts).orderBy(F.col("_es").asc(), F.col(id_col).asc())
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es", key)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("_es")
     )
 
 

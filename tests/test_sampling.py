@@ -264,3 +264,57 @@ def test_temperature_dispatcher_flips_on_cardinality(spark, docs, monkeypatch):
     assert called["joined"] == 1  # 4 strata > budget of 2: join path
     assert sorted(r["doc_id"] for r in small.collect()) == \
            sorted(r["doc_id"] for r in big.collect())
+
+
+def test_weighted_sample_matches_python_replay(spark, docs):
+    import hashlib
+    import math
+
+    from pagerank_spark.operators.sampling import weighted_sample
+
+    wdf = docs.withColumn("w", (F.col("doc_id") % 5 + 1).cast("double"))
+    out = weighted_sample(wdf, k=7, weight_col="w", group_col="lang", seed="t1")
+    got = {
+        lang: [r["doc_id"] for r in rows]
+        for lang, rows in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r["lang"], r["rk"])),
+            key=lambda r: r["lang"],
+        )
+    }
+
+    def key(i):
+        u = int(hashlib.md5(f"t1,{i}".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        return (-math.log(u)) / float(i % 5 + 1)
+
+    langs = ["en", "de", "fr", "zh"]
+    for li, lang in enumerate(langs):
+        ids = [i for i in range(2000) if i % 4 == li]
+        want = [i for _, i in sorted((key(i), i) for i in ids)[:7]]
+        assert got[lang] == want, lang
+
+
+def test_weighted_sample_prefix_and_nonpositive(spark, docs):
+    from pagerank_spark.operators.sampling import weighted_sample
+
+    wdf = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, 0.0).otherwise(3.5)
+    )
+    out = weighted_sample(wdf, k=9, weight_col="w", seed="t2").collect()
+    assert len(out) == 9
+    assert all(r["doc_id"] % 2 == 1 for r in out)  # zero-weight rows excluded
+    # rk order is the sequential E-S selection: k'=4 is the k=9 prefix
+    pre = weighted_sample(wdf, k=4, weight_col="w", seed="t2").collect()
+    first4 = sorted(out, key=lambda r: r["rk"])[:4]
+    assert sorted(r["doc_id"] for r in pre) == sorted(r["doc_id"] for r in first4)
+
+
+def test_weighted_sample_favors_heavy_rows(spark, docs):
+    from pagerank_spark.operators.sampling import weighted_sample
+
+    # 20 heavy rows (w=1000) among 1980 light (w=1): they should dominate
+    wdf = docs.withColumn(
+        "w", F.when(F.col("doc_id") < 20, 1000.0).otherwise(1.0)
+    )
+    out = weighted_sample(wdf, k=25, weight_col="w", seed="t3").collect()
+    heavy = sum(1 for r in out if r["doc_id"] < 20)
+    assert heavy >= 18
