@@ -1119,6 +1119,31 @@ def q_harmonic_centrality(spark, sf_dir):
     )
 
 
+# SALSA (operators/salsa.py): a 5-group bipartite-support graph so the
+# Lempel-Moran closed form's per-component weighting is actually exercised
+# (5 components of unequal degree mass), and src/dst ranges OVERLAP
+# (0..96 vs 0..100) so most pages carry BOTH hub and authority scores
+# through the full_outer merge.
+SALSA_SQL = (
+    "SELECT 'p' || CAST(event_id % 5 AS STRING) || '_' || CAST(event_id % 97 AS STRING) AS src, "
+    "'p' || CAST(event_id % 5 AS STRING) || '_' || CAST((event_id * 13 + 1) % 101 AS STRING) AS dst "
+    "FROM events"
+)
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA hub/authority scores (Lempel-Moran closed form — no power
+    loop): connected components over the bipartite support graph + two
+    degree aggregates. See operators/salsa.py."""
+    from pagerank_spark.operators.salsa import salsa
+
+    _views(spark, sf_dir, ("events",))
+    scores = salsa(spark.sql(SALSA_SQL))
+    return scores.select(
+        "url", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1185,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_distance": q_link_distance,
         "neighborhood_function": q_neighborhood_function,
         "harmonic_centrality": q_harmonic_centrality,
+        "salsa": q_salsa,
     }
 
 
@@ -2086,6 +2112,48 @@ SELECT u.url, ROUND(u.rank, 6) AS pagerank, ROUND(p.rank, 6) AS trustrank,
 FROM (SELECT url, rank FROM itu WHERE iter = (SELECT MAX(iter) FROM itu)) u
 JOIN (SELECT url, rank FROM itp WHERE iter = (SELECT MAX(iter) FROM itp)) p
   USING (url)
+"""
+
+    # SALSA closed form (operators/salsa.py): components over the bipartite
+    # 'h:'src -> 'a:'dst support graph, then per-component degree weights.
+    # Float order mirrors the Spark expression exactly:
+    # ((nc / n) * deg) / sumdeg, all left-assoc doubles.
+    sqls["salsa"] = f"""
+WITH RECURSIVE g AS ({SALSA_SQL}),
+de AS (SELECT DISTINCT src, dst FROM g),
+bip AS (SELECT 'h:' || src AS u, 'a:' || dst AS v FROM de),
+und AS (SELECT u, v FROM bip UNION SELECT v AS u, u AS v FROM bip),
+bverts AS (SELECT DISTINCT u FROM und),
+reach(u, r) AS (
+  SELECT u, u FROM bverts
+  UNION
+  SELECT und.u, reach.r FROM reach JOIN und ON und.v = reach.u
+),
+comp AS (SELECT u, MIN(r) AS component FROM reach GROUP BY u),
+outd AS (SELECT src AS url, COUNT(*) AS deg FROM de GROUP BY src),
+ind AS (SELECT dst AS url, COUNT(*) AS deg FROM de GROUP BY dst),
+hd AS (SELECT outd.url, outd.deg, comp.component
+       FROM outd JOIN comp ON comp.u = 'h:' || outd.url),
+ad AS (SELECT ind.url, ind.deg, comp.component
+       FROM ind JOIN comp ON comp.u = 'a:' || ind.url),
+ht AS (SELECT component, COUNT(*) AS nc, SUM(deg) AS sumdeg FROM hd GROUP BY component),
+at2 AS (SELECT component, COUNT(*) AS nc, SUM(deg) AS sumdeg FROM ad GROUP BY component),
+hn AS (SELECT CAST(SUM(nc) AS DOUBLE) AS n FROM ht),
+an AS (SELECT CAST(SUM(nc) AS DOUBLE) AS n FROM at2),
+hub AS (
+  SELECT hd.url,
+         (CAST(ht.nc AS DOUBLE) / (SELECT n FROM hn))
+           * CAST(hd.deg AS DOUBLE) / CAST(ht.sumdeg AS DOUBLE) AS hub
+  FROM hd JOIN ht USING (component)),
+auth AS (
+  SELECT ad.url,
+         (CAST(at2.nc AS DOUBLE) / (SELECT n FROM an))
+           * CAST(ad.deg AS DOUBLE) / CAST(at2.sumdeg AS DOUBLE) AS authority
+  FROM ad JOIN at2 USING (component))
+SELECT COALESCE(hub.url, auth.url) AS url,
+       ROUND(COALESCE(hub.hub, 0.0), 6) AS hub,
+       ROUND(COALESCE(auth.authority, 0.0), 6) AS authority
+FROM hub FULL OUTER JOIN auth ON auth.url = hub.url
 """
 
     return sqls

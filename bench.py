@@ -169,6 +169,19 @@ def run_suite(spark, sf_dir: str) -> dict:
     harmonic_centrality(hb).count()
     timings["hyperball3"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.salsa import salsa as salsa_op
+
+    t0 = time.monotonic()
+    salsa_op(
+        spark.sql(
+            "SELECT 'p' || CAST(event_id % 5 AS STRING) || '_' "
+            "|| CAST(event_id % 97 AS STRING) AS src, "
+            "'p' || CAST(event_id % 5 AS STRING) || '_' "
+            "|| CAST((event_id * 13 + 1) % 101 AS STRING) AS dst FROM events"
+        )
+    ).count()
+    timings["salsa"] = time.monotonic() - t0
+
     from pagerank_spark.operators.dedup import (
         embedding_near_duplicates,
         minhash_near_duplicates,
