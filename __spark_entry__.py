@@ -1144,6 +1144,71 @@ def q_salsa(spark, sf_dir):
     )
 
 
+# SCC (operators/scc.py): 28 directed 5-cycles (blocks of v0..v139), a
+# DAG of cross edges block b -> b+14 for b < 14 (condensation depth 2, so
+# the settle loop runs >1 round), and a 5-vertex path tail t0..t4 that
+# only trimming can retire.
+SCC_SQL = (
+    "SELECT 'v' || CAST(event_id % 140 AS STRING) AS src, "
+    "'v' || CAST((event_id % 140) - ((event_id % 140) % 5) + (((event_id % 140) % 5) + 1) % 5 AS STRING) AS dst "
+    "FROM events WHERE event_id % 3 = 0 "
+    "UNION ALL "
+    "SELECT 'v' || CAST(event_id % 70 AS STRING) AS src, "
+    "'v' || CAST((event_id % 70) + 70 AS STRING) AS dst "
+    "FROM events WHERE event_id % 3 = 1 "
+    "UNION ALL "
+    "SELECT 't' || CAST(event_id % 4 AS STRING) AS src, "
+    "'t' || CAST((event_id % 4) + 1 AS STRING) AS dst "
+    "FROM events WHERE event_id % 3 = 2"
+)
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (trim + min-label coloring + in-color
+    backward sweep; operators/scc.py). Twin = mutual-reachability over a
+    recursive closure CTE."""
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    _views(spark, sf_dir, ("events",))
+    return strongly_connected_components(spark.sql(SCC_SQL))
+
+
+# Bowtie (operators/scc.py): a graph with every Broder class populated —
+# 20-cycle CORE, IN/OUT paths, a TUBE bypassing the core, both tendril
+# kinds, and a disconnected 2-cycle.
+BOWTIE_SQL = (
+    "SELECT 'c' || CAST(event_id % 20 AS STRING) AS src, "
+    "'c' || CAST((event_id + 1) % 20 AS STRING) AS dst FROM events WHERE event_id % 7 = 0 "
+    "UNION ALL "
+    "SELECT 'i' || CAST(event_id % 9 AS STRING) AS src, "
+    "'i' || CAST((event_id % 9) + 1 AS STRING) AS dst FROM events WHERE event_id % 7 = 1 "
+    "UNION ALL "
+    "SELECT 'i9' AS src, 'c0' AS dst FROM events WHERE event_id % 7 = 2 "
+    "UNION ALL "
+    "SELECT 'o' || CAST(event_id % 9 AS STRING) AS src, "
+    "'o' || CAST((event_id % 9) + 1 AS STRING) AS dst FROM events WHERE event_id % 7 = 3 "
+    "UNION ALL "
+    "SELECT 'c5' AS src, 'o0' AS dst FROM events WHERE event_id % 7 = 4 "
+    "UNION ALL "
+    "SELECT CASE event_id % 5 WHEN 0 THEN 'i3' WHEN 1 THEN 't0' WHEN 2 THEN 't1' WHEN 3 THEN 'i4' ELSE 'u0' END AS src, "
+    "CASE event_id % 5 WHEN 0 THEN 't0' WHEN 1 THEN 't1' WHEN 2 THEN 'o5' WHEN 3 THEN 'u0' ELSE 'u1' END AS dst "
+    "FROM events WHERE event_id % 7 = 5 "
+    "UNION ALL "
+    "SELECT CASE event_id % 4 WHEN 0 THEN 'w0' WHEN 1 THEN 'w1' WHEN 2 THEN 'd0' ELSE 'd1' END AS src, "
+    "CASE event_id % 4 WHEN 0 THEN 'w1' WHEN 1 THEN 'o7' WHEN 2 THEN 'd1' ELSE 'd0' END AS dst "
+    "FROM events WHERE event_id % 7 = 6"
+)
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder et al. bowtie decomposition (WWW9 2000): CORE / IN / OUT /
+    TUBE / TENDRIL_IN / TENDRIL_OUT / DISCONNECTED per vertex."""
+    from pagerank_spark.operators.scc import bowtie
+
+    _views(spark, sf_dir, ("events",))
+    return bowtie(spark.sql(BOWTIE_SQL))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1211,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function": q_neighborhood_function,
         "harmonic_centrality": q_harmonic_centrality,
         "salsa": q_salsa,
+        "scc": q_scc,
+        "bowtie": q_bowtie,
     }
 
 
@@ -2154,6 +2221,85 @@ SELECT COALESCE(hub.url, auth.url) AS url,
        ROUND(COALESCE(hub.hub, 0.0), 6) AS hub,
        ROUND(COALESCE(auth.authority, 0.0), 6) AS authority
 FROM hub FULL OUTER JOIN auth ON auth.url = hub.url
+"""
+
+    # SCC ground truth: transitive closure, then component = min over the
+    # mutually-reachable set (operators/scc.py settles the same partition
+    # through trim + coloring + backward sweeps).
+    sqls["scc"] = f"""
+WITH RECURSIVE g AS ({SCC_SQL}),
+de AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+verts AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM de UNION ALL SELECT dst FROM de)),
+reach(u, v) AS (
+  SELECT src AS u, dst AS v FROM de
+  UNION
+  SELECT r.u, de.dst FROM reach r JOIN de ON de.src = r.v
+),
+mut AS (
+  SELECT a.u AS url, a.v AS w
+  FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u
+),
+m AS (SELECT url, MIN(w) AS mw FROM mut GROUP BY url)
+SELECT verts.url, LEAST(verts.url, COALESCE(m.mw, verts.url)) AS component
+FROM verts LEFT JOIN m USING (url)
+"""
+
+    # Bowtie ground truth: the same closure drives core pick (largest SCC,
+    # tie-break min id) and every reachability class.
+    sqls["bowtie"] = f"""
+WITH RECURSIVE g AS ({BOWTIE_SQL}),
+de AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+verts AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM de UNION ALL SELECT dst FROM de)),
+reach(u, v) AS (
+  SELECT src AS u, dst AS v FROM de
+  UNION
+  SELECT r.u, de.dst FROM reach r JOIN de ON de.src = r.v
+),
+mut AS (
+  SELECT a.u AS url, a.v AS w
+  FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u
+),
+comp AS (
+  SELECT verts.url, LEAST(verts.url, COALESCE(m.mw, verts.url)) AS component
+  FROM verts LEFT JOIN (SELECT url, MIN(w) AS mw FROM mut GROUP BY url) m USING (url)
+),
+corelab AS (
+  SELECT component FROM comp GROUP BY component
+  ORDER BY COUNT(*) DESC, component ASC LIMIT 1
+),
+core AS (SELECT url FROM comp WHERE component = (SELECT component FROM corelab)),
+fwd AS (SELECT url FROM core
+        UNION SELECT r.v FROM reach r JOIN core ON core.url = r.u),
+bwd AS (SELECT url FROM core
+        UNION SELECT r.u FROM reach r JOIN core ON core.url = r.v),
+outs AS (SELECT url FROM fwd WHERE url NOT IN (SELECT url FROM core)),
+ins AS (SELECT url FROM bwd WHERE url NOT IN (SELECT url FROM core)),
+rest AS (
+  SELECT url FROM verts
+  WHERE url NOT IN (SELECT url FROM core)
+    AND url NOT IN (SELECT url FROM ins)
+    AND url NOT IN (SELECT url FROM outs)
+),
+from_in AS (
+  SELECT DISTINCT r.v AS url FROM reach r JOIN ins ON ins.url = r.u
+),
+to_out AS (
+  SELECT DISTINCT r.u AS url FROM reach r JOIN outs ON outs.url = r.v
+)
+SELECT verts.url,
+       CASE
+         WHEN verts.url IN (SELECT url FROM core) THEN 'CORE'
+         WHEN verts.url IN (SELECT url FROM ins) THEN 'IN'
+         WHEN verts.url IN (SELECT url FROM outs) THEN 'OUT'
+         WHEN verts.url IN (SELECT url FROM from_in)
+          AND verts.url IN (SELECT url FROM to_out) THEN 'TUBE'
+         WHEN verts.url IN (SELECT url FROM from_in) THEN 'TENDRIL_IN'
+         WHEN verts.url IN (SELECT url FROM to_out) THEN 'TENDRIL_OUT'
+         ELSE 'DISCONNECTED'
+       END AS part
+FROM verts
 """
 
     return sqls

@@ -182,6 +182,27 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["salsa"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.scc import strongly_connected_components
+
+    t0 = time.monotonic()
+    strongly_connected_components(
+        spark.sql(
+            "SELECT 'v' || CAST(event_id % 140 AS STRING) AS src, "
+            "'v' || CAST((event_id % 140) - ((event_id % 140) % 5) "
+            "+ (((event_id % 140) % 5) + 1) % 5 AS STRING) AS dst "
+            "FROM events WHERE event_id % 3 = 0 "
+            "UNION ALL "
+            "SELECT 'v' || CAST(event_id % 70 AS STRING) AS src, "
+            "'v' || CAST((event_id % 70) + 70 AS STRING) AS dst "
+            "FROM events WHERE event_id % 3 = 1 "
+            "UNION ALL "
+            "SELECT 't' || CAST(event_id % 4 AS STRING) AS src, "
+            "'t' || CAST((event_id % 4) + 1 AS STRING) AS dst "
+            "FROM events WHERE event_id % 3 = 2"
+        )
+    ).count()
+    timings["scc"] = time.monotonic() - t0
+
     from pagerank_spark.operators.dedup import (
         embedding_near_duplicates,
         minhash_near_duplicates,
