@@ -1209,6 +1209,100 @@ def q_bowtie(spark, sf_dir):
     return bowtie(spark.sql(BOWTIE_SQL))
 
 
+# Link-prediction graph (operators/linkpred.py): 229 vertices, out-degree
+# varying 1..25 with event_id (so the degree caps genuinely split the
+# vertex set), dense enough that common-neighbor pairs exist at every
+# min_common tested.
+LP_SQL = (
+    "SELECT 'v' || CAST(event_id % 229 AS STRING) AS src, "
+    "'v' || CAST((event_id * 17 + user_id % (1 + event_id % 25)) % 229 AS STRING) AS dst "
+    "FROM events"
+)
+COCIT_CAP = 64
+COCIT_MIN = 2
+# 32 keeps 159/229 sf0.01 centers (degrees run 26-38 there): the cap is
+# demonstrably ACTIVE and the result is still ~14k non-adjacent scored pairs.
+AA_CAP = 32
+AA_MIN_COMMON = 2
+
+# PII-laced text derived with SHARED SQL (same text both engines): the base
+# documents get a deterministic email / IPv4 / phone suffix per doc_id.
+PII_SQL = (
+    "SELECT doc_id, text || ' Contact user' || CAST(doc_id % 97 AS STRING) "
+    "|| '@mail' || CAST(doc_id % 7 AS STRING) || '.example.com from 10.' "
+    "|| CAST(doc_id % 254 AS STRING) || '.0.' || CAST(doc_id % 200 AS STRING) "
+    "|| ' call +1 555-02' || CAST(doc_id % 89 + 10 AS STRING) || ' now.' AS text "
+    "FROM documents"
+)
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient (degree-ordered triangle
+    counter + one vertex join; operators/graphstats.py)."""
+    from pagerank_spark.operators.graphstats import clustering_coefficients
+
+    _views(spark, sf_dir, ("events",))
+    return clustering_coefficients(spark.sql(G_SQL))
+
+
+def q_graph_summary(spark, sf_dir):
+    """One-row structural profile: vertices, distinct edges, self-loops,
+    reciprocity, degree maxima (operators/graphstats.py)."""
+    from pagerank_spark.operators.graphstats import graph_summary
+
+    _views(spark, sf_dir, ("events",))
+    return graph_summary(spark.sql(G_SQL))
+
+
+def q_degree_dist(spark, sf_dir):
+    """Log2-bucketed in/out degree histogram; buckets via exact binary
+    length, immune to the floor(log2) float trap (operators/graphstats.py)."""
+    from pagerank_spark.operators.graphstats import degree_distribution
+
+    _views(spark, sf_dir, ("events",))
+    return degree_distribution(spark.sql(H_SQL))
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation pairs (Small 1973) with the out-degree cap active on the
+    H graph (sources up to ~out-degree 97, cap 64; operators/linkpred.py)."""
+    from pagerank_spark.operators.linkpred import cocitation
+
+    _views(spark, sf_dir, ("events",))
+    return cocitation(
+        spark.sql(H_SQL), max_citing_outdeg=COCIT_CAP, min_count=COCIT_MIN
+    )
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction with DECIMAL order-independent score
+    accumulation (operators/linkpred.py)."""
+    from pagerank_spark.operators.linkpred import adamic_adar
+
+    _views(spark, sf_dir, ("events",))
+    return adamic_adar(
+        spark.sql(LP_SQL), max_center_degree=AA_CAP, min_common=AA_MIN_COMMON
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Email / IPv4 / phone redaction over PII-laced documents — pure
+    JVM-side regexp Columns (operators/textops.py pii_scrub)."""
+    from pagerank_spark.operators.textops import pii_scrub
+
+    _views(spark, sf_dir, ("documents",))
+    return pii_scrub(spark.sql(PII_SQL))
+
+
+def q_dup_spans(spark, sf_dir):
+    """Duplicated-span profile per document (gram-granularity Lee et al.
+    exact-substring approximation; operators/dedup.py)."""
+    from pagerank_spark.operators.dedup import duplicate_span_stats
+
+    _views(spark, sf_dir, ("documents",))
+    return duplicate_span_stats(spark.table("documents"), n=SHINGLE_N)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1278,6 +1372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "scc": q_scc,
         "bowtie": q_bowtie,
+        "clustering_coeff": q_clustering_coeff,
+        "graph_summary": q_graph_summary,
+        "degree_dist": q_degree_dist,
+        "cocitation": q_cocitation,
+        "adamic_adar": q_adamic_adar,
+        "pii_scrub": q_pii_scrub,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -2300,6 +2401,147 @@ SELECT verts.url,
          ELSE 'DISCONNECTED'
        END AS part
 FROM verts
+"""
+
+    # --- graph structural statistics (operators/graphstats.py) -------------
+
+    sqls["clustering_coeff"] = f"""
+WITH g AS ({G_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM g WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+cnt AS (
+  SELECT v, COUNT(*) AS c FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) t
+  GROUP BY v
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und) t GROUP BY v
+)
+SELECT deg.v AS url,
+       CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(c, 0) AS BIGINT) AS triangles,
+       CASE WHEN d >= 2
+            THEN ROUND(CAST(2 * COALESCE(c, 0) AS DOUBLE) / (d * (d - 1)), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS lcc
+FROM deg LEFT JOIN cnt USING (v)
+"""
+
+    sqls["graph_summary"] = f"""
+WITH g AS ({G_SQL}),
+de AS (SELECT DISTINCT src, dst FROM g),
+e AS (SELECT * FROM de WHERE src <> dst),
+verts AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM de UNION ALL SELECT dst FROM de)),
+recip AS (SELECT e.src, e.dst FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src),
+outd AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst)
+SELECT CAST((SELECT COUNT(*) FROM verts) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM de WHERE src = dst) AS BIGINT) AS n_self_loops,
+       CAST((SELECT COUNT(*) FROM recip) AS BIGINT) AS n_reciprocal,
+       ROUND(CAST((SELECT COUNT(*) FROM recip) AS DOUBLE)
+             / (SELECT COUNT(*) FROM e), 6) AS reciprocity,
+       CAST((SELECT MAX(d) FROM outd) AS BIGINT) AS max_out_degree,
+       CAST((SELECT MAX(d) FROM ind) AS BIGINT) AS max_in_degree
+"""
+
+    sqls["degree_dist"] = f"""
+WITH g AS ({H_SQL}),
+de AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+outd AS (SELECT src, COUNT(*) AS d FROM de GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS d FROM de GROUP BY dst)
+SELECT direction, bucket, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM (
+  SELECT 'out' AS direction, CAST(length(bin(d)) - 1 AS BIGINT) AS bucket FROM outd
+  UNION ALL
+  SELECT 'in' AS direction, CAST(length(bin(d)) - 1 AS BIGINT) AS bucket FROM ind) t
+GROUP BY direction, bucket
+"""
+
+    # --- link prediction (operators/linkpred.py) ---------------------------
+
+    sqls["cocitation"] = f"""
+WITH h AS ({H_SQL}),
+de AS (SELECT DISTINCT src, dst FROM h WHERE src <> dst),
+od AS (SELECT src, COUNT(*) AS od FROM de GROUP BY src),
+kept AS (SELECT de.src, de.dst FROM de JOIN od USING (src) WHERE od <= {COCIT_CAP})
+SELECT l.dst AS a, r.dst AS b, CAST(COUNT(*) AS BIGINT) AS cocitations
+FROM kept l JOIN kept r ON r.src = l.src AND l.dst < r.dst
+GROUP BY l.dst, r.dst HAVING COUNT(*) >= {COCIT_MIN}
+"""
+
+    # per-term quantization ROUND(1/ln(d), 9) then DECIMAL accumulation:
+    # exact, order-independent sums on both engines (see linkpred.py)
+    sqls["adamic_adar"] = f"""
+WITH lp AS ({LP_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lp WHERE src <> dst
+),
+nbrs AS (SELECT a AS z, b AS v FROM und UNION ALL SELECT b AS z, a AS v FROM und),
+deg AS (SELECT z, COUNT(*) AS d FROM nbrs GROUP BY z),
+centers AS (
+  SELECT nbrs.z, nbrs.v,
+         CAST(ROUND(1.0 / ln(d), 9) AS DECIMAL(28,9)) AS t
+  FROM nbrs JOIN deg USING (z) WHERE d >= 2 AND d <= {AA_CAP}
+),
+scored AS (
+  SELECT w1.v AS a, w2.v AS b,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         SUM(w1.t) AS aa_dec
+  FROM centers w1 JOIN centers w2 ON w2.z = w1.z AND w1.v < w2.v
+  GROUP BY w1.v, w2.v HAVING COUNT(*) >= {AA_MIN_COMMON}
+)
+SELECT s.a, s.b, s.common_neighbors,
+       ROUND(CAST(aa_dec AS DOUBLE), 6) AS aa_score
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = s.a AND und.b = s.b)
+"""
+
+    # --- PII redaction (operators/textops.py pii_scrub) --------------------
+
+    from pagerank_spark.operators.textops import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    sqls["pii_scrub"] = f"""
+WITH pii AS ({PII_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+         '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM pii
+"""
+
+    # --- duplicated-span statistics (operators/dedup.py) -------------------
+
+    sqls["dup_spans"] = f"""
+WITH {SHINGLE_CTE},
+dfq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM sh JOIN dfq USING (sh) GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       ROUND(CAST(n_dup_grams AS DOUBLE) / n_grams, 6) AS dup_fraction
+FROM per
 """
 
     return sqls

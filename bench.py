@@ -312,6 +312,60 @@ def run_suite(spark, sf_dir: str) -> dict:
     domain_page_counts(graph.vertices).count()
     timings["domain_counts"] = time.monotonic() - t0
 
+    # graph structural statistics + link prediction (round-4 additions)
+    from pagerank_spark.operators.graphstats import (
+        clustering_coefficients,
+        degree_distribution,
+        graph_summary,
+    )
+    from pagerank_spark.operators.linkpred import adamic_adar, cocitation
+
+    t0 = time.monotonic()
+    clustering_coefficients(graph.edges).count()
+    timings["clustering_coeff"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    graph_summary(graph.edges).count()
+    timings["graph_summary"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    degree_distribution(graph.edges).count()
+    timings["degree_dist"] = time.monotonic() - t0
+
+    lp_like = spark.sql(
+        "SELECT 's' || CAST(event_id % 997 AS STRING) AS src, "
+        "'a' || CAST(event_id % (1 + (user_id % 97)) AS STRING) AS dst FROM events"
+    )
+    t0 = time.monotonic()
+    cocitation(lp_like, max_citing_outdeg=64, min_count=2).count()
+    timings["cocitation"] = time.monotonic() - t0
+
+    # 2099 vertices keeps sf0.1 degrees in 25-42, so cap=32 is ACTIVE (about
+    # half the centers survive) and the wedge join still does ~2M-wedge work —
+    # a cap that drops every center would bench an empty pipeline.
+    t0 = time.monotonic()
+    adamic_adar(
+        spark.sql(
+            "SELECT 'v' || CAST(event_id % 2099 AS STRING) AS src, "
+            "'v' || CAST((event_id * 17 + user_id % (1 + event_id % 25)) % 2099 AS STRING) AS dst "
+            "FROM events"
+        ),
+        max_center_degree=32,
+        min_common=2,
+    ).count()
+    timings["adamic_adar"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.dedup import duplicate_span_stats
+    from pagerank_spark.operators.textops import pii_scrub
+
+    t0 = time.monotonic()
+    pii_scrub(docs).count()
+    timings["pii_scrub"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    duplicate_span_stats(docs, n=3).count()
+    timings["dup_spans"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

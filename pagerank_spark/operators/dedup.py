@@ -524,3 +524,47 @@ def decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span statistics (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — gram-granularity approximation of the
+# exact-substring pass)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-span profile: (doc_id, n_grams, n_dup_grams,
+    dup_fraction) where n_dup_grams counts the doc's DISTINCT word n-grams
+    that also occur in at least one OTHER document.
+
+    This is the scalable approximation of suffix-array exact-substring dedup:
+    a span of k >= n duplicated tokens shows up as k-n+1 duplicated n-grams,
+    so dup_fraction ranks documents by how much of their text exists
+    elsewhere in the corpus — the signal Lee et al. cut on.
+
+    Plan shape: shingle_hashes emits 8-byte int64 gram keys BEFORE any wide
+    exchange; the document-frequency aggregate and the gram-keyed join that
+    carries df back to (doc_id, sh) then reuse the same hash partitioning
+    (one exchange feeds both sides), and the final per-doc rollup is a
+    map-side-combined count. Nothing in the plan holds more than
+    (gram, int) state, so the operator survives any corpus size that the
+    shuffle tier survives.
+    """
+    sh = shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    df_ = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long").alias("n_dup_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
+    )

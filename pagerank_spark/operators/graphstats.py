@@ -1,0 +1,137 @@
+"""Whole-graph structural statistics: local clustering coefficients,
+a one-row graph summary (reciprocity, self-loops, degree maxima), and a
+log2-bucketed degree distribution.
+
+These are the standard first-look reports over a crawled link graph
+(reference scope: the LinkGraph the reference builds in pagerank.py:60-108
+feeds exactly these kinds of sanity reports before ranking). All three are
+pure DataFrame compositions:
+
+- ``clustering_coefficients`` reuses the degree-ordered triangle counter
+  (triangles.py) — the wedge explosion on power-law graphs is already tamed
+  there by low-(degree,id) orientation — and adds one vertex-sized join, so
+  its scale ceiling is the triangle count itself.
+- ``graph_summary`` is a handful of map-side-combined aggregates plus one
+  int-keyed LEFT SEMI self-join for reciprocity; every intermediate is
+  either edge-shaped (one pass) or a single row.
+- ``degree_distribution`` buckets by the BINARY LENGTH of the degree
+  (``conv(d, 10, 2)``), not ``floor(log2(d))`` — exact integer math that
+  DuckDB's ``bin()`` reproduces bit-for-bit, immune to the
+  ln(8)/ln(2) = 2.999… float trap. Output is O(log max-degree) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.triangles import _undirected, triangle_count
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph: (url, degree, triangles, lcc) with lcc = 2T / (d(d-1)), 0.0 for
+    degree < 2, rounded to 6 dp (cross-engine float hygiene).
+
+    Cost = one triangle count (degree-ordered, see triangles.py) + one
+    vertex-sized degree aggregate + one vertex-keyed join: at web scale the
+    triangle phase dominates and its skew story carries over unchanged.
+    """
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("url"))
+        .union(und.select(F.col("b").alias("url")))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(edges, per_vertex=True)
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "url")
+        .select(
+            "url",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            lcc.alias("lcc"),
+        )
+    )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row structural profile of a directed graph:
+    (n_vertices, n_edges, n_self_loops, n_reciprocal, reciprocity,
+    max_out_degree, max_in_degree).
+
+    ``n_edges`` counts DISTINCT directed edges excluding self-loops;
+    ``n_reciprocal`` counts those whose reverse edge also exists, so
+    ``reciprocity = n_reciprocal / n_edges`` is the classic Newman
+    definition. Everything is one distinct pass over the edge table, two
+    map-side-combined degree aggregates, and an int-keyed LEFT SEMI
+    self-join — no vertex-quadratic anything, no collect.
+    """
+    de = edges.select("src", "dst").distinct().persist()
+    loops = de.where(F.col("src") == F.col("dst"))
+    e = de.where(F.col("src") != F.col("dst"))
+
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+
+    verts = (
+        de.select(F.col("src").alias("url"))
+        .union(de.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+
+    row = (
+        verts.agg(F.count(F.lit(1)).alias("n_vertices"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(loops.agg(F.count(F.lit(1)).alias("n_self_loops")))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .crossJoin(outd.agg(F.max("d").alias("max_out_degree")))
+        .crossJoin(ind.agg(F.max("d").alias("max_in_degree")))
+    )
+    return row.select(
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_self_loops").cast("long").alias("n_self_loops"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        F.round(F.col("n_reciprocal") / F.col("n_edges"), 6).alias("reciprocity"),
+        F.col("max_out_degree").cast("long").alias("max_out_degree"),
+        F.col("max_in_degree").cast("long").alias("max_in_degree"),
+    )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed degree histogram: (direction, bucket, n_vertices) for
+    direction in {'out','in'}, bucket = floor(log2(degree)) computed EXACTLY
+    as ``length(binary(degree)) - 1`` (power-law fit input; O(log d) rows).
+
+    Over distinct directed edges with self-loops dropped. Two
+    map-side-combined aggregates and a union — the whole report is one scan
+    wide and a few dozen rows tall at any corpus size.
+    """
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    bucket = F.expr("CAST(length(conv(CAST(d AS STRING), 10, 2)) - 1 AS BIGINT)")
+
+    def hist(col: str, name: str) -> DataFrame:
+        return (
+            de.groupBy(F.col(col).alias("url"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .select(F.lit(name).alias("direction"), bucket.alias("bucket"))
+            .groupBy("direction", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        )
+
+    return hist("src", "out").unionAll(hist("dst", "in"))

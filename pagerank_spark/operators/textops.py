@@ -223,3 +223,48 @@ def length_quantiles(
         for i, p in enumerate(probs)
     ]
     return out.select("grp", "n_docs", *cols)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns are written in the common subset of Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround, greedy quantifiers only —
+# leftmost-first matching is identical in both engines on this subset.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped numbers:
+    (doc_id, n_emails, n_ips, n_phones, scrubbed).
+
+    Counts are taken on the ORIGINAL text (all three patterns, independent);
+    replacements apply sequentially email -> ip -> phone so the phone pattern
+    can never re-match digits inside an already-redacted IP. Pure JVM-side
+    regexp Column expressions — one scan, no shuffle, whole-stage codegen;
+    this is the shape a 100-TB scrub pass must have (any Python crossing here
+    would 10x the dominant cost of the pipeline).
+    """
+    t = F.col(text_col)
+    # idx=0 == whole match: Spark defaults to capture group 1 and these
+    # patterns deliberately have none (DuckDB's default IS group 0)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long")
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0))).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )

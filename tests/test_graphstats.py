@@ -1,0 +1,82 @@
+"""Hand-computed fixtures for graph structural statistics
+(operators/graphstats.py)."""
+
+import pytest
+
+from pagerank_spark.operators.graphstats import (
+    clustering_coefficients,
+    degree_distribution,
+    graph_summary,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_clustering_coefficients_hand(spark):
+    # triangle a-b-c plus pendant edge c-d (directed arbitrarily; duplicates
+    # and orientation must not matter)
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("b", "a"), ("a", "b")],
+    )
+    got = {r["url"]: r for r in clustering_coefficients(e).collect()}
+    assert got["a"]["degree"] == 2 and got["a"]["triangles"] == 1
+    assert got["a"]["lcc"] == 1.0
+    assert got["b"]["lcc"] == 1.0
+    assert got["c"]["degree"] == 3 and got["c"]["triangles"] == 1
+    assert got["c"]["lcc"] == pytest.approx(round(2 * 1 / (3 * 2), 6))
+    assert got["d"]["degree"] == 1 and got["d"]["triangles"] == 0
+    assert got["d"]["lcc"] == 0.0
+
+
+def test_graph_summary_hand(spark):
+    # distinct directed: (a,b) (b,a) (a,c) (c,c); one reciprocal pair,
+    # one self-loop; duplicate (a,b) collapses
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")])
+    row = graph_summary(e).collect()[0]
+    assert row["n_vertices"] == 3
+    assert row["n_edges"] == 3
+    assert row["n_self_loops"] == 1
+    assert row["n_reciprocal"] == 2  # both directions of the (a,b) pair
+    assert row["reciprocity"] == pytest.approx(round(2 / 3, 6))
+    assert row["max_out_degree"] == 2  # a -> {b, c}
+    assert row["max_in_degree"] == 1
+
+
+def test_degree_distribution_hand(spark):
+    # out-degrees: a=1 (bucket 0), b=2 (bucket 1), c=4 (bucket 2)
+    # in-degrees:  x=3 (bucket 1), y=2 (bucket 1), z=w=1 (bucket 0)
+    e = _edges(
+        spark,
+        [
+            ("a", "x"),
+            ("b", "x"),
+            ("b", "y"),
+            ("c", "x"),
+            ("c", "y"),
+            ("c", "z"),
+            ("c", "w"),
+        ],
+    )
+    got = {(r["direction"], r["bucket"]): r["n_vertices"] for r in degree_distribution(e).collect()}
+    assert got == {
+        ("out", 0): 1,
+        ("out", 1): 1,
+        ("out", 2): 1,
+        ("in", 0): 2,
+        ("in", 1): 2,
+    }
+
+
+def test_degree_distribution_exact_power_of_two_bucket(spark):
+    # floor(log2(8)) must be 3, not the ln(8)/ln(2)=2.999... float trap —
+    # the binary-length formula is exact
+    e = _edges(spark, [("h", f"t{i}") for i in range(8)])
+    got = {
+        (r["direction"], r["bucket"]): r["n_vertices"]
+        for r in degree_distribution(e).collect()
+        if r["direction"] == "out"
+    }
+    assert got == {("out", 3): 1}
