@@ -1303,6 +1303,66 @@ def q_dup_spans(spark, sf_dir):
     return duplicate_span_stats(spark.table("documents"), n=SHINGLE_N)
 
 
+# Ranked retrieval / corpus filtering (operators/textsearch.py)
+BM25_TERMS = ["query", "spark", "window"]
+BM25_K = 25
+IDX_MIN_DF = 2
+BLOCKED_SOURCES = ["src3", "src7", "src11"]
+
+# Line-structured text for the C4 filter, built with SHARED SQL so both
+# engines see identical bytes: four lines whose terminal punctuation /
+# lorem / brace features vary deterministically with doc_id.
+C4_SQL = (
+    "SELECT doc_id, "
+    "'This opening line has plenty of words' "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' and ends well.' ELSE ' but never ends' END "
+    "|| chr(10) || substr(text, 1, 40 + doc_id % 50) || '.' || chr(10) "
+    "|| CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum sneaks into this line here.' "
+    "        ELSE 'a clean line of sufficient length here.' END "
+    "|| chr(10) "
+    "|| CASE WHEN doc_id % 11 = 0 THEN 'code block { return x; } trails off' "
+    "        ELSE 'Final sentence to close the document nicely!' END AS text "
+    "FROM documents"
+)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Dictionary-side inverted-index stats (term, df, cf): two stacked
+    partial aggregates over exploded tokens (operators/textsearch.py)."""
+    from pagerank_spark.operators.textsearch import inverted_index
+
+    _views(spark, sf_dir, ("documents",))
+    return inverted_index(spark.table("documents"), min_df=IDX_MIN_DF)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval top-k with broadcast query terms and DECIMAL
+    order-independent score accumulation (operators/textsearch.py)."""
+    from pagerank_spark.operators.textsearch import bm25_topk
+
+    _views(spark, sf_dir, ("documents",))
+    return bm25_topk(spark.table("documents"), BM25_TERMS, k=BM25_K)
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4-style line/document heuristic cleaning over synthesized
+    line-structured text — one codegen'd scan (operators/textsearch.py)."""
+    from pagerank_spark.operators.textsearch import c4_filter
+
+    _views(spark, sf_dir, ("documents",))
+    return c4_filter(spark.sql(C4_SQL))
+
+
+def q_blocklist(spark, sf_dir):
+    """Source-blocklist filter: broadcast LEFT ANTI against a blocked-source
+    table (operators/textsearch.py)."""
+    from pagerank_spark.operators.textsearch import blocklist_filter
+
+    _views(spark, sf_dir, ("documents",))
+    blocked = spark.createDataFrame([(s,) for s in BLOCKED_SOURCES], "source string")
+    return blocklist_filter(spark.table("documents"), blocked)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1379,6 +1439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "pii_scrub": q_pii_scrub,
         "dup_spans": q_dup_spans,
+        "inverted_index": q_inverted_index,
+        "bm25_topk": q_bm25_topk,
+        "c4_filter": q_c4_filter,
+        "blocklist": q_blocklist,
     }
 
 
@@ -2542,6 +2606,97 @@ per AS (
 SELECT doc_id, n_grams, n_dup_grams,
        ROUND(CAST(n_dup_grams AS DOUBLE) / n_grams, 6) AS dup_fraction
 FROM per
+"""
+
+    # --- ranked retrieval / corpus filters (operators/textsearch.py) -------
+
+    from pagerank_spark.operators.textsearch import (
+        BM25_B,
+        BM25_K1,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_SENTENCES,
+    )
+
+    _terms_values = ", ".join(f"('{t}')" for t in sorted(set(BM25_TERMS)))
+    _blocked_in = ", ".join(f"'{s}'" for s in BLOCKED_SOURCES)
+
+    sqls["inverted_index"] = f"""
+WITH post AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) t
+  GROUP BY term, doc_id
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+FROM post GROUP BY term HAVING COUNT(*) >= {IDX_MIN_DF}
+"""
+
+    # per-(doc,term) ROUND(...,9) then DECIMAL accumulation — exact and
+    # order-independent on both engines (see textsearch.py module docstring)
+    sqls["bm25_topk"] = f"""
+WITH q(term) AS (VALUES {_terms_values}),
+post AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) t
+  GROUP BY term, doc_id
+),
+dl AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+dfq AS (
+  SELECT post.term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM post JOIN q USING (term) GROUP BY post.term
+),
+contrib AS (
+  SELECT post.doc_id,
+         CAST(ROUND(
+           ln(1.0 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5))
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.dl / (SELECT avgdl FROM stats))), 9)
+         AS DECIMAL(28,9)) AS s
+  FROM post JOIN q USING (term) JOIN dfq ON dfq.term = post.term
+  JOIN dl ON dl.doc_id = post.doc_id
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+    sqls["c4_filter"] = f"""
+WITH c4 AS ({C4_SQL}),
+feat AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     l -> regexp_matches(l, '[.!?"]$')
+                          AND len(string_split(l, ' ')) >= {C4_MIN_LINE_WORDS}) AS kept,
+         CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace
+  FROM c4
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       n_sentences, has_lorem, has_brace,
+       (NOT has_lorem) AND (NOT has_brace)
+         AND n_sentences >= {C4_MIN_SENTENCES} AND len(kept) > 0 AS keep,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM feat
+"""
+
+    sqls["blocklist"] = f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents WHERE source NOT IN ({_blocked_in})
 """
 
     return sqls

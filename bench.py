@@ -366,6 +366,16 @@ def run_suite(spark, sf_dir: str) -> dict:
     duplicate_span_stats(docs, n=3).count()
     timings["dup_spans"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.textsearch import bm25_topk, inverted_index
+
+    t0 = time.monotonic()
+    inverted_index(docs, min_df=2).count()
+    timings["inverted_index"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    bm25_topk(docs, ["query", "spark", "window"], k=25).count()
+    timings["bm25_topk"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

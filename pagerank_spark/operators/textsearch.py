@@ -1,0 +1,237 @@
+"""Ranked text retrieval and corpus filtering over a documents table.
+
+The reference is a web *search* engine (pagerank.py:175-242 ranks url
+substring matches by PageRank); this module adds the text-relevance half a
+real search stack pairs with it — an inverted index and BM25 ranked
+retrieval — plus the two corpus filters every Common-Crawl-style pipeline
+runs before training (C4 line/document heuristics, Raffel et al. 2020, and
+a source blocklist).
+
+Scale shapes (all pure DataFrame; no Python in any hot path):
+
+  * ``postings`` / ``inverted_index`` — one regexp tokenize + explode, then
+    ONE (term, doc_id)-keyed partial aggregate; the df/cf rollup is a second
+    map-side-combined agg on the term key. Shuffle volume is O(total tokens)
+    int64-hashable strings — the canonical "build the index" MapReduce job,
+    and Spark's AQE coalesces the skewed stopword partitions.
+  * ``bm25_topk`` — the query-term table is tiny and BROADCAST, so the
+    corpus-side postings never move for the match; per-doc score sum is one
+    partial agg and the top-k is TakeOrderedAndProject (no full sort).
+  * ``c4_filter`` — per-line rules run inside array lambdas on each row
+    (split → filter → array_join): one scan, zero shuffle, codegen'd.
+  * ``blocklist_filter`` — broadcast LEFT ANTI join; the corpus side is one
+    scan with the filter applied at the join, nothing wide.
+
+Cross-engine float hygiene (same recipe as linkpred.py): each (doc, term)
+BM25 contribution is ROUND(…, 9) then accumulated in DECIMAL(28,9) —
+decimal addition is exact and order-independent, so Spark's partial-agg
+tree and DuckDB's fold agree bit-for-bit; the emitted double is rounded to
+6 dp like every float in the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenizer shared with the DuckDB twins: maximal [a-z0-9]+ runs over
+# lowercased text (Java regex ∩ RE2 — identical matches in both engines).
+TOKEN_RE = r"[a-z0-9]+"
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# C4-style line rule: keep lines that end in terminal punctuation and have
+# at least MIN_LINE_WORDS whitespace words (Raffel et al. 2020 §2.2).
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def tokens_col(text: Column) -> Column:
+    """Array of lowercase [a-z0-9]+ tokens (DuckDB twin:
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')``)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting entries (term, doc_id, tf): one explode + one combine-side
+    aggregate on the (term, doc_id) key."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary-side index stats per term: (term, df, cf) — document
+    frequency and collection frequency — for terms appearing in >= ``min_df``
+    documents. Two stacked partial aggregates over the posting key; the
+    term-keyed shuffle rows carry (string, long, long) only.
+    """
+    return (
+        postings(docs, text_col=text_col, id_col=id_col)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` (doc_id, n_matched, score) for the
+    bag-of-words query, score descending then doc_id ascending.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (the Lucene non-negative form)
+    s(d,t) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    The query-term list becomes a broadcast single-column table, so corpus
+    postings are matched without moving; dl/avgdl/N ride in on one-row
+    crossJoins (scalar subqueries in the twin). Per-(doc,term) scores are
+    quantized to 9 dp and summed in DECIMAL — see module docstring.
+    """
+    spark = docs.sparkSession
+    terms = sorted(set(query_terms))
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    post = postings(docs, text_col=text_col, id_col=id_col)
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        # SUM(long)/COUNT is one exact-int division in double: cross-engine safe
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = (
+        post.join(F.broadcast(qdf), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+    matched = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * norm_tf, 9).cast("decimal(28,9)")
+    scored = (
+        matched.select("doc_id", contrib.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("s").alias("s_dec"),
+        )
+        .select(
+            "doc_id",
+            "n_matched",
+            F.round(F.col("s_dec").cast("double"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
+
+
+def ranked_retrieval(
+    bm25: DataFrame, ranks: DataFrame, rank_weight: float = 1.0
+) -> DataFrame:
+    """Compose text relevance with a link-authority prior (the full
+    search-engine scoring the reference approximates with substring × rank,
+    pagerank.py:175-192): combined = score * (1 + rank_weight * rank).
+
+    ``ranks`` is any (doc_id, rank) vector — PageRank projected onto docs,
+    quality scores, etc. Vertex-sized join; broadcast when small.
+    """
+    return bm25.join(ranks, "doc_id").select(
+        "doc_id",
+        "n_matched",
+        "score",
+        "rank",
+        F.round(F.col("score") * (1.0 + rank_weight * F.col("rank")), 6).alias(
+            "combined"
+        ),
+    )
+
+
+def c4_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020 §2.2), one codegen'd
+    scan: (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+    keep, clean_text).
+
+    Line rule: keep lines ending in terminal punctuation [.!?"] with >= 5
+    whitespace words. Document rule: drop docs containing "lorem ipsum" or
+    a curly brace (code), or with < 3 sentence-final marks, or with no
+    surviving lines. ``clean_text`` is the kept lines re-joined — what a
+    pipeline would write; the flags are what it would monitor.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(l, " ")) >= C4_MIN_LINE_WORDS),
+    )
+    n_sentences = F.size(F.regexp_extract_all(t, F.lit(r"[.!?]"), 0)).cast("long")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    n_kept = F.size(kept).cast("long")
+    keep = (
+        (~has_lorem)
+        & (~has_brace)
+        & (n_sentences >= C4_MIN_SENTENCES)
+        & (n_kept > 0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame, blocked: DataFrame, key_col: str = "source"
+) -> DataFrame:
+    """Drop documents whose ``key_col`` appears in the blocklist table
+    (UT1-style domain/source blocking). Broadcast LEFT ANTI: the blocklist
+    (10^5-10^6 rows in practice) ships to every executor once and the corpus
+    side is a single scan — the only sane shape at 100 TB.
+    """
+    return docs.join(
+        F.broadcast(blocked.select(key_col).distinct()), key_col, "left_anti"
+    )

@@ -1,0 +1,133 @@
+"""Inverted index / BM25 retrieval / C4 filter / blocklist
+(operators/textsearch.py) hand fixtures, including a pure-Python BM25
+replay pinning the scoring formula."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pagerank_spark.operators.textsearch import (
+    BM25_B,
+    BM25_K1,
+    blocklist_filter,
+    bm25_topk,
+    c4_filter,
+    inverted_index,
+    postings,
+    ranked_retrieval,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the lazy dog sleeps all day the dog dreams"),
+    (3, "quick foxes and quick hares run quick circles"),
+    (4, "completely unrelated text about spark engines"),
+]
+
+
+def _tok(s):
+    import re
+
+    return re.findall(r"[a-z0-9]+", s.lower())
+
+
+def test_postings_and_index(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    post = {(r["term"], r["doc_id"]): r["tf"] for r in postings(docs).collect()}
+    assert post[("the", 1)] == 2
+    assert post[("the", 2)] == 2
+    assert post[("quick", 3)] == 3
+    assert ("fox", 2) not in post
+
+    idx = {r["term"]: (r["df"], r["cf"]) for r in inverted_index(docs).collect()}
+    assert idx["dog"] == (2, 3)  # docs 1,2; tf 1+2
+    assert idx["quick"] == (2, 4)
+    # min_df prunes hapaxes
+    idx2 = {r["term"] for r in inverted_index(docs, min_df=2).collect()}
+    assert "fox" not in idx2 and "dog" in idx2
+
+
+def test_bm25_matches_python_replay(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    terms = ["quick", "dog"]
+    got = {r["doc_id"]: r for r in bm25_topk(docs, terms, k=10).collect()}
+
+    toks = {d: _tok(t) for d, t in CORPUS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    expected = {}
+    for d, v in toks.items():
+        s, m = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf
+                * tf
+                * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(v) / avgdl)),
+                9,
+            )
+        if m:
+            expected[d] = (m, round(s, 6))
+
+    assert set(got) == set(expected)
+    for d, (m, s) in expected.items():
+        assert got[d]["n_matched"] == m
+        assert abs(got[d]["score"] - s) < 1e-9
+    order = [r["doc_id"] for r in bm25_topk(docs, terms, k=10).collect()]
+    assert order == sorted(expected, key=lambda d: (-expected[d][1], d))
+
+
+def test_bm25_topk_cut_and_tiebreak(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    top1 = bm25_topk(docs, ["the"], k=1).collect()
+    assert len(top1) == 1
+    # docs 1 and 2 both have tf=2; same dl=9 → identical score, doc_id wins
+    assert top1[0]["doc_id"] == 1
+
+
+def test_ranked_retrieval_composition(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    bm = bm25_topk(docs, ["dog"], k=10)
+    ranks = spark.createDataFrame([(1, 0.9), (2, 0.1)], ["doc_id", "rank"])
+    comb = {r["doc_id"]: r["combined"] for r in ranked_retrieval(bm, ranks).collect()}
+    # doc 2 has the higher BM25 (tf=2) but doc 1's authority prior flips it
+    assert comb[1] > comb[2]
+
+
+def test_c4_filter_rules(spark):
+    good = "This is a perfectly normal sentence of text.\nAnd here is another good line of prose.\nShort one.\nA third full sentence ends properly here."
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "Lorem ipsum dolor sit amet, consectetur adipiscing elit. More words here. And more."),
+            (3, "function foo() { return 1; }. Has sentences. Three of them."),
+            (4, "no terminal punctuation anywhere here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in c4_filter(docs).collect()}
+    assert got[1]["keep"] is True
+    # "Short one." ends with '.' but has <5 words → dropped from clean_text
+    assert got[1]["n_kept_lines"] == 3
+    assert "Short one." not in got[1]["clean_text"]
+    assert got[2]["keep"] is False and got[2]["has_lorem"] is True
+    assert got[3]["keep"] is False and got[3]["has_brace"] is True
+    assert got[4]["keep"] is False and got[4]["n_kept_lines"] == 0
+
+
+def test_blocklist_filter_is_broadcast_anti(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "spamfarm.example"), (2, "b", "good.example"), (3, "c", "spamfarm.example")],
+        ["doc_id", "text", "source"],
+    )
+    blocked = spark.createDataFrame([("spamfarm.example",)], ["source"])
+    kept = blocklist_filter(docs, blocked)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
