@@ -1353,6 +1353,43 @@ def q_c4_filter(spark, sf_dir):
     return c4_filter(spark.sql(C4_SQL))
 
 
+# Paragraph-structured text for CCNet-style paragraph dedup, built with
+# SHARED SQL: a 5-variant boilerplate header, a mostly-unique middle, and a
+# footer shared by every document.
+PARA_SQL = (
+    "SELECT doc_id, "
+    "'Shared header paragraph variant ' || CAST(doc_id % 5 AS STRING) "
+    "|| chr(10) || chr(10) || substr(text, 1, 60 + doc_id % 40) "
+    "|| chr(10) || chr(10) "
+    "|| 'shared footer paragraph appears in every document' AS text "
+    "FROM documents"
+)
+# in-degree 12-23 on the LP graph at sf0.01: cap 16 keeps 125/229 cited
+# vertices — demonstrably ACTIVE — and still yields ~3k coupled pairs
+BIB_CAP = 16
+BIB_MIN = 2
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup, first occurrence wins
+    (operators/dedup.py paragraph_dedup)."""
+    from pagerank_spark.operators.dedup import paragraph_dedup
+
+    _views(spark, sf_dir, ("documents",))
+    return paragraph_dedup(spark.sql(PARA_SQL))
+
+
+def q_bib_coupling(spark, sf_dir):
+    """Bibliographic coupling (Kessler 1963) — cocitation with the edge
+    roles swapped, in-degree cap active (operators/linkpred.py)."""
+    from pagerank_spark.operators.linkpred import bibliographic_coupling
+
+    _views(spark, sf_dir, ("events",))
+    return bibliographic_coupling(
+        spark.sql(LP_SQL), max_cited_indeg=BIB_CAP, min_count=BIB_MIN
+    )
+
+
 def q_blocklist(spark, sf_dir):
     """Source-blocklist filter: broadcast LEFT ANTI against a blocked-source
     table (operators/textsearch.py)."""
@@ -1443,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "c4_filter": q_c4_filter,
         "blocklist": q_blocklist,
+        "paragraph_dedup": q_paragraph_dedup,
+        "bib_coupling": q_bib_coupling,
     }
 
 
@@ -2697,6 +2736,43 @@ FROM feat
     sqls["blocklist"] = f"""
 SELECT doc_id, text, lang, source, n_chars
 FROM documents WHERE source NOT IN ({_blocked_in})
+"""
+
+    # --- CCNet paragraph dedup (operators/dedup.py paragraph_dedup) --------
+
+    _pk = HEX15.format(x=r"regexp_replace(trim(lower(para)), '\s+', ' ', 'g')")
+    sqls["paragraph_dedup"] = f"""
+WITH pd AS ({PARA_SQL}),
+p AS (
+  SELECT doc_id, u.idx AS idx, u.para AS para FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(lst)),
+                  i -> {{'idx': i - 1, 'para': lst[i]}})) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS lst FROM pd))
+  WHERE trim(u.para) <> ''
+),
+k AS (
+  SELECT doc_id, idx, para,
+         ROW_NUMBER() OVER (PARTITION BY {_pk} ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                           chr(10) || chr(10) ORDER BY idx), '') AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+    # --- bibliographic coupling (operators/linkpred.py) --------------------
+
+    sqls["bib_coupling"] = f"""
+WITH lp AS ({LP_SQL}),
+de AS (SELECT DISTINCT src, dst FROM lp WHERE src <> dst),
+ind AS (SELECT dst, COUNT(*) AS d FROM de GROUP BY dst),
+kept AS (SELECT de.src, de.dst FROM de JOIN ind USING (dst) WHERE d <= {BIB_CAP})
+SELECT l.src AS a, r.src AS b, CAST(COUNT(*) AS BIGINT) AS couplings
+FROM kept l JOIN kept r ON r.dst = l.dst AND l.src < r.src
+GROUP BY l.src, r.src HAVING COUNT(*) >= {BIB_MIN}
 """
 
     return sqls

@@ -376,6 +376,17 @@ def run_suite(spark, sf_dir: str) -> dict:
     bm25_topk(docs, ["query", "spark", "window"], k=25).count()
     timings["bm25_topk"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.dedup import paragraph_dedup
+
+    para_docs = docs.selectExpr(
+        "doc_id",
+        "'shared header ' || CAST(doc_id % 5 AS STRING) || chr(10) || chr(10) "
+        "|| text || chr(10) || chr(10) || 'shared footer paragraph' AS text",
+    )
+    t0 = time.monotonic()
+    paragraph_dedup(para_docs).count()
+    timings["paragraph_dedup"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

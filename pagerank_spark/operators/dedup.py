@@ -568,3 +568,66 @@ def duplicate_span_stats(
         "n_dup_grams",
         F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style, Wenzek et al. 2020: drop duplicated
+# paragraphs corpus-wide, first occurrence wins)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: (doc_id, n_paras, n_kept, clean_text)
+    where every paragraph whose normalized text already occurred at a
+    smaller (doc_id, paragraph_index) is removed and ``clean_text`` is the
+    surviving paragraphs re-joined in original order.
+
+    First-occurrence-wins is the CCNet semantics (boilerplate headers/
+    footers vanish from every document except the first crawled copy).
+
+    Plan shape: posexplode paragraphs → groupBy(fingerprint) with a
+    MAP-SIDE-COMBINABLE min(struct(doc_id, idx)) — NOT a row_number window:
+    a window partitioned by the fingerprint would sort-buffer every copy of
+    a hot boilerplate paragraph in one task, while min(struct) partial-
+    aggregates so a 10^8-copy footer reduces to one row per map task before
+    the exchange. The winner table (one row per distinct paragraph) joins
+    back on the fingerprint — AQE's skew-join splits any residual hot key —
+    and the per-doc rollup rebuilds order with array_sort.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).where(F.trim(F.col("para")) != "")
+    keyed = paras.withColumn(
+        "pk", hexint15(F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " "))
+    )
+    firsts = keyed.groupBy("pk").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    marked = keyed.join(firsts, "pk").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("idx") == F.col("w.idx")),
+    )
+    per_doc = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("is_first"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_first"), F.struct("idx", "para"))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+    return per_doc.select("doc_id", "n_paras", "n_kept", "clean_text")

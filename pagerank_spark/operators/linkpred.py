@@ -109,3 +109,22 @@ def adamic_adar(
         "common_neighbors",
         F.round(F.col("aa_dec").cast("double"), 6).alias("aa_score"),
     )
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    max_cited_indeg: int = DEFAULT_DEGREE_CAP,
+    min_count: int = 2,
+) -> DataFrame:
+    """Pairs of pages citing common references (Kessler 1963): (a, b,
+    couplings) with a < b, for unordered src pairs sharing >= ``min_count``
+    distinct cited targets whose in-degree is <= ``max_cited_indeg``.
+
+    Exactly ``cocitation`` with the edge roles swapped — the wedge center is
+    the CITED page and the cap bounds its in-degree (a reference cited by
+    10^5 pages couples everything to everything: noise at quadratic cost).
+    """
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return cocitation(
+        rev, max_citing_outdeg=max_cited_indeg, min_count=min_count
+    ).withColumnRenamed("cocitations", "couplings")
