@@ -269,3 +269,64 @@ def test_stratified_filter_reaches_the_scan(spark, docs_path):
         stratified_sample(spark.read.parquet(docs_path), {"en": 0.5})
     )
     assert "Exchange" not in plan, plan
+
+
+def test_pii_scrub_zero_exchange_and_pruned_scan(spark, docs_path):
+    # the PII scrub is a pure per-row regexp pass: any Exchange (or Python
+    # crossing) here would multiply the dominant cost of a 100-TB scrub
+    from pagerank_spark.operators.textops import pii_scrub
+
+    q = pii_scrub(spark.read.parquet(docs_path))
+    plan = _physical(q)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    fmt = _formatted(q)
+    scan = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert scan and "lang" not in scan[0] and "bucket_col" not in scan[0], fmt
+
+
+def test_c4_filter_zero_exchange(spark, docs_path):
+    # C4 line rules run inside array lambdas on each row — one codegen'd
+    # scan, nothing wide
+    from pagerank_spark.operators.textsearch import c4_filter
+
+    plan = _physical(c4_filter(spark.read.parquet(docs_path)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bm25_query_side_broadcasts_corpus_never_moves(spark, docs_path):
+    # the query-term table is tiny and must BROADCAST to the postings; the
+    # corpus side may shuffle only on the (term, doc_id)/doc_id agg keys —
+    # a SortMergeJoin against the query terms would shuffle postings by term
+    # a second time for a 3-row table
+    from pagerank_spark.operators.textsearch import bm25_topk
+
+    q = bm25_topk(spark.read.parquet(docs_path), ["doc", "words"], k=5)
+    plan = _physical(q)
+    assert "BroadcastHashJoin" in plan, plan
+    # final top-k is a TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_inverted_index_partial_aggregates(spark, docs_path):
+    # both stacked aggregates must partial-aggregate (map-side combine) so
+    # stopword-skewed term keys reduce before the exchange
+    from pagerank_spark.operators.textsearch import inverted_index
+
+    plan = _physical(inverted_index(spark.read.parquet(docs_path), min_df=2))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_paragraph_dedup_winner_pick_partial_aggregates(spark, docs_path):
+    # the first-occurrence winner must come from a map-side-combinable
+    # min(struct) aggregate, NOT a row_number window partitioned by the
+    # paragraph fingerprint (which would sort-buffer every copy of a hot
+    # boilerplate paragraph in one task)
+    from pagerank_spark.operators.dedup import paragraph_dedup
+
+    plan = _physical(paragraph_dedup(spark.read.parquet(docs_path)))
+    assert "partial_min" in plan, plan
+    assert "row_number" not in plan, plan
