@@ -1326,6 +1326,36 @@ C4_SQL = (
 )
 
 
+RICH_KS = (2, 4, 8, 16)
+
+
+def q_assortativity(spark, sf_dir):
+    """Out-in degree assortativity (Newman 2002 r) — exact integer
+    sufficient statistics, one float quotient (operators/graphstats.py)."""
+    from pagerank_spark.operators.graphstats import degree_assortativity
+
+    _views(spark, sf_dir, ("events",))
+    return degree_assortativity(spark.sql(H_SQL))
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficients phi(k) over the undirected simple graph
+    (operators/graphstats.py)."""
+    from pagerank_spark.operators.graphstats import rich_club
+
+    _views(spark, sf_dir, ("events",))
+    return rich_club(spark.sql(H_SQL), ks=RICH_KS)
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Clauset-Shalizi-Newman continuous MLE for the in-degree power-law
+    exponent, DECIMAL-quantized log terms (operators/graphstats.py)."""
+    from pagerank_spark.operators.graphstats import powerlaw_alpha
+
+    _views(spark, sf_dir, ("events",))
+    return powerlaw_alpha(spark.sql(H_SQL), d_min=2)
+
+
 def q_inverted_index(spark, sf_dir):
     """Dictionary-side inverted-index stats (term, df, cf): two stacked
     partial aggregates over exploded tokens (operators/textsearch.py)."""
@@ -1482,6 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "paragraph_dedup": q_paragraph_dedup,
         "bib_coupling": q_bib_coupling,
+        "assortativity": q_assortativity,
+        "rich_club": q_rich_club,
+        "powerlaw_alpha": q_powerlaw_alpha,
     }
 
 
@@ -2773,6 +2806,72 @@ kept AS (SELECT de.src, de.dst FROM de JOIN ind USING (dst) WHERE d <= {BIB_CAP}
 SELECT l.src AS a, r.src AS b, CAST(COUNT(*) AS BIGINT) AS couplings
 FROM kept l JOIN kept r ON r.dst = l.dst AND l.src < r.src
 GROUP BY l.src, r.src HAVING COUNT(*) >= {BIB_MIN}
+"""
+
+    # --- degree-structure analytics (operators/graphstats.py) --------------
+
+    sqls["assortativity"] = f"""
+WITH h AS ({H_SQL}),
+de AS (SELECT DISTINCT src, dst FROM h WHERE src <> dst),
+outd AS (SELECT src, COUNT(*) AS dx FROM de GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS dy FROM de GROUP BY dst),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dx) AS DECIMAL(28,0)) AS sx,
+         CAST(SUM(dy) AS DECIMAL(28,0)) AS sy,
+         CAST(SUM(dx * dy) AS DECIMAL(28,0)) AS sxy,
+         CAST(SUM(dx * dx) AS DECIMAL(28,0)) AS sxx,
+         CAST(SUM(dy * dy) AS DECIMAL(28,0)) AS syy
+  FROM de JOIN outd USING (src) JOIN ind USING (dst)
+)
+SELECT m,
+       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+FROM s
+"""
+
+    _rich_arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > {k}) AS n_k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und
+        WHERE a IN (SELECT v FROM deg WHERE d > {k})
+          AND b IN (SELECT v FROM deg WHERE d > {k})) AS e_k"""
+        for k in RICH_KS
+    )
+    sqls["rich_club"] = f"""
+WITH h AS ({H_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM h WHERE src <> dst
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und) t GROUP BY v
+),
+arms AS ({_rich_arms})
+SELECT k, n_k, e_k,
+       CASE WHEN n_k >= 2
+            THEN ROUND(2.0 * e_k / (n_k * (n_k - 1)), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS phi
+FROM arms
+"""
+
+    sqls["powerlaw_alpha"] = f"""
+WITH h AS ({H_SQL}),
+de AS (SELECT DISTINCT src, dst FROM h WHERE src <> dst),
+ind AS (SELECT dst, COUNT(*) AS d FROM de GROUP BY dst HAVING COUNT(*) >= 2),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+         SUM(CAST(ROUND(ln(d / 1.5), 9) AS DECIMAL(28,9))) AS slog
+  FROM ind
+)
+SELECT n_tail,
+       ROUND(1.0 + CAST(n_tail AS DOUBLE) / CAST(slog AS DOUBLE), 6) AS alpha
+FROM s
 """
 
     return sqls

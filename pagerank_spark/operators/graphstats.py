@@ -135,3 +135,118 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
         )
 
     return hist("src", "out").unionAll(hist("dst", "in"))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row out-in degree assortativity: the Pearson correlation of
+    (outdeg(src), indeg(dst)) over distinct directed non-loop edges
+    (Newman 2002's r, directed out-in flavor): (m, r).
+
+    Every sufficient statistic is an EXACT integer sum (degrees are ints;
+    sums of d, d², dx·dy are BIGINT/DECIMAL — no float accumulation), so
+    the result is bit-identical across engines and partitionings; only the
+    final one-expression Pearson quotient is floating point, rounded 6dp.
+    Cost: one distinct edge pass, two degree aggregates, two edge-keyed
+    joins, one map-side-combined global sum.
+    """
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    outd = de.groupBy("src").agg(F.count(F.lit(1)).alias("dx"))
+    ind = de.groupBy("dst").agg(F.count(F.lit(1)).alias("dy"))
+    pairs = de.join(outd, "src").join(ind, "dst")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").cast("decimal(28,0)").alias("sx"),
+        F.sum("dy").cast("decimal(28,0)").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("decimal(28,0)").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("decimal(28,0)").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(28,0)").alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    num = m * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    denx = m * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    deny = m * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return s.select(
+        F.col("m"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("r"),
+    )
+
+
+def rich_club(edges: DataFrame, ks: list[int] = (2, 4, 8, 16)) -> DataFrame:
+    """Rich-club coefficients over the undirected simple graph: for each
+    degree threshold k, (k, n_k, e_k, phi) with n_k = |{v : deg(v) > k}|,
+    e_k = edges among them, phi = 2·e_k / (n_k·(n_k−1)) (Zhou & Mondragón
+    2004). All counts are exact integers; phi is one float division, 6dp.
+
+    One degree aggregate + per-k two semi-join-filtered counts (|ks| is a
+    handful; each pass is edge-shaped with the degree table broadcast by
+    the planner when it fits).
+    """
+    und = _undirected(edges).persist()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    spark = edges.sparkSession
+    rows = None
+    for k in ks:
+        rich = deg.where(F.col("d") > k).select("v")
+        nk = rich.agg(F.count(F.lit(1)).alias("n_k"))
+        ek = (
+            und.join(rich.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(rich.withColumnRenamed("v", "b"), "b", "left_semi")
+            .agg(F.count(F.lit(1)).alias("e_k"))
+        )
+        row = (
+            nk.crossJoin(ek)
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("n_k").cast("long"),
+                F.col("e_k").cast("long"),
+                F.when(
+                    F.col("n_k") >= 2,
+                    F.round(
+                        2.0 * F.col("e_k") / (F.col("n_k") * (F.col("n_k") - 1)), 6
+                    ),
+                ).otherwise(F.lit(0.0)).alias("phi"),
+            )
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
+
+
+def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """One-row Clauset-Shalizi-Newman continuous MLE for the in-degree
+    power-law exponent: (n_tail, alpha) with
+    alpha = 1 + n / Σ ln(d / (d_min − 1/2)) over vertices with indeg ≥ d_min.
+
+    Per-vertex log terms are ROUND(…,9)-quantized then DECIMAL-summed —
+    exact, order-independent (the linkpred.py recipe) — so the estimate is
+    hash-stable; one degree aggregate + one map-side-combined sum.
+    """
+    ind = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= d_min)
+    )
+    term = F.round(F.log(F.col("d") / (d_min - 0.5)), 9).cast("decimal(28,9)")
+    s = ind.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum(term).alias("slog"),
+    )
+    return s.select(
+        "n_tail",
+        F.round(
+            1.0 + F.col("n_tail").cast("double") / F.col("slog").cast("double"), 6
+        ).alias("alpha"),
+    )
