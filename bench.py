@@ -409,6 +409,15 @@ def main() -> None:
         # (at 8->32 with <=10M edges both arms are latency-bound and the
         # ratio measures nothing)
         lo, hi = os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
+        # SPARK_GRAFT_SCALING_MASTERS="<lo_master>|<hi_master>" switches the
+        # arms from local[N] threads to arbitrary masters — the round-5 use
+        # is local-cluster[E,C,MB] (SEPARATE executor JVMs with private
+        # heaps + a real netty shuffle), the closest sandbox analogue of an
+        # N-executor -> 4N-executor cluster scale-out. lo/hi above stay the
+        # unit counts (executors for local-cluster) used in the efficiency
+        # denominator: eff = (rate_hi/units_hi) / (rate_lo/units_lo).
+        masters = os.environ.get("SPARK_GRAFT_SCALING_MASTERS", "")
+        arm_master = dict(zip((lo, hi), masters.split("|"))) if masters else {}
         results: dict[str, dict] = {}
         # both arms run the IDENTICAL plan over identically-partitioned data
         # (like adding executors to a cluster); default 64 ~ 2M rows/partition
@@ -433,6 +442,8 @@ def main() -> None:
             for cores in (lo, hi):
                 env = dict(os.environ, SPARK_GRAFT_CPUS=cores, SPARK_GRAFT_SF_DIR=SF_DIR,
                            SPARK_GRAFT_SHUFFLE_PARTS=parts, SPARK_GRAFT_EDGES_DIR=edges_dir)
+                if arm_master:
+                    env["SPARK_GRAFT_MASTER"] = arm_master[cores]
                 out = subprocess.run(
                     [sys.executable, __file__, "--pagerank-only"],
                     capture_output=True, text=True, env=env,
@@ -448,7 +459,9 @@ def main() -> None:
         thi = results[hi]["pagerank"]["edges_per_sec"]
         eff = (thi / int(hi)) / (tlo / int(lo))
         print(json.dumps({
-            "metric": f"pagerank_scaling_local{lo}_to_local{hi}",
+            "metric": (f"pagerank_scaling_{arm_master[lo]}_to_{arm_master[hi]}"
+                       if arm_master else
+                       f"pagerank_scaling_local{lo}_to_local{hi}"),
             "sf": SF_DIR,
             f"local{lo}": results[lo]["pagerank"],
             f"local{hi}": results[hi]["pagerank"],
@@ -513,7 +526,18 @@ def main() -> None:
         }))
         return
 
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=SHUFFLE_PARTS)
+    # SPARK_GRAFT_MASTER overrides the thread-local master (scaling arms use
+    # local-cluster[E,C,MB] — separate executor JVMs); executor memory/cores
+    # only apply on non-local masters, where executors are real processes
+    _master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{CPUS}]"
+    _extra: dict = {}
+    if _master.startswith("local-cluster"):
+        _extra["spark.executor.memory"] = os.environ.get("SPARK_GRAFT_EXEC_MEM", "16g")
+        # local-cluster workers inherit this PYTHONPATH so any python worker
+        # (none on the pure-JVM pagerank path, but harmless) finds the package
+        _extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    spark = get_spark("bench", master=_master, shuffle_partitions=SHUFFLE_PARTS,
+                      extra_conf=_extra)
     try:
         if "--make-scaling-input" in sys.argv:
             # materialize the weighted bench edge table ONCE (at full build
@@ -655,16 +679,29 @@ def main() -> None:
         # headline extra comes from the run whose pagerank was fastest
         extra = min(runs, key=lambda r: r["timings"]["pagerank"])["extra"]
         total = round(sum(best.values()), 3)
+        # stdout gets EXACTLY ONE compact JSON line (the driver captures a
+        # bounded tail of stdout — round 4's summary grew past that window
+        # and BENCH_r04.json recorded `parsed: null`); the raw per-repeat
+        # runs go to a sidecar file for audit instead of stdout
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "suite_runs_latest.json"
+        )
+        try:
+            with open(detail_path, "w") as f:
+                json.dump({"runs": [r["timings"] for r in runs], "sf": SF_DIR,
+                           "cores": CPUS, **extra}, f)
+        except OSError:
+            detail_path = None
         print(json.dumps({
             "metric": "engine_suite_seconds",
             "value": total,
             "unit": "sec",
-            "queries": best,
-            "runs": [r["timings"] for r in runs],
+            "queries": {k: round(v, 3) for k, v in best.items()},
             "sf": SF_DIR,
             "cores": CPUS,
-            **extra,
-        }))
+            "pagerank": extra.get("pagerank"),
+            "runs_detail": detail_path,
+        }, separators=(",", ":")))
     finally:
         spark.stop()
 
