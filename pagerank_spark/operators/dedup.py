@@ -598,9 +598,13 @@ def paragraph_dedup(
     back on the fingerprint — AQE's skew-join splits any residual hot key —
     and the per-doc rollup rebuilds order with array_sort.
     """
+    # F.split treats sep as a Java regex while array_join below uses it
+    # literally — \Q...\E-quote it (Pattern.quote) so a separator containing
+    # metacharacters ('. ', '||') splits on exactly the bytes it rejoins with
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("idx", "para"),
     ).where(F.trim(F.col("para")) != "")
     keyed = paras.withColumn(
         "pk", hexint15(F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " "))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pagerank_spark.operators.triangles import _undirected, triangle_count
+from pagerank_spark.plans.caching import checkpoint_release, collect_release
 
 
 def clustering_coefficients(edges: DataFrame) -> DataFrame:
@@ -33,32 +34,24 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     graph: (url, degree, triangles, lcc) with lcc = 2T / (d(d-1)), 0.0 for
     degree < 2, rounded to 6 dp (cross-engine float hygiene).
 
-    Cost = one triangle count (degree-ordered, see triangles.py) + one
-    vertex-sized degree aggregate + one vertex-keyed join: at web scale the
-    triangle phase dominates and its skew story carries over unchanged.
+    Cost = exactly one triangle count (degree-ordered, see triangles.py):
+    the undirected dedup and the degree aggregate ride along inside it
+    (``with_degree=True``), so nothing is scanned or deduplicated twice; the
+    lcc is a pure projection on top. At web scale the triangle phase
+    dominates and its skew story carries over unchanged.
     """
-    und = _undirected(edges)
-    deg = (
-        und.select(F.col("a").alias("url"))
-        .union(und.select(F.col("b").alias("url")))
-        .groupBy("url")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    tri = triangle_count(edges, per_vertex=True)
+    tri = triangle_count(edges, per_vertex=True, with_degree=True)
     lcc = F.when(
         F.col("degree") >= 2,
         F.round(
             2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)), 6
         ),
     ).otherwise(F.lit(0.0))
-    return (
-        deg.join(tri, "url")
-        .select(
-            "url",
-            F.col("degree").cast("long").alias("degree"),
-            F.col("triangles").cast("long").alias("triangles"),
-            lcc.alias("lcc"),
-        )
+    return tri.select(
+        "url",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        lcc.alias("lcc"),
     )
 
 
@@ -97,7 +90,7 @@ def graph_summary(edges: DataFrame) -> DataFrame:
         .crossJoin(outd.agg(F.max("d").alias("max_out_degree")))
         .crossJoin(ind.agg(F.max("d").alias("max_in_degree")))
     )
-    return row.select(
+    out = row.select(
         F.col("n_vertices").cast("long").alias("n_vertices"),
         F.col("n_edges").cast("long").alias("n_edges"),
         F.col("n_self_loops").cast("long").alias("n_self_loops"),
@@ -106,6 +99,8 @@ def graph_summary(edges: DataFrame) -> DataFrame:
         F.col("max_out_degree").cast("long").alias("max_out_degree"),
         F.col("max_in_degree").cast("long").alias("max_in_degree"),
     )
+    # one-row result: materialize it, release the shared distinct-edge cache
+    return collect_release(out, (de,))
 
 
 def degree_distribution(edges: DataFrame) -> DataFrame:
@@ -134,7 +129,8 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
         )
 
-    return hist("src", "out").unionAll(hist("dst", "in"))
+    # O(log max-degree) rows: materialize, release the distinct-edge cache
+    return collect_release(hist("src", "out").unionAll(hist("dst", "in")), (de,))
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:
@@ -170,10 +166,11 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     num = m * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
     denx = m * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
     deny = m * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
-    return s.select(
+    out = s.select(
         F.col("m"),
         F.round(num / F.sqrt(denx * deny), 6).alias("r"),
     )
+    return collect_release(out, (de,))
 
 
 def rich_club(edges: DataFrame, ks: list[int] = (2, 4, 8, 16)) -> DataFrame:
@@ -194,7 +191,6 @@ def rich_club(edges: DataFrame, ks: list[int] = (2, 4, 8, 16)) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .persist()
     )
-    spark = edges.sparkSession
     rows = None
     for k in ks:
         rich = deg.where(F.col("d") > k).select("v")
@@ -219,7 +215,8 @@ def rich_club(edges: DataFrame, ks: list[int] = (2, 4, 8, 16)) -> DataFrame:
             )
         )
         rows = row if rows is None else rows.unionAll(row)
-    return rows
+    # |ks| rows: materialize, release the undirected-edge and degree caches
+    return collect_release(rows, (und, deg))
 
 
 def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:

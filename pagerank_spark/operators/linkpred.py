@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pagerank_spark.operators.triangles import _undirected
+from pagerank_spark.plans.caching import checkpoint_release
 
 # Wedge centers above this degree are dropped (see module docstring).
 DEFAULT_DEGREE_CAP = 256
@@ -60,7 +61,9 @@ def cocitation(
         .agg(F.count(F.lit(1)).cast("long").alias("cocitations"))
         .where(F.col("cocitations") >= min_count)
     )
-    return pairs
+    # pair-sized result: checkpoint it, release the distinct-edge cache
+    # (blocks freed when the caller drops the DataFrame — plans/caching.py)
+    return checkpoint_release(pairs, (de,))
 
 
 def adamic_adar(
@@ -103,12 +106,13 @@ def adamic_adar(
         .where(F.col("common_neighbors") >= min_common)
     )
     non_adjacent = scored.join(und, ["a", "b"], "left_anti")
-    return non_adjacent.select(
+    out = non_adjacent.select(
         "a",
         "b",
         "common_neighbors",
         F.round(F.col("aa_dec").cast("double"), 6).alias("aa_score"),
     )
+    return checkpoint_release(out, (und,))
 
 
 def bibliographic_coupling(

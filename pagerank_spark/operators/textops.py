@@ -234,7 +234,10 @@ def length_quantiles(
 # leftmost-first matching is identical in both engines on this subset.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
 PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PII_PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+# separator class is space-only (no \s: a greedy \s would merge unrelated
+# digit runs across NEWLINES into one <PHONE>) and the run is length-bounded
+# to the longest real-world dialable number (15 digits + separators)
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,18}[0-9]"
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -27,10 +27,12 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented(edges: DataFrame, broadcast_deg: bool | None = None) -> DataFrame:
-    """(u, v, dv, v_id) oriented low-(degree,id) -> high-(degree,id)."""
+def _oriented(edges: DataFrame, broadcast_deg: bool | None = None):
+    """(oriented, und, deg): edges oriented low-(degree,id) ->
+    high-(degree,id) as (u, v, dv), the persisted undirected simple edge
+    set, and the vertex degree table (x, d) over it."""
     und = _undirected(edges).persist()
-    deg = (
+    deg_plain = (
         und.select(F.col("a").alias("x"))
         .union(und.select(F.col("b").alias("x")))
         .groupBy("x")
@@ -38,9 +40,8 @@ def _oriented(edges: DataFrame, broadcast_deg: bool | None = None) -> DataFrame:
     )
     # the degree table is vertex-sized; broadcast keeps the edge table in place
     if broadcast_deg is None:
-        broadcast_deg = deg.count() < 10_000_000
-    if broadcast_deg:
-        deg = F.broadcast(deg)
+        broadcast_deg = deg_plain.count() < 10_000_000
+    deg = F.broadcast(deg_plain) if broadcast_deg else deg_plain
     e = (
         und.join(deg.withColumnRenamed("x", "a").withColumnRenamed("d", "da"), "a")
         .join(deg.withColumnRenamed("x", "b").withColumnRenamed("d", "db"), "b")
@@ -53,13 +54,26 @@ def _oriented(edges: DataFrame, broadcast_deg: bool | None = None) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     )
-    return out, und
+    return out, und, deg_plain
 
 
-def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, per_vertex: bool = False, with_degree: bool = False
+) -> DataFrame:
     """Global count as a 1-row DataFrame (n_triangles), or per-vertex
-    (url, triangles) when ``per_vertex`` — vertices in no triangle get 0."""
-    oriented, und = _oriented(edges)
+    (url, triangles) when ``per_vertex`` — vertices in no triangle get 0.
+    ``with_degree`` (per-vertex only) adds the undirected simple degree as
+    (url, degree, triangles), letting clustering_coefficients reuse the
+    degree aggregate this function already computes.
+
+    Cache hygiene: intermediates are persisted only for the duration of the
+    call — the result is materialized here (tiny global row via collect;
+    per-vertex table via eager localCheckpoint) and the persisted edge sets
+    released before returning, so a session composing many reports never
+    accumulates CacheManager entries (see plans/caching.py)."""
+    from pagerank_spark.plans.caching import checkpoint_release, collect_release
+
+    oriented, und, deg = _oriented(edges)
     o = oriented.persist()
     e1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1"))
     e2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2"))
@@ -72,7 +86,7 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
 
     if not per_vertex:
         out = tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-        return out
+        return collect_release(out, (und, o))
     per = (
         tris.select(F.col("u").alias("url"))
         .union(tris.select(F.col("v1").alias("url")))
@@ -80,12 +94,11 @@ def triangle_count(edges: DataFrame, per_vertex: bool = False) -> DataFrame:
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    verts = (
-        und.select(F.col("a").alias("url"))
-        .union(und.select(F.col("b").alias("url")))
-        .distinct()
-    )
-    return (
+    # deg already enumerates every vertex of the undirected simple graph
+    verts = deg.select(F.col("x").alias("url"), F.col("d").alias("degree"))
+    cols = ["url", "degree"] if with_degree else ["url"]
+    out = (
         verts.join(per, "url", "left")
-        .select("url", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
+        .select(*cols, F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
     )
+    return checkpoint_release(out, (und, o))

@@ -80,3 +80,53 @@ def test_degree_distribution_exact_power_of_two_bucket(spark):
         if r["direction"] == "out"
     }
     assert got == {("out", 3): 1}
+
+
+def test_report_operators_release_caches(spark):
+    """Round-5 cache hygiene: none of the report operators may leave a
+    CacheManager entry behind (round-4 verdict: composed corpus reports
+    accumulated persisted intermediates for the session's lifetime).
+
+    ``persist()`` registers with the session CacheManager, which holds the
+    entry until an explicit unpersist — plans/caching.py materializes each
+    report (collect for tiny outputs, eager localCheckpoint for data-sized
+    ones) and releases the intermediates before returning."""
+    from pagerank_spark.operators.graphstats import (
+        degree_assortativity,
+        powerlaw_alpha,
+        rich_club,
+    )
+    from pagerank_spark.operators.linkpred import (
+        adamic_adar,
+        bibliographic_coupling,
+        cocitation,
+    )
+    from pagerank_spark.operators.triangles import triangle_count
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"), ("a", "c")],
+    )
+    results = [
+        graph_summary(e),
+        degree_distribution(e),
+        degree_assortativity(e),
+        rich_club(e, ks=(1, 2)),
+        powerlaw_alpha(e, d_min=1),
+        clustering_coefficients(e),
+        triangle_count(e),
+        triangle_count(e, per_vertex=True),
+        cocitation(e, min_count=1),
+        adamic_adar(e, min_common=1),
+        bibliographic_coupling(e, min_count=1),
+    ]
+    # every operator must come back with the CacheManager already clean —
+    # no reliance on the caller materializing anything first
+    assert cm.isEmpty()
+    for df in results:
+        df.collect()  # results stay usable after their caches are released
+    assert cm.isEmpty()

@@ -61,3 +61,21 @@ def test_bibliographic_coupling_is_reversed_cocitation(spark):
     co = {(r["a"], r["b"]): r["cocitations"] for r in
           cocitation(rev, max_citing_outdeg=10, min_count=2).collect()}
     assert co == {("a", "b"): 2}
+
+
+def test_paragraph_dedup_metacharacter_separator(spark):
+    # round-5 ADVICE fix: sep is regex-quoted for the split side, so a
+    # separator full of metacharacters splits on exactly the bytes it
+    # rejoins with
+    from pagerank_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|.|beta|.|gamma"), (2, "beta|.|delta")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs, sep="|.|").collect()}
+    assert got[1]["n_paras"] == 3 and got[1]["n_kept"] == 3
+    assert got[1]["clean_text"] == "alpha|.|beta|.|gamma"
+    # 'beta' already seen at (1,1): first occurrence wins
+    assert got[2]["n_paras"] == 2 and got[2]["n_kept"] == 1
+    assert got[2]["clean_text"] == "delta"

@@ -65,3 +65,27 @@ def test_duplicate_span_stats_full_dup_pair(spark):
     )
     got = {r["doc_id"]: r for r in duplicate_span_stats(docs, n=3).collect()}
     assert got[1]["dup_fraction"] == 1.0 and got[2]["dup_fraction"] == 1.0
+
+
+def test_pii_phone_does_not_merge_across_newlines(spark):
+    # round-5 ADVICE fix: the separator class is space-only and bounded, so
+    # a date and a big number on ADJACENT LINES stay unredacted instead of
+    # fusing into one giant <PHONE>
+    docs = spark.createDataFrame(
+        [
+            (1, "released 2024 11 05\n10 000 000 units sold"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "pi digits 3141592653589793238462643383279502884197169399375105"),
+        ],
+        ["doc_id", "text"],
+    )
+    from pagerank_spark.operators.textops import pii_scrub
+
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert "\n" in got[1]["scrubbed"]  # never merged across the newline
+    assert got[2]["n_phones"] == 1
+    assert got[2]["scrubbed"] == "call <PHONE> today"
+    # a 50+-digit run is not ONE phone number end-to-end: the bounded
+    # pattern matches in <=21-char windows (several matches, never a single
+    # run-length one)
+    assert got[3]["n_phones"] >= 2
