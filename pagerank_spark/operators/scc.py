@@ -15,8 +15,16 @@ Hong-Rodia-Olukotun PPoPP'13 and Slota-Rajamanickam-Madduri IPDPS'14):
 
   repeat until no vertices remain:
     1. TRIM — a vertex with no in-edge or no out-edge in the remaining
-       subgraph is its own SCC; peel until stable (cheap vertex-sized
-       anti-joins, kills the tendril mass that dominates web graphs).
+       subgraph is its own SCC; peel until stable (kills the tendril mass
+       that dominates web graphs). The peel is a DEGREE FIXPOINT on the
+       vertex table against the FIXED edge checkpoint: each round drops
+       zero-in/zero-out vertices and DECREMENTS their neighbors' cached
+       degrees (edges incident to a dropped vertex are counted exactly
+       once, in the round it drops) — the edge table itself is scanned
+       per round but REBUILT (repartition + checkpoint) only ONCE, after
+       the fixpoint converges. Round-4 trimming rebuilt the edge table
+       every peel layer, so a depth-d tendril chain paid d rebuilds;
+       now it pays d cheap vertex-sized rounds + 1 rebuild.
     2. COLOR — fixpoint of c(v) = min(c(v), min over in-edges (u,v) of
        c(u)): c(v) = the smallest vertex id that reaches v. One
        edges-join-labels + groupBy-min per round, change detected by the
@@ -66,11 +74,88 @@ def _directed(edges: DataFrame) -> DataFrame:
     )
 
 
+def _trim(e, remaining, b, num_partitions: int, settled: list, metrics=None):
+    """Degree-fixpoint trim: peel every vertex with no in-edge or no
+    out-edge in the remaining subgraph, against the FIXED edge checkpoint
+    ``e`` — no edge-table rebuild inside the loop.
+
+    State is one vertex-sized (url, od, id) degree table. Each round drops
+    the zero-degree vertices and decrements the degrees of their surviving
+    neighbors; an edge contributes a decrement exactly once (the round its
+    endpoint drops), so the cached degrees always equal the true degrees of
+    the remaining subgraph. Returns (remaining, e) with ``e`` rebuilt ONCE
+    (semi-joins + repartition + checkpoint) if anything was trimmed."""
+    outd = e.groupBy(F.col("u").alias("url")).agg(F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy(F.col("v").alias("url")).agg(F.count(F.lit(1)).alias("id"))
+    deg = (
+        remaining.join(outd, "url", "left")
+        .join(ind, "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("od"), F.lit(0)).alias("od"),
+            F.coalesce(F.col("id"), F.lit(0)).alias("id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    n_trimmed = 0
+    while True:
+        dropped = (
+            deg.where((F.col("od") <= 0) | (F.col("id") <= 0))
+            .select("url")
+            .localCheckpoint(eager=True)
+        )
+        if dropped.isEmpty():
+            break
+        rounds += 1
+        settled.append(dropped.select("url", F.col("url").alias("component")))
+        # decrements: an edge x->d (d dropping) lowers od(x); d->y lowers
+        # id(y). Dropped-side joins broadcast via the shared policy / AQE.
+        dec_out = (
+            e.join(b(dropped.select(F.col("url").alias("v"))), "v", "semi")
+            .groupBy(F.col("u").alias("url"))
+            .agg(F.count(F.lit(1)).alias("dec_od"))
+        )
+        dec_in = (
+            e.join(b(dropped.select(F.col("url").alias("u"))), "u", "semi")
+            .groupBy(F.col("v").alias("url"))
+            .agg(F.count(F.lit(1)).alias("dec_id"))
+        )
+        deg = (
+            deg.join(b(dropped), "url", "left_anti")
+            .join(dec_out, "url", "left")
+            .join(dec_in, "url", "left")
+            .select(
+                "url",
+                (F.col("od") - F.coalesce(F.col("dec_od"), F.lit(0))).alias("od"),
+                (F.col("id") - F.coalesce(F.col("dec_id"), F.lit(0))).alias("id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    remaining = deg.select("url")
+    rebuilt = 0
+    if rounds and not remaining.isEmpty():
+        # ONE rebuild for the whole fixpoint (round 4 paid one per layer)
+        e = (
+            e.join(b(remaining.select(F.col("url").alias("u"))), "u", "semi")
+            .join(b(remaining.select(F.col("url").alias("v"))), "v", "semi")
+            .repartition(num_partitions, "u")
+            .localCheckpoint(eager=True)
+        )
+        rebuilt = 1
+    if metrics is not None:
+        metrics.append(
+            {"phase": "trim", "rounds": rounds, "edge_rebuilds": rebuilt}
+        )
+    return remaining, e
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 100,
     broadcast_labels: bool | None = None,
     num_partitions: int | None = None,
+    metrics: list | None = None,
 ) -> DataFrame:
     """Return (url, component) — component id = min member id (string order,
     consistent with connected_components). Vertices = every edge endpoint.
@@ -79,7 +164,10 @@ def strongly_connected_components(
     after trimming); raises RuntimeError instead of returning a partial
     labeling if exceeded. ``broadcast_labels``: None = the shared 10M
     count-threshold auto-policy, False at cluster scale pins the shuffle
-    path.
+    path. ``metrics`` (optional list) receives one dict per phase with
+    round counts and ``edge_rebuilds`` — the trim fixpoint rebuilds the
+    edge table at most once regardless of peel depth (pinned in
+    tests/test_scc_bowtie.py on a 1000-vertex chain).
     """
     spark = edges.sparkSession
     num_partitions = num_partitions or int(
@@ -105,26 +193,7 @@ def strongly_connected_components(
     settled: list[DataFrame] = []
     for _ in range(max_rounds):
         # -- 1. trim: peel vertices missing an in- or out-edge -------------
-        while True:
-            active = (
-                e.select(F.col("u").alias("url"))
-                .distinct()
-                .join(e.select(F.col("v").alias("url")).distinct(), "url")
-                .localCheckpoint(eager=True)
-            )
-            trimmed = remaining.join(b(active), "url", "left_anti").localCheckpoint(
-                eager=True
-            )
-            if trimmed.isEmpty():
-                break
-            settled.append(trimmed.select("url", F.col("url").alias("component")))
-            remaining = active
-            e = (
-                e.join(b(active.select(F.col("url").alias("u"))), "u", "semi")
-                .join(b(active.select(F.col("url").alias("v"))), "v", "semi")
-                .repartition(num_partitions, "u")
-                .localCheckpoint(eager=True)
-            )
+        remaining, e = _trim(e, remaining, b, num_partitions, settled, metrics)
         if remaining.isEmpty():
             break
 
@@ -182,6 +251,8 @@ def strongly_connected_components(
             .repartition(num_partitions, "u")
             .localCheckpoint(eager=True)
         )
+        if metrics is not None:
+            metrics.append({"phase": "settle", "edge_rebuilds": 1})
     else:
         raise RuntimeError(
             f"SCC did not settle within {max_rounds} rounds; "

@@ -225,3 +225,23 @@ def test_bowtie_reuses_precomputed_scc(spark):
     scc = strongly_connected_components(df)
     got = {r["url"]: r["part"] for r in bowtie(df, scc=scc).collect()}
     assert got == _bowtie_py(BOWTIE_EDGES)
+
+
+def test_scc_deep_chain_rebuilds_edge_table_once(spark):
+    """Round-5 verdict item: the trim fixpoint must pay O(1) edge-table
+    rebuilds regardless of peel depth. A 1000-vertex directed chain is the
+    worst case — every peel round removes only the two endpoints, so the
+    round-4 implementation rebuilt (repartitioned + checkpointed) the edge
+    table ~500 times; the degree-fixpoint trim rebuilds at most once."""
+    n = 1000
+    rows = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(n - 1)]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    metrics: list = []
+    got = strongly_connected_components(df, metrics=metrics).collect()
+    assert len(got) == n
+    assert all(r["component"] == r["url"] for r in got)  # all singletons
+    rebuilds = sum(m.get("edge_rebuilds", 0) for m in metrics)
+    assert rebuilds <= 1
+    # the chain trims away entirely in one fixpoint: one trim phase, no
+    # color/settle work at all
+    assert [m["phase"] for m in metrics] == ["trim"]
