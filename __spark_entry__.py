@@ -1095,6 +1095,23 @@ def q_link_distance(spark, sf_dir):
     return link_distance(e, seeds, max_depth=BFS_DEPTH)
 
 
+def q_katz(spark, sf_dir):
+    """Truncated Katz centrality (6 synchronous updates, beta=1) over the
+    simple B graph — the path-counting spectral score next to PageRank's
+    stationary one. alpha = 1/16 is DYADIC: every iterate is an integer
+    multiple of 2^-20, so both engines do exact double arithmetic and the
+    6-dp rounding can never straddle a half boundary (alpha=0.05 put
+    values exactly on multiples of 0.05^5 = 3.125e-7 and one vertex at
+    sf0.01 landed on ...x5 — a coin-flip between the engines' sum orders)."""
+    from pagerank_spark.operators.katz import katz_centrality
+
+    _views(spark, sf_dir, ("events",))
+    x = katz_centrality(
+        spark.sql(B_SQL).distinct(), alpha=0.0625, beta=1.0, iterations=6
+    )
+    return x.select("url", F.round("katz", 6).alias("katz"))
+
+
 def q_neighborhood_function(spark, sf_dir):
     """HyperBall global neighborhood function N(r) over the branching B
     graph — sum of per-vertex HLL ball estimates at radii 0..HB_ROUNDS."""
@@ -1590,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "rich_club": q_rich_club,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "katz": q_katz,
     }
 
 
@@ -2405,6 +2423,25 @@ FROM allw GROUP BY walk_id
 WITH {BEDGE_CTE},
 {_bfs_cte()}
 SELECT url, CAST(dist AS INT) AS dist FROM alld
+"""
+
+    # truncated Katz (operators/katz.py): 6 synchronous updates of
+    # x' = alpha*A^T x + beta from x_1 = beta over the simple B graph —
+    # same double-recursive-reference shape as the PageRank twin.
+    # alpha = 1/16 keeps every iterate an exact dyadic double (see q_katz)
+    sqls["katz"] = f"""
+WITH RECURSIVE {BEDGE_CTE},
+it(iter, url, x) AS (
+  SELECT 1, url, CAST(1.0 AS DOUBLE) FROM bverts
+  UNION ALL
+  SELECT p.iter + 1, p.url, 0.0625 * COALESCE(c.c, 0.0) + 1.0
+  FROM it p
+  LEFT JOIN (SELECT e.dst, SUM(p2.x) AS c
+             FROM bedges e JOIN it p2 ON p2.url = e.src GROUP BY e.dst) c
+    ON c.dst = p.url
+  WHERE p.iter < 6
+)
+SELECT url, ROUND(x, 6) AS katz FROM it WHERE iter = 6
 """
 
     hb_ctes = f"""WITH {BEDGE_CTE},

@@ -536,6 +536,11 @@ def main() -> None:
         # local-cluster workers inherit this PYTHONPATH so any python worker
         # (none on the pure-JVM pagerank path, but harmless) finds the package
         _extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        # all executors share one box + loopback: cached-block locality is
+        # meaningless, and the default 3 s locality wait stalls every stage
+        # touching a persisted partition on 1-core executors (measured
+        # 1.7 s/iter -> 7.6 s/iter at 4x1 executors before zeroing this)
+        _extra["spark.locality.wait"] = "0s"
     spark = get_spark("bench", master=_master, shuffle_partitions=SHUFFLE_PARTS,
                       extra_conf=_extra)
     try:
