@@ -459,6 +459,32 @@ def q_ingest_edges(spark, sf_dir):
     return g.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
 
 
+# max_nnz row limit (reference pagerank.py:40-41 breaks at i > max_nnz, so
+# max_nnz+1 RAW rows are kept, before any filter). limit() is only
+# deterministic over a total order, so the raw edges are sorted by the
+# unique event_id — the distributed analogue of the reference's
+# read-the-csv-in-file-order semantics.
+INGEST_MAXNNZ = 600
+ULIM_SQL = (
+    "SELECT src, dst FROM ("
+    + U_SQL.replace("SELECT ", "SELECT event_id, ", 1)
+    + ") ORDER BY event_id"
+)
+
+
+def q_ingest_limited(spark, sf_dir):
+    """from_edges(max_nnz=K): keeps the FIRST K+1 raw rows (the reference's
+    off-by-one, kept deliberately), then regex filter + 1/outdeg weights +
+    duplicate-edge sum. A wrong limit (K, or non-prefix rows) changes the
+    out-degrees and therefore every weight — the hash witnesses the exact
+    cut, not just the row count."""
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    _views(spark, sf_dir, ("events",))
+    g = LinkGraph.from_edges(spark.sql(ULIM_SQL), max_nnz=INGEST_MAXNNZ)
+    return g.edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
 def q_degrees(spark, sf_dir):
     g = _graph_u(spark, sf_dir)
     return g.degrees().select(
@@ -1608,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "powerlaw_alpha": q_powerlaw_alpha,
         "katz": q_katz,
+        "ingest_limited": q_ingest_limited,
     }
 
 
@@ -2442,6 +2469,28 @@ it(iter, url, x) AS (
   WHERE p.iter < 6
 )
 SELECT url, ROUND(x, 6) AS katz FROM it WHERE iter = 6
+"""
+
+    # max_nnz row limit (q_ingest_limited): first max_nnz+1 rows by the
+    # unique event_id order, THEN regex filter + weights — the reference's
+    # read-order break at i > max_nnz (pagerank.py:40-41)
+    sqls["ingest_limited"] = f"""
+WITH lraw AS (
+  SELECT src, dst FROM ({U_SQL.replace("SELECT ", "SELECT event_id, ", 1)})
+  ORDER BY event_id LIMIT {INGEST_MAXNNZ + 1}
+),
+lfil AS (
+  SELECT * FROM lraw
+  WHERE NOT (regexp_matches(src, '{EDGE_FILTER_REGEX}')
+          OR regexp_matches(dst, '{EDGE_FILTER_REGEX}'))
+),
+lpc AS (SELECT src, dst, COUNT(*) AS k FROM lfil GROUP BY src, dst),
+lod AS (SELECT src, CAST(SUM(k) AS BIGINT) AS outdeg FROM lpc GROUP BY src),
+ledges AS (
+  SELECT lpc.src, lpc.dst, CAST(lpc.k AS DOUBLE) / lod.outdeg AS weight
+  FROM lpc JOIN lod USING (src)
+)
+SELECT src, dst, ROUND(weight, 6) AS weight FROM ledges
 """
 
     hb_ctes = f"""WITH {BEDGE_CTE},

@@ -153,7 +153,11 @@ def _iterate(
         x = _init_state(graph, v_df, x0_df)
 
     if start_iter == 0:
-        x = x.repartition(num_parts, "url").localCheckpoint(eager=True)
+        # ONE init job, same fusion as the loop body: the LAZY checkpoint
+        # materializes during the dangling-mass aggregate (eager checkpoint
+        # + agg was 2 jobs — at 9-iteration convergence runs the init jobs
+        # are a measurable slice of the fixed non-wall cost)
+        x = x.repartition(num_parts, "url").localCheckpoint(eager=False)
         # initial dangling mass: x0 . a
         dangling_mass = x.agg(F.sum(F.col("rank") * F.col("dangling"))).first()[0] or 0.0
 
