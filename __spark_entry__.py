@@ -1328,6 +1328,54 @@ def q_adamic_adar(spark, sf_dir):
     )
 
 
+NJ_MIN_COMMON = 3
+
+
+def q_neighbor_jaccard(spark, sf_dir):
+    """Neighborhood Jaccard similarity (link-structure near-dup of pages)
+    over the LP graph with the same active degree cap as Adamic-Adar
+    (operators/linkpred.py neighbor_jaccard)."""
+    from pagerank_spark.operators.linkpred import neighbor_jaccard
+
+    _views(spark, sf_dir, ("events",))
+    return neighbor_jaccard(
+        spark.sql(LP_SQL), max_center_degree=AA_CAP, min_common=NJ_MIN_COMMON
+    )
+
+
+def q_modularity(spark, sf_dir):
+    """Directed Newman modularity of the 3-round label-propagation
+    communities over the G graph — the standard quality score closing the
+    community-detection loop (operators/graphstats.py modularity); the twin
+    composes the LP3 recursive unrolling with the closed-form aggregation."""
+    from pagerank_spark.operators.graphstats import modularity
+    from pagerank_spark.operators.labelprop import label_propagation
+
+    _views(spark, sf_dir, ("events",))
+    raw = spark.sql(G_SQL)
+    labels = label_propagation(raw, max_iterations=3, stop_when_stable=False)
+    return modularity(raw, labels)
+
+
+# thresholds tuned to the synthetic docs (10-99 words, no newlines) so the
+# verdict SPLITS the corpus instead of degenerating to all-pass/all-fail
+GOPHER_MIN_WORDS = 30
+GOPHER_MIN_STOPS = 1
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Gopher document-level quality rules composed into a per-doc verdict
+    (operators/textops.py gopher_filter) — the filter a pre-training
+    pipeline runs over every crawled byte BEFORE dedup."""
+    from pagerank_spark.operators.textops import gopher_filter
+
+    return gopher_filter(
+        _docs(spark, sf_dir),
+        min_words=GOPHER_MIN_WORDS,
+        min_stop_hits=GOPHER_MIN_STOPS,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """Email / IPv4 / phone redaction over PII-laced documents — pure
     JVM-side regexp Columns (operators/textops.py pii_scrub)."""
@@ -1564,7 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core3": q_k_core3,
         "search_topk": q_search_topk,
         "url_query_predicate": q_url_query_predicate,
-        # --- web-graph analytics -------------------------------------- 13-22
+        # --- web-graph analytics -------------------------------------- 13-23
         "host_pagerank": q_host_pagerank,
         "random_walks": q_random_walks,
         "spam_mass": q_spam_mass,
@@ -1575,7 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "graph_report": q_graph_report,
         "adamic_adar": q_adamic_adar,
-        # --- LLM-data text pipeline ------------------------------------ 23-41
+        "modularity": q_modularity,
+        # --- LLM-data text pipeline ------------------------------------ 24-43
         "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
         "repetition_stats": q_repetition_stats,
@@ -1595,17 +1644,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "blocklist": q_blocklist,
         "paragraph_dedup": q_paragraph_dedup,
-        # --- sampling / curation / multimodal -------------------------- 42-50
+        "gopher_filter": q_gopher_filter,
+        # --- sampling / curation / multimodal -------------------------- 44-50
         "stratified_sample": q_stratified_sample,
         "temperature_sample": q_temperature_sample,
         "weighted_sample": q_weighted_sample,
         "pack_sequences": q_pack_sequences,
-        "interleave_shards": q_interleave_shards,
         "dedup_clusters": q_dedup_clusters,
         "curate": q_curate,
-        "domain_stats": q_domain_stats,
         "frame_sample": q_frame_sample,
         # ---- position 51+: family-mates of the entries above ----------
+        "interleave_shards": q_interleave_shards,
+        "domain_stats": q_domain_stats,
+        "neighbor_jaccard": q_neighbor_jaccard,
         "degrees": q_degrees,
         "dangling": q_dangling,
         "pagerank_iter1": q_pagerank_iter1,
@@ -1708,9 +1759,10 @@ l{i} AS (
   SELECT l{p}.url, COALESCE(b{i}.label, l{p}.label) AS label
   FROM l{p} LEFT JOIN b{i} ON b{i}.url = l{p}.url
 )"""
-    sqls["label_propagation3"] = (
-        f"""
-WITH g AS ({G_SQL}),
+    # WITH-body shared by label_propagation3 and modularity (which scores
+    # the same 3-round LP assignment)
+    lp3_body = (
+        f"""g AS ({G_SQL}),
 und AS (
   SELECT DISTINCT u, v FROM (
     SELECT src AS u, dst AS v FROM g UNION ALL SELECT dst AS u, src AS v FROM g)
@@ -1721,7 +1773,37 @@ l0 AS (SELECT url, url AS label FROM verts),"""
         + lpa_round.format(i=1, p=0) + ","
         + lpa_round.format(i=2, p=1) + ","
         + lpa_round.format(i=3, p=2)
-        + "\nSELECT url, label FROM l3\n"
+    )
+    sqls["label_propagation3"] = (
+        "\nWITH " + lp3_body + "\nSELECT url, label FROM l3\n"
+    )
+
+    # directed Newman modularity of the l3 assignment: exact integer
+    # sufficient statistics (product sum in DECIMAL(38,0)), Q as the fixed
+    # two-division expression tree — see operators/graphstats.py modularity
+    sqls["modularity"] = (
+        "\nWITH " + lp3_body + f""",
+el AS (
+  SELECT ls.label AS c_src, ld.label AS c_dst
+  FROM g JOIN l3 ls ON ls.url = g.src JOIN l3 ld ON ld.url = g.dst
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END) AS BIGINT) AS within_edges
+  FROM el
+),
+mod AS (SELECT c_src AS c, CAST(COUNT(*) AS DECIMAL(38,0)) AS od FROM el GROUP BY 1),
+mid AS (SELECT c_dst AS c, CAST(COUNT(*) AS DECIMAL(38,0)) AS idg FROM el GROUP BY 1),
+pr AS (
+  SELECT CAST(SUM(od * idg) AS DECIMAL(38,0)) AS degree_product_sum
+  FROM mod JOIN mid USING (c)
+)
+SELECT m, within_edges,
+       CAST(degree_product_sum AS DOUBLE) AS degree_product_sum,
+       ROUND(CAST(within_edges AS DOUBLE) / m
+             - CAST(degree_product_sum AS DOUBLE) / m / m, 9) AS modularity
+FROM tot CROSS JOIN pr
+"""
     )
 
     tri_base = f"""
@@ -2801,6 +2883,71 @@ SELECT s.a, s.b, s.common_neighbors,
        ROUND(CAST(aa_dec AS DOUBLE), 6) AS aa_score
 FROM scored s
 WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = s.a AND und.b = s.b)
+"""
+
+    # neighborhood Jaccard: capped wedge common counts (lower bound where a
+    # dropped hub was shared — cap identical both engines), UNCAPPED exact
+    # degrees, single-division ratio (see linkpred.py neighbor_jaccard)
+    sqls["neighbor_jaccard"] = f"""
+WITH lp AS ({LP_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lp WHERE src <> dst
+),
+nbrs AS (SELECT a AS z, b AS v FROM und UNION ALL SELECT b AS z, a AS v FROM und),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY v),
+cdeg AS (SELECT z, COUNT(*) AS zd FROM nbrs GROUP BY z),
+centers AS (
+  SELECT nbrs.z, nbrs.v FROM nbrs JOIN cdeg USING (z) WHERE zd <= {AA_CAP}
+),
+pairs AS (
+  SELECT w1.v AS a, w2.v AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM centers w1 JOIN centers w2 ON w2.z = w1.z AND w1.v < w2.v
+  GROUP BY w1.v, w2.v HAVING COUNT(*) >= {NJ_MIN_COMMON}
+)
+SELECT p.a, p.b, p.common_neighbors, da.deg AS deg_a, db.deg AS deg_b,
+       ROUND(CAST(p.common_neighbors AS DOUBLE)
+             / (da.deg + db.deg - p.common_neighbors), 6) AS jaccard
+FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b
+"""
+
+    # --- Gopher document filter (operators/textops.py gopher_filter) -------
+
+    from pagerank_spark.operators.textops import GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains({TOKS}, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    sqls["gopher_filter"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({TOKS}) AS BIGINT) AS n_words,
+         ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len({TOKS}), 6) AS mean_word_len,
+         ROUND(CAST((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+               / len({TOKS}), 6) AS symbol_ratio,
+         ROUND(CAST(len(list_filter(string_split(text, chr(10)), l ->
+                 starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+                 OR starts_with(ltrim(l), '•'))) AS DOUBLE)
+               / len(string_split(text, chr(10))), 6) AS bullet_ratio,
+         ROUND(CAST(len(list_filter(string_split(text, chr(10)), l ->
+                 ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+               / len(string_split(text, chr(10))), 6) AS ellipsis_ratio,
+         ROUND(CAST(len(list_filter({TOKS}, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len({TOKS}), 6) AS alpha_ratio,
+         CAST({stop_sum} AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_ratio, stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+        AND ellipsis_ratio < 0.3 AND alpha_ratio >= 0.8
+        AND stop_hits >= {GOPHER_MIN_STOPS}) AS gopher_pass
+FROM base
 """
 
     # --- PII redaction (operators/textops.py pii_scrub) --------------------

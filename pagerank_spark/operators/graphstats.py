@@ -103,6 +103,82 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     return collect_release(out, (de,))
 
 
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    vertex_col: str = "url",
+    label_col: str = "label",
+) -> DataFrame:
+    """Directed Newman modularity of a community assignment, one row:
+    (m, within_edges, degree_product_sum, modularity) with
+
+        Q = within/m - Σ_c (outdeg_c * indeg_c) / m²
+
+    — the standard quality score for label-propagation / component output
+    (Leicht & Newman 2008, directed form). ``edges`` is the directed edge
+    multiset (duplicates count, matching the engine's duplicate-edge-sum
+    ingest); ``labels`` maps every vertex to a community.
+
+    Plan shape: two vertex-keyed label joins onto the edge table (labels are
+    vertex-sized — broadcast-able at any realistic community count), one
+    map-side-combined groupBy per degree side on the COMMUNITY key (output
+    is community-sized, tiny), one community-keyed join of the two, and
+    single-row aggregates. No vertex-quadratic term anywhere.
+
+    Cross-engine float hygiene: m, within and Σ(outdeg_c·indeg_c) are exact
+    integers (the product sum in DECIMAL(38,0) — outdeg_c·indeg_c can pass
+    2^63 on a 10^12-edge graph); Q is the fixed expression tree
+    ``within/m - (sumprod/m)/m`` over those integers — two IEEE divisions
+    and one subtraction, no data-dependent summation order — rounded 9 dp.
+    """
+    el = (
+        edges.select("src", "dst")
+        .join(
+            labels.select(
+                F.col(vertex_col).alias("src"), F.col(label_col).alias("c_src")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col(vertex_col).alias("dst"), F.col(label_col).alias("c_dst")
+            ),
+            "dst",
+        )
+        .persist()
+    )
+    totals = el.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("within_edges"),
+    )
+    outd = el.groupBy(F.col("c_src").alias("c")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("od")
+    )
+    ind = el.groupBy(F.col("c_dst").alias("c")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("idg")
+    )
+    prod = outd.join(ind, "c").agg(
+        F.sum(F.col("od") * F.col("idg")).cast("decimal(38,0)").alias("degree_product_sum")
+    )
+    row = totals.crossJoin(prod)
+    out = row.select(
+        "m",
+        "within_edges",
+        # report column as double (exact decimal → one deterministic cast;
+        # pandas/DuckDB render DECIMAL(38,0) inconsistently)
+        F.col("degree_product_sum").cast("double").alias("degree_product_sum"),
+        F.round(
+            F.col("within_edges").cast("double") / F.col("m")
+            - F.col("degree_product_sum").cast("double") / F.col("m") / F.col("m"),
+            9,
+        ).alias("modularity"),
+    )
+    # one-row result: materialize, release the labeled-edge cache
+    return collect_release(out, (el,))
+
+
 def degree_distribution(edges: DataFrame) -> DataFrame:
     """Log2-bucketed degree histogram: (direction, bucket, n_vertices) for
     direction in {'out','in'}, bucket = floor(log2(degree)) computed EXACTLY

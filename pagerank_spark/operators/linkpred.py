@@ -115,6 +115,65 @@ def adamic_adar(
     return checkpoint_release(out, (und,))
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    max_center_degree: int = DEFAULT_DEGREE_CAP,
+    min_common: int = 2,
+) -> DataFrame:
+    """Neighborhood Jaccard similarity over the undirected simple graph:
+    (a, b, common_neighbors, deg_a, deg_b, jaccard) for pairs sharing
+    >= ``min_common`` common neighbors, with
+    jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| = common / (deg_a + deg_b - common).
+
+    This is the link-structure analogue of document near-dup: two pages whose
+    neighborhoods are nearly identical are structurally interchangeable
+    (mirrors, boilerplate navigation hubs, scraped copies). Adjacent pairs
+    are KEPT — unlike Adamic-Adar this is a similarity report, not a
+    missing-link predictor.
+
+    Wedges are generated at the common neighbor with the same degree CAP as
+    the other operators here (a hub with 10^5 neighbors contributes ~10^10
+    pairs of noise); the cap makes ``common`` a lower bound for pairs whose
+    shared neighbors include dropped hubs — the DuckDB twin applies the
+    identical cap. Degrees deg_a/deg_b are UNCAPPED (exact neighborhood
+    sizes). The ratio is a single IEEE division of exact integers — no sum
+    ordering — so ROUND(.,6) is bit-stable across engines.
+    """
+    und = _undirected(edges).persist()
+    nbrs = und.select(F.col("a").alias("z"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    deg = nbrs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    cdeg = nbrs.groupBy("z").agg(F.count(F.lit(1)).alias("zd"))
+    centers = nbrs.join(cdeg.where(F.col("zd") <= max_center_degree), "z")
+    w1 = centers.select("z", F.col("v").alias("a"))
+    w2 = centers.select("z", F.col("v").alias("b"))
+    common = (
+        w1.join(w2, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    out = (
+        common.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return checkpoint_release(out, (und,))
+
+
 def bibliographic_coupling(
     edges: DataFrame,
     max_cited_indeg: int = DEFAULT_DEGREE_CAP,

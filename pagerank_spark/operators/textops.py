@@ -225,6 +225,98 @@ def length_quantiles(
     return out.select("grp", "n_docs", *cols)
 
 
+# Gopher document-level quality rules (Rae et al. 2021, appendix A1.1).
+# The 8 "stop words" the rule counts DISTINCT membership of (>= 2 required):
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document filter (Rae et al. 2021 Table A1, doc-level
+    rules): (doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_ratio, stop_hits, gopher_pass).
+
+    Rules composed into ``gopher_pass``:
+      * min_words <= n_words <= max_words
+      * 3 <= mean word length <= 10
+      * symbol-to-word ratio ('#' chars + '...' occurrences) < 0.1
+      * < 90% of lines start with a bullet ('- ', '* ', '•')
+      * < 30% of lines end with an ellipsis ('...' / '…')
+      * >= 80% of words contain at least one letter
+      * >= ``min_stop_hits`` distinct Gopher stop words present
+
+    Everything is pure Column expressions over ONE scan — split arrays,
+    array lambdas, replace-based substring counts — zero shuffle, full
+    whole-stage codegen: the exact shape a 100-TB pre-training quality pass
+    needs (this operator runs BEFORE dedup in a standard pipeline, so it
+    sees every byte of the crawl).
+
+    Cross-engine hygiene: each ratio is a single IEEE division rounded 6 dp
+    and ``gopher_pass`` is evaluated on the ROUNDED ratios, so the verdict
+    can never straddle an engine-specific ulp. Substring counts use
+    non-overlapping left-to-right ``replace`` deltas — identical semantics
+    in Spark and DuckDB.
+    """
+    t = F.col(text_col)
+    toks = _ws_tokens(F.lower(t))
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.round(
+        F.length(F.regexp_replace(t, " ", "")).cast("double") / n_words, 6
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    n_ellip = (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellip).cast("double") / n_words, 6)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.expr(
+        f"size(filter(split({text_col}, '\\n'), l ->"
+        " startswith(ltrim(l), '- ') OR startswith(ltrim(l), '* ')"
+        " OR startswith(ltrim(l), '•')))"
+    )
+    n_ellip_end = F.expr(
+        f"size(filter(split({text_col}, '\\n'), l ->"
+        " endswith(rtrim(l), '...') OR endswith(rtrim(l), '…')))"
+    )
+    bullet_ratio = F.round(n_bullet.cast("double") / n_lines, 6)
+    ellipsis_ratio = F.round(n_ellip_end.cast("double") / n_lines, 6)
+    n_alpha = F.expr(
+        f"size(filter(split(lower({text_col}), ' '), w -> w rlike '[a-z]'))"
+    )
+    alpha_ratio = F.round(n_alpha.cast("double") / n_words, 6)
+    stop_hits = sum(
+        F.when(F.array_contains(toks, w), 1).otherwise(0) for w in GOPHER_STOPWORDS
+    ).cast("long")
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    gpass = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_ratio") < 0.9)
+        & (F.col("ellipsis_ratio") < 0.3)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return base.withColumn("gopher_pass", gpass)
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -123,9 +123,13 @@ def test_gate_window_covers_every_operator_family():
         "ngram_jaccard", "minhash_lsh", "simhash_pairs", "embedding_near_dup",
         "ann_topk", "ann_ivf", "pii_scrub", "dup_spans", "inverted_index",
         "bm25_topk", "ranked_retrieval", "c4_filter", "blocklist",
-        "paragraph_dedup", "stratified_sample", "temperature_sample",
-        "weighted_sample", "pack_sequences", "interleave_shards",
-        "dedup_clusters", "curate", "domain_stats", "frame_sample",
+        "paragraph_dedup", "gopher_filter", "modularity",
+        "stratified_sample", "temperature_sample",
+        "weighted_sample", "pack_sequences",
+        "dedup_clusters", "curate", "frame_sample",
+        # round 5: modularity (community quality) and gopher_filter (doc
+        # quality verdict) took the slots of interleave_shards/domain_stats
+        # (trivial one-exchange family-mates, demoted past the window)
     }
     assert flagships <= window, f"flagships outside the window: {flagships - window}"
     # family-mates past the window still have twins (local gate covers them)

@@ -64,3 +64,43 @@ def test_adamic_adar_min_common(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c")])
     assert adamic_adar(e, min_common=2).count() == 2
     assert adamic_adar(e, min_common=3).count() == 0
+
+
+def test_neighbor_jaccard_cycle4_and_triangle(spark):
+    from pagerank_spark.operators.linkpred import neighbor_jaccard
+
+    # 4-cycle: N(a)=N(c)={b,d}, N(b)=N(d)={a,c} — both opposite pairs are
+    # perfect structural duplicates (jaccard 1.0)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    got = {(r["a"], r["b"]): r for r in neighbor_jaccard(e, min_common=1).collect()}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    assert got[("a", "c")]["common_neighbors"] == 2
+    assert got[("a", "c")]["deg_a"] == 2 and got[("a", "c")]["deg_b"] == 2
+    assert got[("a", "c")]["jaccard"] == 1.0
+
+    # triangle: ADJACENT pairs are kept (similarity report, not link
+    # prediction): each pair shares one neighbor, jaccard = 1/(2+2-1)
+    t = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    got_t = {(r["a"], r["b"]): r["jaccard"] for r in neighbor_jaccard(t, min_common=1).collect()}
+    assert got_t == {("a", "b"): pytest.approx(round(1 / 3, 6)),
+                     ("a", "c"): pytest.approx(round(1 / 3, 6)),
+                     ("b", "c"): pytest.approx(round(1 / 3, 6))}
+
+
+def test_neighbor_jaccard_cap_lower_bounds_common(spark):
+    from pagerank_spark.operators.linkpred import neighbor_jaccard
+
+    # a and b share neighbors {z, hub}; hub has degree 4 > cap 3 so only z
+    # counts as a wedge center — common drops to 1 but degrees stay EXACT
+    e = _edges(
+        spark,
+        [("a", "z"), ("b", "z"), ("a", "hub"), ("b", "hub"),
+         ("hub", "c"), ("hub", "d")],
+    )
+    got = {(r["a"], r["b"]): r for r in
+           neighbor_jaccard(e, max_center_degree=3, min_common=1).collect()}
+    row = got[("a", "b")]
+    assert row["common_neighbors"] == 1
+    assert row["deg_a"] == 2 and row["deg_b"] == 2
+    # jaccard = 1 / (2 + 2 - 1)
+    assert row["jaccard"] == pytest.approx(round(1 / 3, 6))

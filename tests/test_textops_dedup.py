@@ -552,3 +552,48 @@ def test_ann_lsh_topk_default_sizes_planes_to_corpus(spark, monkeypatch):
     similarity.ann_lsh_topk(corpus(100 * target), [0], k=3, planes=5,
                             target_bucket=target).count()
     assert captured[-1] == 5
+
+
+# ---------------------------------------------------------------------------
+# Gopher document filter (operators/textops.py gopher_filter)
+# ---------------------------------------------------------------------------
+
+def test_gopher_filter_rules(spark):
+    from pagerank_spark.operators.textops import gopher_filter
+
+    good = "the cat and dog have fun with that ball " * 6  # 54 words, stops
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, "too short to pass the rule"),  # n_words < 50
+            (3, "\n".join(["- bullet item " + str(i) for i in range(10)])),
+            (4, "\n".join([good.strip()] + ["trailing off..."] * 9)),
+            (5, " ".join(str(i) for i in range(60))),  # numeric: alpha fail
+            (6, ("#tag " * 60).strip()),  # symbol ratio fail
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[1]["n_words"] == 54 and got[1]["stop_hits"] >= 2
+    assert got[2]["gopher_pass"] is False and got[2]["n_words"] < 50
+    assert got[3]["bullet_ratio"] == 1.0 and got[3]["gopher_pass"] is False
+    assert got[4]["ellipsis_ratio"] == 0.9 and got[4]["gopher_pass"] is False
+    assert got[5]["alpha_ratio"] == 0.0 and got[5]["gopher_pass"] is False
+    assert got[6]["symbol_ratio"] >= 1.0 and got[6]["gopher_pass"] is False
+
+
+def test_gopher_filter_hand_metrics(spark):
+    from pagerank_spark.operators.textops import gopher_filter
+
+    # 5 words, 20 non-space chars -> mean 4.0; 'aa...bb' contributes one
+    # ellipsis; one '#'; 4/5 words alphabetic; stops: 'the' only
+    docs = spark.createDataFrame(
+        [(1, "the quick brown 1234 aa...bb#")], ["doc_id", "text"]
+    )
+    r = gopher_filter(docs, min_words=1, min_stop_hits=1).collect()[0]
+    assert r["n_words"] == 5
+    assert r["mean_word_len"] == pytest.approx(25 / 5)
+    assert r["symbol_ratio"] == pytest.approx(round(2 / 5, 6))
+    assert r["alpha_ratio"] == pytest.approx(round(4 / 5, 6))
+    assert r["stop_hits"] == 1
