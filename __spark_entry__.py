@@ -1042,6 +1042,47 @@ def q_extract_edges(spark, sf_dir):
     return extract_edges_df(pages)
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text index (dst, term, tf, n_anchors): synthesize pages whose
+    anchor TEXTS are generatively known, run the REAL parser + Arrow UDF
+    (functions/extract.py extract_anchors_df), aggregate with
+    operators/textsearch.py anchor_term_index. Exercises <script> skipping
+    (its anchor text must not leak), fragment-only drops (anchor discarded
+    with the href), markup NESTED inside an anchor, and an anchor left open
+    at EOF — the oracle recomputes the index from the generative formula,
+    so any parser deviation hash-mismatches."""
+    from pagerank_spark.functions.extract import extract_anchors_df
+    from pagerank_spark.operators.textsearch import anchor_term_index
+
+    d = F.col("doc_id")
+    site = F.concat(F.lit("www.site"), (d % 50).cast("string"), F.lit(".test"))
+    url = F.concat(site, F.lit("/p"), d.cast("string"))
+    t = (d * 7 + 1) % 500
+    parts = [
+        F.lit('<script><a href="http://skip.test/x">never this text</a></script>'),
+        F.lit("filler intro "),
+        F.concat(
+            F.lit('<a href="http://www.site'), (t % 50).cast("string"),
+            F.lit(".test/p"), t.cast("string"),
+            F.lit('">link to page '), t.cast("string"), F.lit("</a>"),
+        ),
+        F.lit('<a href="#x">skipped anchor</a>'),
+        F.concat(
+            F.lit('<a href="/r'), d.cast("string"), F.lit('">go <b>home '),
+            (d % 13).cast("string"), F.lit("</b> now</a>"),
+        ),
+        # anchor left open at EOF: finalized by the parser's close()
+        F.concat(
+            F.lit('<a href="http://end.test/e'), (d % 9).cast("string"),
+            F.lit('">tail text'),
+        ),
+    ]
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(F.concat(*parts), "UTF-8").alias("html")
+    )
+    return anchor_term_index(extract_anchors_df(pages))
+
+
 def q_host_graph(spark, sf_dir):
     """Page-level url edges (scheme + path) collapsed to the host graph."""
     from pagerank_spark.operators.hostgraph import host_graph
@@ -1657,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_shards": q_interleave_shards,
         "domain_stats": q_domain_stats,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "anchor_text": q_anchor_text,
         "degrees": q_degrees,
         "dangling": q_dangling,
         "pagerank_iter1": q_pagerank_iter1,
@@ -2506,6 +2548,31 @@ SELECT src,
 FROM abs_links
 UNION ALL
 SELECT src, site || '/r' || CAST(doc_id AS VARCHAR) AS dst FROM srcs
+"""
+
+    # anchor-text index: the generative formula behind q_anchor_text's pages
+    # (script-skipped and fragment-only anchors contribute NOTHING; the
+    # nested-markup and EOF-open anchors contribute their visible text);
+    # tokenizer = the inverted index's [a-z0-9]+ runs
+    sqls["anchor_text"] = """
+WITH a AS (
+  SELECT 'www.site' || CAST(((doc_id * 7 + 1) % 500) % 50 AS VARCHAR) || '.test/p'
+             || CAST((doc_id * 7 + 1) % 500 AS VARCHAR) AS dst,
+         'link to page ' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/r' || CAST(doc_id AS VARCHAR),
+         'go home ' || CAST(doc_id % 13 AS VARCHAR) || ' now'
+  FROM documents
+  UNION ALL
+  SELECT 'end.test/e' || CAST(doc_id % 9 AS VARCHAR), 'tail text' FROM documents
+),
+toks AS (
+  SELECT dst, unnest(regexp_extract_all(lower(anchor), '[a-z0-9]+')) AS term FROM a
+),
+tf AS (SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+na AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n_anchors FROM a GROUP BY 1)
+SELECT tf.dst, tf.term, tf.tf, na.n_anchors FROM tf JOIN na USING (dst)
 """
 
     sqls["host_graph"] = f"""

@@ -35,30 +35,56 @@ _SKIP_TAGS = {"script", "style"}
 
 
 class _TextAndLinks(HTMLParser):
+    """Anchor-text spec (rides along without changing chunks/hrefs — the
+    byte-identical text/edge outputs are a frozen contract): an <a> WITH an
+    href opens a capture; stripped non-skipped data chunks append while it
+    is open (markup nested inside the anchor contributes its text); a new
+    <a> or an </a> closes it; an anchor left open at EOF finalizes on
+    close(). Anchor text = chunks joined with a single space."""
+
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.chunks: list[str] = []
         self.hrefs: list[str] = []
+        self.anchors: list[tuple[str, str]] = []
         self._skip_depth = 0
+        self._open_href: str | None = None
+        self._open_chunks: list[str] = []
+
+    def _finalize_anchor(self):
+        if self._open_href is not None:
+            self.anchors.append((self._open_href, " ".join(self._open_chunks)))
+        self._open_href = None
+        self._open_chunks = []
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
         elif tag == "a":
+            self._finalize_anchor()
             for k, v in attrs:
                 if k == "href" and v is not None:
                     self.hrefs.append(v)
+                    self._open_href = v
                     break
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip_depth > 0:
             self._skip_depth -= 1
+        elif tag == "a":
+            self._finalize_anchor()
 
     def handle_data(self, data):
         if self._skip_depth == 0:
             s = data.strip()
             if s:
                 self.chunks.append(s)
+                if self._open_href is not None:
+                    self._open_chunks.append(s)
+
+    def close(self):
+        super().close()
+        self._finalize_anchor()
 
 
 def _parse(html: bytes | None) -> _TextAndLinks:
@@ -100,6 +126,18 @@ def extract_hrefs_py(html: bytes | None, page_url: str) -> list[str]:
     return out
 
 
+def extract_anchors_py(html: bytes | None, page_url: str) -> list[dict]:
+    """Reference extractor: (dst, anchor-text) pairs, document order,
+    duplicates kept, href normalization identical to ``extract_hrefs_py``
+    (an href the edge extractor drops contributes no anchor either)."""
+    out = []
+    for href, text in _parse(html).anchors:
+        n = _normalize_href(href, page_url)
+        if n is not None:
+            out.append({"dst": n, "anchor": text})
+    return out
+
+
 # -- Arrow-vectorized UDFs ----------------------------------------------------
 
 @F.pandas_udf(T.StringType())
@@ -111,6 +149,20 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def extract_hrefs_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_hrefs_py(h, u) for h, u in zip(html, url)], dtype="object"
+    )
+
+
+_ANCHOR_TYPE = T.ArrayType(
+    T.StructType(
+        [T.StructField("dst", T.StringType()), T.StructField("anchor", T.StringType())]
+    )
+)
+
+
+@F.pandas_udf(_ANCHOR_TYPE)
+def extract_anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_anchors_py(h, u) for h, u in zip(html, url)], dtype="object"
     )
 
 
@@ -132,3 +184,17 @@ def extract_edges_df(pages: DataFrame) -> DataFrame:
             F.explode(extract_hrefs_udf(F.col("html"), F.col("url"))).alias("dst"),
         )
     )
+
+
+def extract_anchors_df(pages: DataFrame) -> DataFrame:
+    """(src, dst, anchor) — one row per <a href> with its visible text.
+
+    Same Arrow shape as ``extract_edges_df``: the Python hop carries one
+    struct array per page, the explode runs JVM-side. Anchor text is THE
+    classic off-page relevance signal (what the web says a page is about),
+    aggregated per target by operators/textsearch.py anchor_term_index.
+    """
+    return pages.select(
+        F.col("url").alias("src"),
+        F.explode(extract_anchors_udf(F.col("html"), F.col("url"))).alias("a"),
+    ).select("src", F.col("a.dst").alias("dst"), F.col("a.anchor").alias("anchor"))

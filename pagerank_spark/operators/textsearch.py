@@ -91,6 +91,39 @@ def inverted_index(
     )
 
 
+def anchor_term_index(anchors: DataFrame) -> DataFrame:
+    """Anchor-text index per link target: (dst, term, tf, n_anchors) — term
+    frequency across ALL anchor texts pointing at ``dst`` plus the target's
+    total anchor count. Input is (src, dst, anchor) from
+    functions/extract.py extract_anchors_df.
+
+    This is the classic off-page relevance signal (Brin & Page 1998 §2.2:
+    anchor text describes the TARGET better than the target describes
+    itself); composed with BM25/PageRank it completes the engine's ranked
+    retrieval with the signal the reference's substring-on-url predicate
+    approximates.
+
+    Scale shape: one explode of [a-z0-9]+ tokens (same tokenizer as the
+    inverted index, so term vocabularies align) → one partial-aggregated
+    groupBy on (dst, term) → the per-target anchor count joins on the dst
+    key the aggregate already partitioned by. Shuffle = O(total anchor
+    tokens) — anchor texts average a few words, so this is far below the
+    page-content index cost; stopword-heavy anchors ("click here") skew the
+    term key, which AQE's skew-join handles like the inverted index's.
+    """
+    per_term = (
+        anchors.select("dst", F.explode(tokens_col(F.col("anchor"))).alias("term"))
+        .groupBy("dst", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_anchors = anchors.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors")
+    )
+    return per_term.join(n_anchors, "dst").select(
+        "dst", "term", "tf", "n_anchors"
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

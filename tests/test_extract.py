@@ -86,3 +86,64 @@ def test_pages_to_pagerank_e2e(spark, pages_df):
             assert got[u] == pytest.approx(e, abs=1e-6), u
     finally:
         g.unpersist()
+
+
+def test_anchor_extractor_spec_cases():
+    """Anchor-text spec: script anchors skipped, fragment hrefs dropped with
+    their text, nested markup contributes visible text, a new <a> closes the
+    previous one, an EOF-open anchor finalizes on close()."""
+    from pagerank_spark.functions.extract import extract_anchors_py
+
+    html = (
+        b'<script><a href="http://skip.test/x">never</a></script>'
+        b"intro "
+        b'<a href="http://t.test/a">link <b>one</b> here</a>'
+        b'<a href="#frag">dropped text</a>'
+        b'<a href="/rel">first<a href="http://t.test/b">second</a>'
+        b'<a href="http://t.test/c">tail'
+    )
+    got = extract_anchors_py(html, "page.test/p1")
+    assert got == [
+        {"dst": "t.test/a", "anchor": "link one here"},
+        # '/rel' anchor closed implicitly by the next <a>; text 'first'
+        {"dst": "page.test/rel", "anchor": "first"},
+        {"dst": "t.test/b", "anchor": "second"},
+        # EOF-open anchor finalized by close()
+        {"dst": "t.test/c", "anchor": "tail"},
+    ]
+
+
+def test_anchor_rides_along_without_changing_text_or_hrefs():
+    """The anchor capture must not perturb the frozen text/href contract."""
+    from pagerank_spark.functions.extract import (
+        extract_hrefs_py,
+        extract_text_py,
+    )
+
+    html = (
+        b'pre <a href="http://x.test/1">one</a> mid '
+        b'<script>var a="<a href=q>no</a>";</script>'
+        b'<a href="/two">two</a> post'
+    )
+    assert extract_text_py(html) == 'pre one mid two post'
+    assert extract_hrefs_py(html, "h.test/p") == ["x.test/1", "h.test/two"]
+
+
+def test_anchor_df_shapes(spark):
+    from pagerank_spark.functions.extract import extract_anchors_df
+    from pagerank_spark.operators.textsearch import anchor_term_index
+
+    df = spark.createDataFrame(
+        [
+            ("s.test/p1", b'<a href="http://t.test/x">big cats</a>'),
+            ("s.test/p2", b'<a href="http://t.test/x">big dogs</a>'),
+        ],
+        ["url", "html"],
+    )
+    anchors = extract_anchors_df(df)
+    assert anchors.columns == ["src", "dst", "anchor"]
+    idx = {(r["dst"], r["term"]): (r["tf"], r["n_anchors"])
+           for r in anchor_term_index(anchors).collect()}
+    assert idx[("t.test/x", "big")] == (2, 2)
+    assert idx[("t.test/x", "cats")] == (1, 2)
+    assert idx[("t.test/x", "dogs")] == (1, 2)
