@@ -1404,6 +1404,32 @@ GOPHER_MIN_WORDS = 30
 GOPHER_MIN_STOPS = 1
 
 
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization dedup rollup: decorate the U-graph vertex urls
+    with deterministic scheme/userinfo/case/query/fragment/trailing-slash
+    variants (the same formula both engines), canonicalize, group
+    (functions/urls.py canonical_url_col). Witnesses every normalization
+    rule by value hash — a wrong strip changes group keys AND keep_url."""
+    from pagerank_spark.functions.urls import canonical_url_groups
+
+    g = _graph_u(spark, sf_dir)
+    u = F.col("url")
+    raw = (
+        F.when(F.length(u) % 3 == 0, F.concat(F.lit("http://"), u))
+        .when(F.length(u) % 3 == 1, F.concat(F.lit("HTTPS://user@"), F.upper(u)))
+        .otherwise(F.concat(u, F.lit("?utm=1#frag")))
+    )
+    return canonical_url_groups(g.vertices.select(raw.alias("raw")), url_col="raw")
+
+
+def q_unigram_logloss(spark, sf_dir):
+    """CCNet-style perplexity proxy under the corpus's own unigram LM
+    (operators/textops.py unigram_logloss)."""
+    from pagerank_spark.operators.textops import unigram_logloss
+
+    return unigram_logloss(_docs(spark, sf_dir))
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher document-level quality rules composed into a per-doc verdict
     (operators/textops.py gopher_filter) — the filter a pre-training
@@ -1699,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "neighbor_jaccard": q_neighbor_jaccard,
         "anchor_text": q_anchor_text,
+        "canonical_urls": q_canonical_urls,
+        "unigram_logloss": q_unigram_logloss,
         "degrees": q_degrees,
         "dangling": q_dangling,
         "pagerank_iter1": q_pagerank_iter1,
@@ -2053,6 +2081,28 @@ SELECT url, host, domain, path, path_depth, is_dir FROM uparts
     sqls["domain_counts"] = f"""
 WITH {url_parts_cte}
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages FROM uparts GROUP BY domain
+"""
+
+    # canonical-url dedup rollup: same variant formula + same HOST/PATH
+    # regexes as the Spark side (functions/urls.py canonical_url_col)
+    sqls["canonical_urls"] = f"""
+WITH {INGEST_CTE},
+av AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM filtered UNION ALL SELECT dst FROM filtered)),
+rawv AS (
+  SELECT CASE WHEN length(url) % 3 = 0 THEN 'http://' || url
+              WHEN length(url) % 3 = 1 THEN 'HTTPS://user@' || upper(url)
+              ELSE url || '?utm=1#frag' END AS raw
+  FROM av
+),
+cv AS (
+  SELECT raw,
+         regexp_replace(lower(regexp_extract(raw, '{HOST_RE}', 1)), '^www\\.', '')
+         || regexp_replace(regexp_extract(raw, '{PATH_RE}', 1), '/+$', '') AS canonical
+  FROM rawv
+)
+SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_variants, MIN(raw) AS keep_url
+FROM cv GROUP BY canonical
 """
 
     sqls["url_query_predicate"] = f"""
@@ -2976,6 +3026,27 @@ SELECT p.a, p.b, p.common_neighbors, da.deg AS deg_a, db.deg AS deg_b,
        ROUND(CAST(p.common_neighbors AS DOUBLE)
              / (da.deg + db.deg - p.common_neighbors), 6) AS jaccard
 FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b
+"""
+
+    # --- unigram cross-entropy (operators/textops.py unigram_logloss) ------
+    # per-instance bits quantized 9dp (fixed ln tree over exact counts) then
+    # DECIMAL-summed; final division in double (decimal-division scale rules
+    # differ between engines, one double division doesn't)
+    sqls["unigram_logloss"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+),
+vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE))) / ln(2.0), 9)
+              AS DECIMAL(28,9)) AS b
+  FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_token
+FROM scored GROUP BY doc_id
 """
 
     # --- Gopher document filter (operators/textops.py gopher_filter) -------

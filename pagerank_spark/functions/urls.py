@@ -62,6 +62,37 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def canonical_url_col(url: Column) -> Column:
+    """Canonical dedup key for a crawled url: scheme/userinfo/port dropped
+    (HOST_RE never captures them), host lowercased with a leading 'www.'
+    stripped, query+fragment dropped (PATH_RE stops at [?#]), trailing
+    slashes trimmed. Path CASE IS KEPT (paths are case-sensitive; only the
+    authority is case-insensitive per RFC 3986 §6.2.2.1).
+
+    Pure Column regexes — zero shuffle; keying an edge table or crawl
+    frontier on this column is the standard dedup before graph build
+    (http://www.x.test/a?utm=1 and X.TEST/a/ are the same page).
+    """
+    h = F.regexp_replace(F.lower(host_col(url)), r"^www\.", "")
+    p = F.regexp_replace(path_col(url), r"/+$", "")
+    return F.concat(h, p)
+
+
+def canonical_url_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical, n_variants, keep_url) — url-level dedup rollup: every
+    raw variant keyed by its canonical form, first-lexicographic kept. One
+    partial-aggregated groupBy on the canonical key."""
+    u = F.col(url_col)
+    return (
+        df.select(canonical_url_col(u).alias("canonical"), u.alias("raw"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("raw").alias("keep_url"),
+        )
+    )
+
+
 def domain_page_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(domain, n_pages) — the per-site rollup quota/cap policies key on.
     One partial-aggregated groupBy; at corpus scale domains are the natural

@@ -225,6 +225,50 @@ def length_quantiles(
     return out.select("grp", "n_docs", *cols)
 
 
+def unigram_logloss(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style perplexity proxy: (doc_id, n_tokens, bits_per_token)
+    where bits_per_token is the doc's cross-entropy under the CORPUS
+    unigram distribution — avg over token instances of
+    -log2(count(token)/N). Low = common/natural text; high = rare-token
+    garbage (the signal CCNet thresholds with a KenLM model, computed here
+    self-contained from the corpus itself — no external LM).
+
+    Plan shape: one explode of whitespace tokens → one map-side-combined
+    vocabulary count (token-keyed; the vocabulary table is the shuffle —
+    O(distinct tokens), with AQE handling stopword skew) → one token-keyed
+    join back → one doc-keyed rollup with map-side combine. No Python, no
+    driver-side vocabulary, no broadcast assumption (a web-scale vocab with
+    junk tokens can be huge; Catalyst/AQE picks broadcast when it fits).
+
+    Cross-engine float hygiene (the adamic_adar recipe): per-instance bits
+    quantized ROUND((ln(N)-ln(c))/ln(2), 9) — a fixed expression tree over
+    exact integers — then DECIMAL(28,9)-summed (order-independent), one
+    final division rounded 6 dp.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("n"))
+    bits = F.round(
+        (F.log(F.col("n").cast("double")) - F.log(F.col("c").cast("double")))
+        / F.log(F.lit(2.0)),
+        9,
+    ).cast("decimal(28,9)")
+    scored = toks.join(vocab, "tok").crossJoin(total).select("doc_id", bits.alias("b"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        # decimal sum → double FIRST, then one IEEE division (decimal
+        # division scale rules differ between engines; this tree doesn't)
+        F.round(F.sum("b").cast("double") / F.count(F.lit(1)), 6).alias(
+            "bits_per_token"
+        ),
+    )
+
+
 # Gopher document-level quality rules (Rae et al. 2021, appendix A1.1).
 # The 8 "stop words" the rule counts DISTINCT membership of (>= 2 required):
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -597,3 +597,22 @@ def test_gopher_filter_hand_metrics(spark):
     assert r["symbol_ratio"] == pytest.approx(round(2 / 5, 6))
     assert r["alpha_ratio"] == pytest.approx(round(4 / 5, 6))
     assert r["stop_hits"] == 1
+
+
+def test_unigram_logloss_hand(spark):
+    """Corpus LM: a:3 b:1 c:1 over N=5 instances; doc bits are averages of
+    log2(N/count) — hand-computed with the same 9dp-term quantization."""
+    import math
+
+    from pagerank_spark.operators.textops import unigram_logloss
+
+    docs = spark.createDataFrame([(1, "a a b"), (2, "a c")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in unigram_logloss(docs).collect()}
+    b_a = round(math.log2(5 / 3), 9)
+    b_rare = round(math.log2(5), 9)
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["bits_per_token"] == pytest.approx(round((2 * b_a + b_rare) / 3, 6))
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["bits_per_token"] == pytest.approx(round((b_a + b_rare) / 2, 6))
+    # common-token doc scores LOWER (more "natural") than rare-token doc
+    assert got[1]["bits_per_token"] < got[2]["bits_per_token"]

@@ -46,3 +46,30 @@ def test_url_parts_no_udf_in_plan(spark):
     df = spark.createDataFrame([("a.b/c",)], ["url"])
     plan = with_url_parts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_canonical_url_rules(spark):
+    from pagerank_spark.functions.urls import canonical_url_col
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("http://www.X.test/a?utm=1#f",),   # scheme+www+query+fragment
+        ("HTTPS://user@X.TEST/a",),          # userinfo + host case
+        ("x.test/a/",),                      # trailing slash
+        ("x.test/A",),                       # path case KEPT (distinct)
+        ("www.y.test",),                     # hostname only
+    ]
+    df = spark.createDataFrame(rows, ["raw"])
+    got = [r["c"] for r in df.select(canonical_url_col(F.col("raw")).alias("c")).collect()]
+    assert got == ["x.test/a", "x.test/a", "x.test/a", "x.test/A", "y.test"]
+
+
+def test_canonical_url_groups_rollup(spark):
+    from pagerank_spark.functions.urls import canonical_url_groups
+
+    df = spark.createDataFrame(
+        [("http://www.x.test/a",), ("x.test/a/",), ("x.test/b",)], ["url"]
+    )
+    got = {r["canonical"]: (r["n_variants"], r["keep_url"])
+           for r in canonical_url_groups(df).collect()}
+    assert got == {"x.test/a": (2, "http://www.x.test/a"), "x.test/b": (1, "x.test/b")}
