@@ -1557,6 +1557,54 @@ PARA_SQL = (
 BIB_CAP = 16
 BIB_MIN = 2
 
+# Line-structured text for the WITHIN-doc duplicate-line stats: 5 lines per
+# doc — two unique text slices, a boilerplate line repeated 2 or 3 times
+# (doc_id % 3 steers the third copy), and a unique tail on non-multiples
+DUPLN_SQL = (
+    "SELECT doc_id, "
+    "substr(text, 1, 40 + doc_id % 20) || chr(10) "
+    "|| 'repeated boilerplate line' || chr(10) "
+    "|| substr(text, 21, 50) || chr(10) "
+    "|| 'repeated boilerplate line' || chr(10) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN 'repeated boilerplate line' "
+    "ELSE 'unique tail ' || CAST(doc_id AS STRING) END AS text "
+    "FROM documents"
+)
+
+
+def q_dup_line_stats(spark, sf_dir):
+    """Gopher's within-document duplicate-line fractions over line-decorated
+    docs (operators/textops.py dup_line_stats)."""
+    from pagerank_spark.operators.textops import dup_line_stats
+
+    _views(spark, sf_dir, ("documents",))
+    return dup_line_stats(spark.sql(DUPLN_SQL))
+
+
+def q_rank_correlation(spark, sf_dir):
+    """Spearman rho between converged PageRank and in-degree on the G-ish
+    graph — 'is in-degree a cheap PageRank proxy?' (operators/graphstats.py
+    spearman_correlation). Ranks come from the 6dp-ROUNDED scores, which the
+    pagerank_converged contract already pins identical across engines, so
+    the value histogram (and therefore every average rank) is bit-equal."""
+    from pagerank_spark.operators.graph_build import LinkGraph
+    from pagerank_spark.operators.graphstats import spearman_correlation
+
+    _views(spark, sf_dir, ("events",))
+    # the branching B graph: in-degrees (and therefore ranks) VARY — the G
+    # graph is regular, where both metrics are constant and rho is undefined
+    g = LinkGraph.from_edges(spark.sql(B_SQL).distinct())
+    ranks = g.pagerank(alpha=0.85, epsilon=1e-6).select(
+        "url", F.round("rank", 6).alias("x")
+    )
+    ind = g.edges.groupBy(F.col("dst").alias("url")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    m = ranks.join(ind, "url", "left").select(
+        "x", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    return spearman_correlation(m, "x", "y")
+
 
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet-style corpus-wide paragraph dedup, first occurrence wins
@@ -1727,6 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "canonical_urls": q_canonical_urls,
         "unigram_logloss": q_unigram_logloss,
+        "dup_line_stats": q_dup_line_stats,
+        "rank_correlation": q_rank_correlation,
         "degrees": q_degrees,
         "dangling": q_dangling,
         "pagerank_iter1": q_pagerank_iter1,
@@ -2962,6 +3012,43 @@ SELECT direction, bucket, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM (
 GROUP BY direction, bucket
 """
 
+    # Spearman rho pagerank-vs-indegree: average-rank ties from the value
+    # HISTOGRAM (rank2 = 2C+c+1, an exact integer), Pearson over exact
+    # DECIMAL sums, one fixed double tree (graphstats.py spearman_correlation)
+    bw_cte = f"""{BEDGE_CTE.strip().rstrip()},
+bod AS (SELECT src, COUNT(*) AS od FROM bedges GROUP BY src),
+bwedges AS (
+  SELECT bedges.src, bedges.dst, CAST(1 AS DOUBLE) / bod.od AS weight
+  FROM bedges JOIN bod USING (src)
+)"""
+    sqls["rank_correlation"] = f"""
+WITH {BEDGE_CTE.strip()},
+ind AS (SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS y FROM bedges GROUP BY dst),
+m AS (
+  SELECT pr.rank AS x, CAST(COALESCE(ind.y, 0) AS BIGINT) AS y
+  FROM ({_pr_conv_sql(bw_cte, "bwedges", "bverts")}) pr LEFT JOIN ind USING (url)
+),
+hx AS (SELECT x AS v, COUNT(*) AS c FROM m GROUP BY x),
+rxt AS (SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS DECIMAL(38,0)) AS rx FROM hx),
+hy AS (SELECT y AS v, COUNT(*) AS c FROM m GROUP BY y),
+ryt AS (SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS DECIMAL(38,0)) AS ry FROM hy),
+j AS (SELECT rxt.rx, ryt.ry FROM m JOIN rxt ON rxt.v = m.x JOIN ryt ON ryt.v = m.y),
+s AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(rx) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(ry) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+FROM s
+"""
+
     # --- link prediction (operators/linkpred.py) ---------------------------
 
     sqls["cocitation"] = f"""
@@ -3026,6 +3113,25 @@ SELECT p.a, p.b, p.common_neighbors, da.deg AS deg_a, db.deg AS deg_b,
        ROUND(CAST(p.common_neighbors AS DOUBLE)
              / (da.deg + db.deg - p.common_neighbors), 6) AS jaccard
 FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b
+"""
+
+    # within-doc duplicate-line fractions (textops.py dup_line_stats):
+    # 60-bit line hashes, exact-long instance/char sums, IEEE divisions
+    sqls["dup_line_stats"] = f"""
+WITH d AS ({DUPLN_SQL}),
+lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM d),
+per AS (
+  SELECT doc_id, {HEX15.format(x='ln')} AS lh,
+         COUNT(*) AS c, MAX(length(ln)) AS ch
+  FROM lines GROUP BY doc_id, {HEX15.format(x='ln')}
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+         AS dup_line_frac,
+       CASE WHEN SUM(c * ch) = 0 THEN 0.0
+            ELSE ROUND(CAST(SUM(CASE WHEN c > 1 THEN c * ch ELSE 0 END) AS DOUBLE)
+                       / SUM(c * ch), 6) END AS dup_char_frac
+FROM per GROUP BY doc_id
 """
 
     # --- unigram cross-entropy (operators/textops.py unigram_logloss) ------

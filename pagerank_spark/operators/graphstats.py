@@ -22,7 +22,7 @@ pure DataFrame compositions:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pagerank_spark.operators.triangles import _undirected, triangle_count
@@ -177,6 +177,65 @@ def modularity(
     )
     # one-row result: materialize, release the labeled-edge cache
     return collect_release(out, (el,))
+
+
+def spearman_correlation(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One-row Spearman rank correlation between two per-row metrics with
+    STANDARD average-rank tie handling: (n, spearman_rho).
+
+    The classic use is scoring how well a cheap signal proxies an expensive
+    one (in-degree vs converged PageRank — the question web-IR settled with
+    rho ≈ 0.7-0.9; Fogaras & Rácz 2005).
+
+    Scale design — no per-row global ordering anywhere: average ranks
+    depend only on each metric's VALUE HISTOGRAM (avg rank of value v =
+    C(v) + (c(v)+1)/2 with C = count below), so ranks are computed with one
+    groupBy per metric plus a cumulative window over the DISTINCT VALUES
+    (degree histograms and 6dp-rounded scores collapse to a tiny table —
+    that window is value-histogram-sized, never row-sized), then joined
+    back on the value key. Doubling the rank (2C + c + 1) keeps it an exact
+    INTEGER; Pearson over the doubled ranks equals Pearson over the ranks
+    (affine invariance), and its five sufficient sums accumulate in
+    DECIMAL(38,0) — exact and order-independent, so both engines hash-agree
+    bit-for-bit. rho is one fixed double tree over the exact sums, rounded
+    6 dp. DECIMAL(38,0) bounds the exact path at ~10^12 rows (n·Σxy ≤
+    ~10^38) — the contract scale and any realistic vertex count.
+    """
+    w = Window.orderBy("v")
+
+    def rank2(col: str, name: str):
+        hist = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # 2*C(v) + c(v) + 1 == twice the average rank of value v
+        r2 = (
+            2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+        ).cast("decimal(38,0)")
+        return hist.select(F.col("v").alias(col), r2.alias(name))
+
+    joined = (
+        df.select(x_col, y_col)
+        .join(rank2(x_col, "rx"), x_col)
+        .join(rank2(y_col, "ry"), y_col)
+    )
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    out = sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_rho"),
+    )
+    return collect_release(out, ())
 
 
 def degree_distribution(edges: DataFrame) -> DataFrame:

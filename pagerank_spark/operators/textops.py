@@ -192,6 +192,58 @@ def repetition_stats(
     )
 
 
+def dup_line_stats(
+    docs: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_char_frac) — Gopher's WITHIN-
+    document duplicate-line rules (Rae et al. 2021 A1.1: "duplicate line
+    fraction" and "duplicate line character fraction"), completing the
+    repetition rule set next to the n-gram stats (repetition_stats) and the
+    CROSS-corpus paragraph dedup (dedup.paragraph_dedup).
+
+      * dup_line_frac — fraction of line INSTANCES whose exact line occurs
+        more than once in the same document
+      * dup_char_frac — fraction of characters living in such lines
+
+    Scale shape (the repetition_stats design): lines hash to 60-bit int64
+    BEFORE the (doc_id, line) frequency groupBy — 8-byte shuffle keys — and
+    the per-doc rollup partial-aggregates on doc_id; two exchanges total,
+    no Python. The separator is ``\\Q..\\E``-quoted for the regex split so
+    metacharacter separators split on exactly the bytes given. Ratios are
+    single IEEE divisions of exact longs, rounded 6 dp; both are 0.0 for a
+    doc whose every line is empty (zero-char denominator).
+    """
+    pat = "\\Q" + sep + "\\E"
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), pat)).alias("ln"),
+    )
+    per = (
+        lines.select(
+            "doc_id", hexint15(F.col("ln")).alias("lh"), F.length("ln").alias("l")
+        )
+        .groupBy("doc_id", "lh")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("l").alias("ch"))
+    )
+    dup = F.col("c") > 1
+    tot_chars = F.sum(F.col("c") * F.col("ch"))
+    dup_chars = F.sum(F.when(dup, F.col("c") * F.col("ch")).otherwise(F.lit(0)))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.when(dup, F.col("c")).otherwise(F.lit(0))).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("dup_line_frac"),
+        F.when(tot_chars == 0, F.lit(0.0))
+        .otherwise(F.round(dup_chars.cast("double") / tot_chars, 6))
+        .alias("dup_char_frac"),
+    )
+
+
 def length_quantiles(
     docs: DataFrame,
     group_col: str = "lang",

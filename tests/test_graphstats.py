@@ -165,3 +165,28 @@ def test_report_operators_release_caches(spark):
     for df in results:
         df.collect()  # results stay usable after their caches are released
     assert cm.isEmpty()
+
+
+def test_spearman_correlation_hand(spark):
+    from pagerank_spark.operators.graphstats import spearman_correlation
+
+    # permutation, no ties: rho = 1 - 6*4/(4*15) = 0.6
+    df = spark.createDataFrame([(1, 2), (2, 1), (3, 4), (4, 3)], ["x", "y"])
+    row = spearman_correlation(df, "x", "y").collect()[0]
+    assert row["n"] == 4 and row["spearman_rho"] == pytest.approx(0.6)
+
+    # monotone -> 1.0; reversed -> -1.0
+    up = spark.createDataFrame([(1, 10), (2, 20), (3, 40)], ["x", "y"])
+    assert spearman_correlation(up, "x", "y").collect()[0]["spearman_rho"] == 1.0
+    dn = spark.createDataFrame([(1, 40), (2, 20), (3, 10)], ["x", "y"])
+    assert spearman_correlation(dn, "x", "y").collect()[0]["spearman_rho"] == -1.0
+
+
+def test_spearman_correlation_average_rank_ties(spark):
+    from pagerank_spark.operators.graphstats import spearman_correlation
+
+    # x = [1,1,2] -> avg ranks [1.5,1.5,3]; y = [1,2,3] -> [1,2,3]
+    # Pearson(ranks) = 1.5 / sqrt(1.5*2) = 0.866025
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 3)], ["x", "y"])
+    row = spearman_correlation(df, "x", "y").collect()[0]
+    assert row["spearman_rho"] == pytest.approx(round(1.5 / (1.5 * 2) ** 0.5, 6))

@@ -616,3 +616,30 @@ def test_unigram_logloss_hand(spark):
     assert got[2]["bits_per_token"] == pytest.approx(round((b_a + b_rare) / 2, 6))
     # common-token doc scores LOWER (more "natural") than rare-token doc
     assert got[1]["bits_per_token"] < got[2]["bits_per_token"]
+
+
+def test_dup_line_stats_hand(spark):
+    from pagerank_spark.operators.textops import dup_line_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\nc"), (2, "xx\nyy\nxx"), (3, "\n\n"), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dup_line_stats(docs).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["dup_char_frac"] == 0.5
+    assert got[2]["dup_line_frac"] == pytest.approx(round(2 / 3, 6))
+    assert got[2]["dup_char_frac"] == pytest.approx(round(4 / 6, 6))
+    # all-empty lines: duplicate instances but zero chars -> guarded 0.0
+    assert got[3]["n_lines"] == 3
+    assert got[3]["dup_line_frac"] == 1.0 and got[3]["dup_char_frac"] == 0.0
+    assert got[4]["dup_line_frac"] == 0.0 and got[4]["dup_char_frac"] == 0.0
+
+
+def test_dup_line_stats_metachar_separator(spark):
+    from pagerank_spark.operators.textops import dup_line_stats
+
+    docs = spark.createDataFrame([(1, "a|.|b|.|a")], ["doc_id", "text"])
+    r = dup_line_stats(docs, sep="|.|").collect()[0]
+    assert r["n_lines"] == 3 and r["dup_line_frac"] == pytest.approx(round(2 / 3, 6))
