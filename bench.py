@@ -387,6 +387,65 @@ def run_suite(spark, sf_dir: str) -> dict:
     paragraph_dedup(para_docs).count()
     timings["paragraph_dedup"] = time.monotonic() - t0
 
+    # round-5 operators: quality verdicts, corpus LM scoring, line-level
+    # repetition, url canonicalization, anchor index, rank correlation
+    from pagerank_spark.operators.textops import (
+        dup_line_stats,
+        gopher_filter,
+        unigram_logloss,
+    )
+
+    t0 = time.monotonic()
+    gopher_filter(docs, min_words=30, min_stop_hits=1).count()
+    timings["gopher_filter"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    unigram_logloss(docs).count()
+    timings["unigram_logloss"] = time.monotonic() - t0
+
+    line_docs = docs.selectExpr(
+        "doc_id",
+        "substr(text, 1, 40) || chr(10) || 'repeated line' || chr(10) "
+        "|| substr(text, 21, 50) || chr(10) || 'repeated line' AS text",
+    )
+    t0 = time.monotonic()
+    dup_line_stats(line_docs).count()
+    timings["dup_line_stats"] = time.monotonic() - t0
+
+    from pagerank_spark.functions.urls import canonical_url_groups
+
+    urls = spark.sql(
+        "SELECT CASE WHEN event_id % 3 = 0 THEN 'http://www.h' ELSE 'h' END "
+        "|| CAST(user_id % 5000 AS STRING) || '.test/p' "
+        "|| CAST(event_id % 9973 AS STRING) "
+        "|| (CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END) AS url FROM events"
+    )
+    t0 = time.monotonic()
+    canonical_url_groups(urls).count()
+    timings["canonical_urls"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.textsearch import anchor_term_index
+
+    anchors = spark.sql(
+        "SELECT 's' || CAST(event_id % 5000 AS STRING) AS src, "
+        "'t' || CAST((event_id * 13 + 5) % 5000 AS STRING) AS dst, "
+        "'link to page ' || CAST((event_id * 13 + 5) % 5000 AS STRING) AS anchor "
+        "FROM events"
+    )
+    t0 = time.monotonic()
+    anchor_term_index(anchors).count()
+    timings["anchor_index"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.graphstats import spearman_correlation
+
+    m = spark.sql(
+        "SELECT CAST(event_id % 997 AS BIGINT) AS x, "
+        "CAST((event_id * 31 + user_id) % 997 AS BIGINT) AS y FROM events"
+    )
+    t0 = time.monotonic()
+    spearman_correlation(m, "x", "y").count()
+    timings["rank_correlation"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 
