@@ -1422,6 +1422,107 @@ def q_canonical_urls(spark, sf_dir):
     return canonical_url_groups(g.vertices.select(raw.alias("raw")), url_col="raw")
 
 
+# Redirect synthesis (operators/redirects.py): 50 chains of length 7
+# (q-blocks of 8, the block end is the only non-source), a 5-cycle
+# (event_id%3 and %5 are coprime so all five edges appear), two tail hops
+# leading INTO the cycle, a self-redirect, and one ambiguous source whose
+# two observed targets ('q3' < 'zz9') exercise the MIN(dst) tie-break into
+# a chain suffix. Max chain length 7 -> doubling resolves in 3 rounds.
+REDIR_SQL = (
+    "SELECT 'q' || CAST(event_id % 400 AS STRING) AS src, "
+    "'q' || CAST((event_id % 400) + 1 AS STRING) AS dst "
+    "FROM events WHERE event_id % 3 = 0 AND (event_id % 400) % 8 < 7 "
+    "UNION ALL "
+    "SELECT 'cyc' || CAST(event_id % 5 AS STRING) AS src, "
+    "'cyc' || CAST((event_id + 1) % 5 AS STRING) AS dst "
+    "FROM events WHERE event_id % 3 = 1 "
+    "UNION ALL "
+    "SELECT CASE event_id % 5 WHEN 0 THEN 'tail0' WHEN 1 THEN 'tail1' "
+    "WHEN 2 THEN 'selfy' ELSE 'amb' END AS src, "
+    "CASE event_id % 5 WHEN 0 THEN 'tail1' WHEN 1 THEN 'cyc0' "
+    "WHEN 2 THEN 'selfy' WHEN 3 THEN 'q3' ELSE 'zz9' END AS dst "
+    "FROM events WHERE event_id % 3 = 2"
+)
+
+# A link graph whose endpoints reference the redirect aliases: even events
+# link q-nodes to q-nodes (both endpoints rewrite to their block ends);
+# every 7th odd event links INTO the cycle (dropped by the rewrite).
+REDIR_EDGE_SQL = (
+    "SELECT 'q' || CAST(event_id % 400 AS STRING) AS src, "
+    "'q' || CAST((event_id * 17 + 3) % 400 AS STRING) AS dst "
+    "FROM events WHERE event_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT 'q' || CAST(event_id % 400 AS STRING) AS src, "
+    "'cyc' || CAST(event_id % 5 AS STRING) AS dst "
+    "FROM events WHERE event_id % 2 = 1 AND event_id % 7 = 0"
+)
+
+
+def q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (operators/
+    redirects.py): exact finals + hop counts for every alias, loop
+    detection by progress stall. Twin = a recursive single-step chase."""
+    from pagerank_spark.operators.redirects import resolve_redirects
+
+    _views(spark, sf_dir, ("events",))
+    return resolve_redirects(spark.sql(REDIR_SQL))
+
+
+def q_redirect_rewrite(spark, sf_dir):
+    """Alias-collapsing edge rewrite (operators/redirects.py
+    rewrite_edges): both endpoints of a link graph rewritten through the
+    resolved redirect table, loop-bound endpoints dropped, duplicates kept
+    (the downstream LinkGraph build sums them into weights)."""
+    from pagerank_spark.operators.redirects import resolve_redirects, rewrite_edges
+
+    _views(spark, sf_dir, ("events",))
+    resolved = resolve_redirects(spark.sql(REDIR_SQL))
+    return rewrite_edges(spark.sql(REDIR_EDGE_SQL), resolved)
+
+
+def q_nofollow_edges(spark, sf_dir):
+    """rel=nofollow-aware link extraction (functions/extract.py
+    extract_links_df): synthesize pages whose link/rel layout is
+    generatively known, run the REAL parser + Arrow UDF. Exercises the
+    nofollow token match inside a multi-token rel (case-insensitive), a
+    rel BEFORE the href in the attr list, a non-nofollow rel, script
+    skipping, and fragment drops — the oracle recomputes the flagged edge
+    set from the generative formula."""
+    from pagerank_spark.functions.extract import extract_links_df
+
+    d = F.col("doc_id")
+    site = F.concat(F.lit("www.site"), (d % 50).cast("string"), F.lit(".test"))
+    url = F.concat(site, F.lit("/p"), d.cast("string"))
+    t1 = (d * 7 + 1) % 500
+    t2 = (d * 11 + 2) % 500
+    t3 = (d * 13 + 3) % 500
+    parts = [
+        F.lit('<script><a href="http://skip.test/x" rel="nofollow">s</a></script>'),
+        F.concat(  # plain followed link
+            F.lit('<a href="http://www.site'), (t1 % 50).cast("string"),
+            F.lit(".test/p"), t1.cast("string"), F.lit('">x</a>'),
+        ),
+        F.concat(  # nofollow link
+            F.lit('<a href="http://www.site'), (t2 % 50).cast("string"),
+            F.lit(".test/p"), t2.cast("string"), F.lit('" rel="nofollow">x</a>'),
+        ),
+        F.concat(  # multi-token mixed-case rel, rel attr BEFORE href
+            F.lit('<a rel="ugc NoFollow" href="http://www.site'),
+            (t3 % 50).cast("string"),
+            F.lit(".test/p"), t3.cast("string"), F.lit('">x</a>'),
+        ),
+        F.lit('<a href="#frag" rel="nofollow">f</a>'),  # dropped with its rel
+        F.concat(  # relative href, non-nofollow rel
+            F.lit('<a href="/r'), d.cast("string"),
+            F.lit('" rel="noopener">r</a>'),
+        ),
+    ]
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(F.concat(*parts), "UTF-8").alias("html")
+    )
+    return extract_links_df(pages)
+
+
 def q_unigram_logloss(spark, sf_dir):
     """CCNet-style perplexity proxy under the corpus's own unigram LM
     (operators/textops.py unigram_logloss)."""
@@ -1760,15 +1861,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist": q_blocklist,
         "paragraph_dedup": q_paragraph_dedup,
         "gopher_filter": q_gopher_filter,
-        # --- sampling / curation / multimodal -------------------------- 44-50
+        # --- sampling / curation / multimodal / redirects -------------- 44-50
         "stratified_sample": q_stratified_sample,
         "temperature_sample": q_temperature_sample,
-        "weighted_sample": q_weighted_sample,
+        "resolve_redirects": q_resolve_redirects,
         "pack_sequences": q_pack_sequences,
         "dedup_clusters": q_dedup_clusters,
         "curate": q_curate,
         "frame_sample": q_frame_sample,
         # ---- position 51+: family-mates of the entries above ----------
+        # (weighted_sample's family stays witnessed in-window by
+        # stratified_sample + temperature_sample; its slot went to the new
+        # redirect-resolution family)
+        "weighted_sample": q_weighted_sample,
+        "redirect_rewrite": q_redirect_rewrite,
+        "nofollow_edges": q_nofollow_edges,
         "interleave_shards": q_interleave_shards,
         "domain_stats": q_domain_stats,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -2740,6 +2847,76 @@ ledges AS (
   FROM lpc JOIN lod USING (src)
 )
 SELECT src, dst, ROUND(weight, 6) AS weight FROM ledges
+"""
+
+    # redirect resolution: the twin chases ONE hop per recursion step (the
+    # semantics, not the doubling); hops <= 64 is a generous cap over the
+    # synthesis's max chain length 7, and loop-bound rows (which never
+    # reach a non-source pointer) fall out of `res` -> sentinel row
+    redir_res_cte = f"""g AS ({REDIR_SQL}),
+rmap AS (SELECT src, MIN(dst) AS dst FROM g GROUP BY src),
+chase(url, ptr, hops) AS (
+  SELECT src, dst, 1 FROM rmap
+  UNION ALL
+  SELECT c.url, m.dst, c.hops + 1
+  FROM chase c JOIN rmap m ON m.src = c.ptr
+  WHERE c.hops <= 64
+),
+res AS (
+  SELECT url, ptr AS final, hops FROM chase
+  WHERE ptr NOT IN (SELECT src FROM rmap)
+),
+loops AS (SELECT src FROM rmap WHERE src NOT IN (SELECT url FROM res))"""
+
+    sqls["resolve_redirects"] = f"""
+WITH RECURSIVE {redir_res_cte}
+SELECT r.src AS url,
+       COALESCE(res.final, '') AS final,
+       CAST(COALESCE(res.hops, -1) AS BIGINT) AS hops,
+       (res.url IS NULL) AS is_loop
+FROM rmap r LEFT JOIN res ON res.url = r.src
+"""
+
+    sqls["redirect_rewrite"] = f"""
+WITH RECURSIVE {redir_res_cte},
+e AS ({REDIR_EDGE_SQL})
+SELECT COALESCE(rs.final, e.src) AS src,
+       COALESCE(rd.final, e.dst) AS dst
+FROM e
+LEFT JOIN res rs ON rs.url = e.src
+LEFT JOIN res rd ON rd.url = e.dst
+WHERE e.src NOT IN (SELECT src FROM loops)
+  AND e.dst NOT IN (SELECT src FROM loops)
+"""
+
+    # nofollow link extraction: the generative formula behind
+    # q_nofollow_edges's pages — script and fragment anchors contribute
+    # nothing; the multi-token mixed-case rel and the rel-before-href
+    # orderings are both nofollow=true; the relative href resolves against
+    # the page's domain
+    sqls["nofollow_edges"] = """
+SELECT 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' || CAST(doc_id AS VARCHAR) AS src,
+       'www.site' || CAST(((doc_id * 7 + 1) % 500) % 50 AS VARCHAR) || '.test/p'
+           || CAST((doc_id * 7 + 1) % 500 AS VARCHAR) AS dst,
+       FALSE AS nofollow
+FROM documents
+UNION ALL
+SELECT 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' || CAST(doc_id AS VARCHAR),
+       'www.site' || CAST(((doc_id * 11 + 2) % 500) % 50 AS VARCHAR) || '.test/p'
+           || CAST((doc_id * 11 + 2) % 500 AS VARCHAR),
+       TRUE
+FROM documents
+UNION ALL
+SELECT 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' || CAST(doc_id AS VARCHAR),
+       'www.site' || CAST(((doc_id * 13 + 3) % 500) % 50 AS VARCHAR) || '.test/p'
+           || CAST((doc_id * 13 + 3) % 500 AS VARCHAR),
+       TRUE
+FROM documents
+UNION ALL
+SELECT 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' || CAST(doc_id AS VARCHAR),
+       'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/r' || CAST(doc_id AS VARCHAR),
+       FALSE
+FROM documents
 """
 
     hb_ctes = f"""WITH {BEDGE_CTE},

@@ -446,6 +446,22 @@ def run_suite(spark, sf_dir: str) -> dict:
     spearman_correlation(m, "x", "y").count()
     timings["rank_correlation"] = time.monotonic() - t0
 
+    # redirect-chain resolution: alias chains of length 7 over ~events/2
+    # sources plus a loop — pointer doubling resolves in 3 rounds + 1
+    # stall round regardless of source count
+    from pagerank_spark.operators.redirects import resolve_redirects
+
+    redirs = spark.sql(
+        "SELECT 'r' || CAST(event_id % 4000000 AS STRING) AS src, "
+        "'r' || CAST((event_id % 4000000) + 1 AS STRING) AS dst "
+        "FROM events WHERE (event_id % 4000000) % 8 < 7 "
+        "UNION ALL SELECT 'loop0', 'loop1' FROM events WHERE event_id % 2 = 0 "
+        "UNION ALL SELECT 'loop1', 'loop0' FROM events WHERE event_id % 2 = 1"
+    )
+    t0 = time.monotonic()
+    resolve_redirects(redirs).count()
+    timings["resolve_redirects"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

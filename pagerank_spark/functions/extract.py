@@ -46,6 +46,9 @@ class _TextAndLinks(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.chunks: list[str] = []
         self.hrefs: list[str] = []
+        # nofollow[i] flags hrefs[i]: rel attr contains the token 'nofollow'
+        # (multi-token rel values per the HTML spec, e.g. "ugc nofollow")
+        self.nofollow: list[bool] = []
         self.anchors: list[tuple[str, str]] = []
         self._skip_depth = 0
         self._open_href: str | None = None
@@ -62,11 +65,21 @@ class _TextAndLinks(HTMLParser):
             self._skip_depth += 1
         elif tag == "a":
             self._finalize_anchor()
+            # first non-None href wins (frozen contract — identical to the
+            # original break-at-first-href loop); rel rides along without
+            # touching the hrefs/chunks outputs
+            href = rel = None
             for k, v in attrs:
-                if k == "href" and v is not None:
-                    self.hrefs.append(v)
-                    self._open_href = v
-                    break
+                if k == "href" and v is not None and href is None:
+                    href = v
+                elif k == "rel" and v is not None and rel is None:
+                    rel = v
+            if href is not None:
+                self.hrefs.append(href)
+                self.nofollow.append(
+                    rel is not None and "nofollow" in rel.lower().split()
+                )
+                self._open_href = href
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip_depth > 0:
@@ -126,6 +139,22 @@ def extract_hrefs_py(html: bytes | None, page_url: str) -> list[str]:
     return out
 
 
+def extract_links_py(html: bytes | None, page_url: str) -> list[dict]:
+    """Reference extractor: (dst, nofollow) pairs — the href stream of
+    ``extract_hrefs_py`` (same order, same duplicates, same normalization
+    and drops) annotated with the anchor's rel=nofollow flag. Search
+    engines exclude nofollow edges from authority flow (Google 2005 —
+    the rel was INVENTED for PageRank), so the link-graph build wants the
+    flag attached at extraction time, not re-parsed later."""
+    p = _parse(html)
+    out = []
+    for href, nf in zip(p.hrefs, p.nofollow):
+        n = _normalize_href(href, page_url)
+        if n is not None:
+            out.append({"dst": n, "nofollow": nf})
+    return out
+
+
 def extract_anchors_py(html: bytes | None, page_url: str) -> list[dict]:
     """Reference extractor: (dst, anchor-text) pairs, document order,
     duplicates kept, href normalization identical to ``extract_hrefs_py``
@@ -158,6 +187,19 @@ _ANCHOR_TYPE = T.ArrayType(
     )
 )
 
+_LINK_TYPE = T.ArrayType(
+    T.StructType(
+        [T.StructField("dst", T.StringType()), T.StructField("nofollow", T.BooleanType())]
+    )
+)
+
+
+@F.pandas_udf(_LINK_TYPE)
+def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_links_py(h, u) for h, u in zip(html, url)], dtype="object"
+    )
+
 
 @F.pandas_udf(_ANCHOR_TYPE)
 def extract_anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
@@ -184,6 +226,24 @@ def extract_edges_df(pages: DataFrame) -> DataFrame:
             F.explode(extract_hrefs_udf(F.col("html"), F.col("url"))).alias("dst"),
         )
     )
+
+
+def extract_links_df(pages: DataFrame) -> DataFrame:
+    """(src, dst, nofollow) — one row per <a href>, duplicates kept, with
+    the rel=nofollow flag. ``extract_edges_df`` minus the flag is the
+    frozen edge contract; this variant feeds link-graph builds that drop
+    (or down-weight) nofollow edges before ranking:
+
+        links = extract_links_df(pages)
+        graph = LinkGraph.from_edges(links.filter(~links.nofollow))
+
+    Same Arrow shape as the other extractors: one struct array per page
+    crosses the Python boundary, the explode runs JVM-side.
+    """
+    return pages.select(
+        F.col("url").alias("src"),
+        F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("l"),
+    ).select("src", F.col("l.dst").alias("dst"), F.col("l.nofollow").alias("nofollow"))
 
 
 def extract_anchors_df(pages: DataFrame) -> DataFrame:

@@ -147,3 +147,79 @@ def test_anchor_df_shapes(spark):
     assert idx[("t.test/x", "big")] == (2, 2)
     assert idx[("t.test/x", "cats")] == (1, 2)
     assert idx[("t.test/x", "dogs")] == (1, 2)
+
+
+def test_nofollow_extractor_spec_cases():
+    """rel=nofollow spec: token match within a multi-token rel (case
+    insensitive), non-nofollow rels pass, rel without href contributes
+    nothing, normalization/drops identical to the href stream."""
+    from pagerank_spark.functions.extract import extract_links_py
+
+    html = (
+        b'<a href="http://t.test/a" rel="nofollow">a</a>'
+        b'<a href="http://t.test/b" rel="ugc NOFOLLOW">b</a>'
+        b'<a href="http://t.test/c" rel="noopener">c</a>'
+        b'<a href="/rel">plain</a>'
+        b'<a href="#frag" rel="nofollow">dropped</a>'
+        b'<a rel="nofollow">no href</a>'
+        b'<script><a href="http://skip.test/x" rel="nofollow">s</a></script>'
+    )
+    got = extract_links_py(html, "page.test/p1")
+    assert got == [
+        {"dst": "t.test/a", "nofollow": True},
+        {"dst": "t.test/b", "nofollow": True},
+        {"dst": "t.test/c", "nofollow": False},
+        {"dst": "page.test/rel", "nofollow": False},
+    ]
+
+
+def test_nofollow_rides_along_without_changing_hrefs():
+    """The rel capture must not perturb the frozen href/text contract —
+    the dst stream of extract_links_py IS the extract_hrefs_py stream."""
+    from pagerank_spark.functions.extract import (
+        extract_hrefs_py,
+        extract_links_py,
+        extract_text_py,
+    )
+
+    html = (
+        b'pre <a href="http://x.test/1" rel="nofollow">one</a> mid '
+        b'<a href="/two">two</a> post'
+    )
+    assert extract_text_py(html) == "pre one mid two post"
+    assert extract_hrefs_py(html, "h.test/p") == ["x.test/1", "h.test/two"]
+    assert [l["dst"] for l in extract_links_py(html, "h.test/p")] == [
+        "x.test/1",
+        "h.test/two",
+    ]
+
+
+def test_links_df_feeds_follow_only_pagerank(spark):
+    """extract_links_df -> filter nofollow -> LinkGraph -> pagerank: the
+    nofollow-heavy target must LOSE rank vs the same graph built from the
+    raw edge stream (the flag actually changes authority flow)."""
+    from pagerank_spark.functions.extract import extract_links_df
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    pages = spark.createDataFrame(
+        [
+            ("h.test/p1", b'<a href="http://h.test/spam" rel="nofollow">x</a>'
+                          b'<a href="http://h.test/good">y</a>'),
+            ("h.test/p2", b'<a href="http://h.test/spam" rel="nofollow">x</a>'
+                          b'<a href="http://h.test/good">y</a>'),
+        ],
+        ["url", "html"],
+    )
+    links = extract_links_df(pages)
+    assert links.columns == ["src", "dst", "nofollow"]
+    g = LinkGraph.from_edges(
+        links.filter(~links.nofollow).select("src", "dst"),
+        apply_regex_filter=False, num_partitions=4,
+    )
+    try:
+        ranks = {r["url"]: r["rank"] for r in
+                 g.pagerank(alpha=0.85, epsilon=1e-8).collect()}
+    finally:
+        g.unpersist()
+    assert "h.test/spam" not in ranks  # never linked by a followed edge
+    assert ranks["h.test/good"] > 0

@@ -457,3 +457,46 @@ def test_neighbor_jaccard_equi_join_not_nested_loop(spark, docs_path):
     plan = _physical(neighbor_jaccard(e, min_common=1))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_resolve_redirects_equi_joins_only_vertex_sized_state(spark):
+    # pointer doubling must stay hash equi-joins over the vertex-sized
+    # state table — a cartesian/nested-loop here is the signature of a
+    # broken join condition, and at 10^9 aliases it never finishes
+    from pagerank_spark.operators.redirects import resolve_redirects
+
+    rows = [(f"n{i}", f"n{i + 1}") for i in range(12)]
+    out = resolve_redirects(spark.createDataFrame(rows, ["src", "dst"]))
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # no Python crossing anywhere in the loop or the finalize
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_rewrite_edges_equi_joins_only(spark):
+    from pagerank_spark.operators.redirects import resolve_redirects, rewrite_edges
+
+    redirects = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("l0", "l1"), ("l1", "l0")], ["src", "dst"]
+    )
+    edges = spark.createDataFrame([("a", "x"), ("x", "b")], ["src", "dst"])
+    plan = _physical(rewrite_edges(edges, resolve_redirects(redirects)))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_extract_links_single_arrow_crossing_jvm_explode(spark):
+    # one ArrowEvalPython carrying a struct ARRAY per page; the per-link
+    # fan-out must be a JVM Generate (explode), never a Python-side row
+    # explosion
+    from pagerank_spark.functions.extract import extract_links_df
+
+    pages = spark.createDataFrame(
+        [("h.test/p", b'<a href="http://t.test/x" rel="nofollow">x</a>')],
+        ["url", "html"],
+    )
+    plan = _physical(extract_links_df(pages))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
