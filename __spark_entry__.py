@@ -1523,6 +1523,83 @@ def q_nofollow_edges(spark, sf_dir):
     return extract_links_df(pages)
 
 
+DIVSEARCH_K = 30
+DIVSEARCH_PER_HOST = 2
+
+
+def q_search_diversified(spark, sf_dir):
+    """Host-crowding-limited search (operators/search.py
+    search_diversified): top-k over one power iteration on the page-level
+    H graph (37 hosts x 211 pages — real crowding), at most PER_HOST
+    results per host. Twin = two window functions over the same
+    one-iteration PR CTE."""
+    from pagerank_spark.operators.graph_build import LinkGraph
+    from pagerank_spark.operators.search import search_diversified
+
+    _views(spark, sf_dir, ("events",))
+    g = LinkGraph.from_edges(spark.sql(HOSTG_SQL), apply_regex_filter=False)
+    ranks = g.pagerank(alpha=0.85, max_iterations=1).select(
+        "url", F.round("rank", 6).alias("rank")
+    )
+    out = search_diversified(
+        ranks, query="", max_results=DIVSEARCH_K, per_host=DIVSEARCH_PER_HOST
+    )
+    return out.select(
+        F.col("result_rank").cast("long").alias("result_rank"),
+        "url", "host", "pagerank",
+    )
+
+
+def q_meta_robots(spark, sf_dir):
+    """Page-level robots-meta directives (functions/extract.py
+    extract_robots_df): synthesize pages with a generatively-known
+    robots-meta layout, run the REAL parser + Arrow UDF. Exercises
+    mixed-case name/content, comma and space token separators, the
+    'none' == noindex+nofollow alias, a non-robots meta that must not
+    count, and a robots meta inside <script> (CDATA — no tag events)."""
+    from pagerank_spark.functions.extract import extract_robots_df
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("www.site"), (d % 50).cast("string"),
+                   F.lit(".test/p"), d.cast("string"))
+    v = d % 6
+    meta = (
+        F.when(v == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(v == 2, F.lit('<meta name="ROBOTS" content="noindex, nofollow">'))
+        .when(v == 3, F.lit('<meta name="robots" content="NOFOLLOW">'))
+        .when(v == 4, F.lit('<meta name="robots" content="none">'))
+        .when(v == 5, F.lit('<meta name="viewport" content="noindex">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<script>var m = \'<meta name="robots" content="noindex">\';</script>'),
+        meta,
+        F.lit("<p>body text</p>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return extract_robots_df(pages)
+
+
+CONTAIN_THRESHOLD = 0.3
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Directional n-gram containment pairs (operators/dedup.py
+    ngram_containment_pairs) — Broder's resemblance-vs-containment split;
+    catches the short-doc-quoted-in-long-doc case Jaccard scores near
+    zero. Same shingle-hash machinery and skew cap as ngram_jaccard."""
+    from pagerank_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs(spark, sf_dir),
+        n=SHINGLE_N,
+        threshold=CONTAIN_THRESHOLD,
+        max_shingle_df=NGRAM_MAX_DF,
+    )
+
+
 def q_unigram_logloss(spark, sf_dir):
     """CCNet-style perplexity proxy under the corpus's own unigram LM
     (operators/textops.py unigram_logloss)."""
@@ -1876,6 +1953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "redirect_rewrite": q_redirect_rewrite,
         "nofollow_edges": q_nofollow_edges,
+        "meta_robots": q_meta_robots,
+        "search_diversified": q_search_diversified,
+        "ngram_containment": q_ngram_containment,
         "interleave_shards": q_interleave_shards,
         "domain_stats": q_domain_stats,
         "neighbor_jaccard": q_neighbor_jaccard,
@@ -2887,6 +2967,78 @@ LEFT JOIN res rs ON rs.url = e.src
 LEFT JOIN res rd ON rd.url = e.dst
 WHERE e.src NOT IN (SELECT src FROM loops)
   AND e.dst NOT IN (SELECT src FROM loops)
+"""
+
+    # host-crowding diversified search: one power iteration over the raw
+    # H page graph (from_edges with no filters: dup-coalesced k/outdeg
+    # weights), then the per-host ROW_NUMBER cut + global ordered take —
+    # both window functions, same (rank DESC, url ASC) tie order as Spark
+    sqls["search_diversified"] = f"""
+WITH dg AS ({HOSTG_SQL}),
+dverts AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM dg UNION ALL SELECT dst FROM dg)),
+dpc AS (SELECT src, dst, COUNT(*) AS k FROM dg GROUP BY src, dst),
+dod AS (SELECT src, CAST(SUM(k) AS BIGINT) AS outdeg FROM dpc GROUP BY src),
+dedges AS (
+  SELECT dpc.src, dpc.dst, CAST(dpc.k AS DOUBLE) / dod.outdeg AS weight
+  FROM dpc JOIN dod USING (src)
+),
+nn AS (SELECT COUNT(*) AS n FROM dverts),
+x0 AS (SELECT url, 1.0 / sqrt((SELECT n FROM nn)) AS rank FROM dverts),
+d0 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM x0
+       WHERE url NOT IN (SELECT DISTINCT src FROM dedges)),
+contrib AS (
+  SELECT e.dst, SUM(e.weight * x0.rank) AS c
+  FROM dedges e JOIN x0 ON x0.url = e.src GROUP BY e.dst
+),
+xun AS (
+  SELECT v.url,
+         0.85 * COALESCE(c.c, 0)
+         + (0.85 * (SELECT dm FROM d0) + 0.15) * (1.0 / sqrt((SELECT n FROM nn))) AS xu
+  FROM dverts v LEFT JOIN contrib c ON c.dst = v.url
+),
+nrm AS (SELECT sqrt(SUM(xu * xu)) AS l2 FROM xun),
+dpr AS (SELECT url, ROUND(xu / (SELECT l2 FROM nrm), 6) AS rank FROM xun),
+hosted AS (
+  SELECT url, regexp_extract(url, '{HOST_RE}', 1) AS host, rank FROM dpr
+),
+crowd AS (
+  SELECT url, host, rank,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY rank DESC, url ASC) AS hpos
+  FROM hosted
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, url ASC) - 1 AS BIGINT) AS result_rank,
+       url, host, rank AS pagerank
+FROM crowd WHERE hpos <= {DIVSEARCH_PER_HOST}
+ORDER BY rank DESC, url ASC LIMIT {DIVSEARCH_K}
+"""
+
+    # robots-meta directives: the generative formula behind q_meta_robots
+    # (script-embedded meta never counts; 'none' implies both flags;
+    # non-robots metas contribute nothing)
+    sqls["meta_robots"] = """
+SELECT 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' || CAST(doc_id AS VARCHAR) AS url,
+       (doc_id % 6) IN (1, 2, 4) AS noindex,
+       (doc_id % 6) IN (2, 3, 4) AS nofollow
+FROM documents
+"""
+
+    sqls["ngram_containment"] = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS c_a_in_b,
+       ROUND(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS c_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) >= {CONTAIN_THRESHOLD}
+   OR ROUND(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) >= {CONTAIN_THRESHOLD}
 """
 
     # nofollow link extraction: the generative formula behind

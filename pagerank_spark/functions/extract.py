@@ -50,6 +50,10 @@ class _TextAndLinks(HTMLParser):
         # (multi-token rel values per the HTML spec, e.g. "ugc nofollow")
         self.nofollow: list[bool] = []
         self.anchors: list[tuple[str, str]] = []
+        # content values of <meta name="robots" content=...> tags (any case;
+        # script/style interiors are CDATA to HTMLParser, so no tag events
+        # fire there and fake metas in scripts never land here)
+        self.robots: list[str] = []
         self._skip_depth = 0
         self._open_href: str | None = None
         self._open_chunks: list[str] = []
@@ -80,6 +84,15 @@ class _TextAndLinks(HTMLParser):
                     rel is not None and "nofollow" in rel.lower().split()
                 )
                 self._open_href = href
+        elif tag == "meta":
+            name = content = None
+            for k, v in attrs:
+                if k == "name" and v is not None and name is None:
+                    name = v
+                elif k == "content" and v is not None and content is None:
+                    content = v
+            if name is not None and name.lower() == "robots" and content is not None:
+                self.robots.append(content)
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip_depth > 0:
@@ -167,6 +180,22 @@ def extract_anchors_py(html: bytes | None, page_url: str) -> list[dict]:
     return out
 
 
+def extract_robots_py(html: bytes | None) -> tuple[bool, bool]:
+    """Reference extractor: page-level (noindex, nofollow) from
+    <meta name="robots"> directives — the crawler-politeness signals an
+    index build must honor (REP meta tags; 'none' == 'noindex, nofollow').
+    Tokens are comma- or whitespace-separated, case-insensitive; multiple
+    robots metas OR together (the restrictive union, per Google's
+    documented handling of conflicting directives)."""
+    toks: set[str] = set()
+    for content in _parse(html).robots:
+        toks.update(t for t in content.lower().replace(",", " ").split() if t)
+    return (
+        "noindex" in toks or "none" in toks,
+        "nofollow" in toks or "none" in toks,
+    )
+
+
 # -- Arrow-vectorized UDFs ----------------------------------------------------
 
 @F.pandas_udf(T.StringType())
@@ -199,6 +228,20 @@ def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_links_py(h, u) for h, u in zip(html, url)], dtype="object"
     )
+
+
+_ROBOTS_TYPE = T.StructType(
+    [
+        T.StructField("noindex", T.BooleanType()),
+        T.StructField("nofollow", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(_ROBOTS_TYPE)
+def extract_robots_udf(html: pd.Series) -> pd.DataFrame:
+    vals = [extract_robots_py(h) for h in html]
+    return pd.DataFrame(vals, columns=["noindex", "nofollow"])
 
 
 @F.pandas_udf(_ANCHOR_TYPE)
@@ -244,6 +287,24 @@ def extract_links_df(pages: DataFrame) -> DataFrame:
         F.col("url").alias("src"),
         F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("l"),
     ).select("src", F.col("l.dst").alias("dst"), F.col("l.nofollow").alias("nofollow"))
+
+
+def extract_robots_df(pages: DataFrame) -> DataFrame:
+    """(url, noindex, nofollow) — page-level robots-meta directives. An
+    index build drops noindex pages; a link-graph build treats a page-level
+    nofollow as rel=nofollow on every outlink:
+
+        robots = extract_robots_df(pages)
+        indexable = pages.join(
+            robots.filter("noindex").select("url"), "url", "left_anti")
+    """
+    return pages.select(
+        "url", extract_robots_udf(F.col("html")).alias("r")
+    ).select(
+        "url",
+        F.col("r.noindex").alias("noindex"),
+        F.col("r.nofollow").alias("nofollow"),
+    )
 
 
 def extract_anchors_df(pages: DataFrame) -> DataFrame:

@@ -235,6 +235,64 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, c_a_in_b, c_b_in_a) — DIRECTIONAL n-gram containment
+    c(X in Y) = |X ∩ Y| / |X| for pairs where either direction >= threshold.
+
+    Jaccard misses the quote/subset case a crawl is full of: a short doc
+    wholly embedded in a long one scores |A|/|B| under Jaccard (tiny) but
+    1.0 under containment (Broder's original resemblance-vs-containment
+    split, SEQUENCES'97). Same scale machinery as ``ngram_jaccard_pairs``:
+    int64 shingle-hash keys everywhere, optional hot-shingle df cap for
+    candidate generation only, exact intersection on the full sets — the
+    cap can only miss pairs whose every common shingle is hot."""
+    sh = shingle_hashes(docs, n, text_col, id_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is None:
+        a = sh.select(F.col("sh"), F.col("doc_id").alias("id_a"))
+        b = sh.select(F.col("sh"), F.col("doc_id").alias("id_b"))
+        inter = (
+            a.join(b, "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        idx = sh.join(
+            df_counts.where(F.col("_df") <= max_shingle_df).select("sh"), "sh"
+        )
+        cand = (
+            idx.select(F.col("sh"), F.col("doc_id").alias("id_a"))
+            .join(idx.select(F.col("sh"), F.col("doc_id").alias("id_b")), "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("_shs"))
+        inter = (
+            cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
+            .join(sets.select(F.col("doc_id").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))))
+            .select("id_a", "id_b", "n_inter")
+        )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("c_a_in_b", F.round(F.col("n_inter").cast("double") / F.col("n_a"), 6))
+        .withColumn("c_b_in_a", F.round(F.col("n_inter").cast("double") / F.col("n_b"), 6))
+        .where((F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold))
+        .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

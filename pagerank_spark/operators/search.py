@@ -75,3 +75,46 @@ def rescore_with_boost(
     return ranks.withColumn(
         rank_col, F.col(rank_col) + new_n.cast("double") * w_weight
     )
+
+
+def search_diversified(
+    ranks: DataFrame,
+    query: str = "",
+    max_results: int = 10,
+    per_host: int = 2,
+    url_col: str = "url",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Host-crowding-limited top-k: (result_rank, url, host, pagerank) —
+    the classic SERP diversity rule (at most ``per_host`` results per
+    host, Google's original "host crowding"). One well-ranked site
+    otherwise fills the whole page with its subpages.
+
+    Physical shape: the per-host cut is a host-PARTITIONED row_number —
+    Spark lowers the <= per_host filter to WindowGroupLimit, so each
+    host's group keeps at most per_host rows in the shuffle and no global
+    sort of the corpus happens there; the final cut is the same
+    TakeOrderedAndProject as ``search``. Scales as: one host-keyed
+    exchange of the query's match set + a k-sized ordered take.
+
+    Ties broken by url ascending everywhere (same determinism contract as
+    ``search``).
+    """
+    from pagerank_spark.functions.urls import host_col
+
+    matches = ranks.filter(url_satisfies_query_col(F.col(url_col), query)).select(
+        F.col(url_col).alias("url"),
+        host_col(F.col(url_col)).alias("host"),
+        F.col(rank_col).alias("pagerank"),
+    )
+    hw = Window.partitionBy("host").orderBy(F.desc("pagerank"), F.col("url"))
+    kept = (
+        matches.withColumn("_hpos", F.row_number().over(hw))
+        .filter(F.col("_hpos") <= per_host)
+        .drop("_hpos")
+    )
+    top = kept.orderBy(F.desc("pagerank"), F.col("url")).limit(max_results)
+    w = Window.orderBy(F.desc("pagerank"), F.col("url"))
+    return top.select(
+        (F.row_number().over(w) - 1).alias("result_rank"), "url", "host", "pagerank"
+    )

@@ -223,3 +223,50 @@ def test_links_df_feeds_follow_only_pagerank(spark):
         g.unpersist()
     assert "h.test/spam" not in ranks  # never linked by a followed edge
     assert ranks["h.test/good"] > 0
+
+
+def test_robots_meta_spec_cases():
+    """Robots-meta spec: token match across comma/space separators (case
+    insensitive), 'none' implies both, multiple metas OR together,
+    non-robots metas and script-embedded metas contribute nothing."""
+    from pagerank_spark.functions.extract import extract_robots_py
+
+    assert extract_robots_py(b"<p>no meta</p>") == (False, False)
+    assert extract_robots_py(b'<meta name="robots" content="noindex">') == (True, False)
+    assert extract_robots_py(
+        b'<meta name="ROBOTS" content="noindex, NOFOLLOW">'
+    ) == (True, True)
+    assert extract_robots_py(b'<meta name="robots" content="none">') == (True, True)
+    assert extract_robots_py(
+        b'<meta name="viewport" content="noindex">'
+    ) == (False, False)
+    # two metas: the restrictive union
+    assert extract_robots_py(
+        b'<meta name="robots" content="noindex">'
+        b'<meta name="robots" content="nofollow">'
+    ) == (True, True)
+    # script interior is CDATA: no tag events fire
+    assert extract_robots_py(
+        b'<script>var m = \'<meta name="robots" content="noindex">\';</script>'
+    ) == (False, False)
+    # self-closing form routes through handle_startendtag -> handle_starttag
+    assert extract_robots_py(b'<meta name="robots" content="noindex" />') == (
+        True,
+        False,
+    )
+    assert extract_robots_py(None) == (False, False)
+
+
+def test_robots_df_shape(spark):
+    from pagerank_spark.functions.extract import extract_robots_df
+
+    df = spark.createDataFrame(
+        [
+            ("h.test/a", b'<meta name="robots" content="noindex">'),
+            ("h.test/b", b"<p>plain</p>"),
+        ],
+        ["url", "html"],
+    )
+    got = {r["url"]: (r["noindex"], r["nofollow"])
+           for r in extract_robots_df(df).collect()}
+    assert got == {"h.test/a": (True, False), "h.test/b": (False, False)}

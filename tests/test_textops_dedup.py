@@ -643,3 +643,55 @@ def test_dup_line_stats_metachar_separator(spark):
     docs = spark.createDataFrame([(1, "a|.|b|.|a")], ["doc_id", "text"])
     r = dup_line_stats(docs, sep="|.|").collect()[0]
     assert r["n_lines"] == 3 and r["dup_line_frac"] == pytest.approx(round(2 / 3, 6))
+
+
+def test_ngram_containment_quote_case(spark):
+    """A short doc wholly quoted inside a long one: containment 1.0 in the
+    short->long direction while Jaccard stays far below — the case the
+    directional score exists for."""
+    from pagerank_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long = (
+        "intro words here then alpha beta gamma delta and then a much "
+        "longer tail of entirely different words keeps going for a while"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated text body")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["c_a_in_b"], r["c_b_in_a"])
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)][0] == 1.0  # every shingle of the short doc is in the long
+    assert pairs[(1, 2)][1] < 0.5
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # Jaccard would have missed it at any sane cut
+
+
+def test_ngram_containment_capped_path_matches_exact(spark):
+    from pagerank_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common prefix words shared by all docs variant {i % 3}")
+         for i in range(9)],
+        ["doc_id", "text"],
+    )
+    exact = set(
+        (r["id_a"], r["id_b"], r["c_a_in_b"], r["c_b_in_a"])
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
+    )
+    capped = set(
+        (r["id_a"], r["id_b"], r["c_a_in_b"], r["c_b_in_a"])
+        for r in ngram_containment_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=100
+        ).collect()
+    )
+    assert exact == capped and exact
