@@ -1480,6 +1480,56 @@ def q_redirect_rewrite(spark, sf_dir):
     return rewrite_edges(spark.sql(REDIR_EDGE_SQL), resolved)
 
 
+# 8 h gap splits the synthetic log into multi-event sessions AND breaks
+# (median per-user inter-event gap ~7.3 h: 10000 events -> ~4766 sessions);
+# the %7 funnel subset makes conversion narrow per stage (122 -> 82 -> 43 at
+# sf0.01) instead of every user trivially completing every stage.
+SESSION_GAP_SECONDS = 8 * 3600
+FUNNEL_EVENT_MOD = 7
+
+
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup (operators/sessions.py):
+    the session keys (user_id, session_seq) witness the assignment itself,
+    n_events/duration_us/value_sum witness the rollup. duration_us is exact
+    integer microseconds; value_sum is DECIMAL-summed then rounded — no
+    summation-order noise anywhere."""
+    from pagerank_spark.operators.sessions import session_stats
+
+    _views(spark, sf_dir, ("events",))
+    s = session_stats(spark.table("events"), gap_seconds=SESSION_GAP_SECONDS)
+    return s.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "duration_us",
+        F.round(F.col("value_sum").cast("double"), 2).alias("value_sum"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Per-event session assignment (operators/sessions.py sessionize):
+    every event's (session_seq, idx_in_session) — a single user-keyed
+    exchange computing all window expressions in one Window operator."""
+    from pagerank_spark.operators.sessions import sessionize
+
+    _views(spark, sf_dir, ("events",))
+    s = sessionize(spark.table("events"), gap_seconds=SESSION_GAP_SECONDS)
+    return s.select("event_id", "user_id", "session_seq", "idx_in_session")
+
+
+def q_funnel(spark, sf_dir):
+    """Strictly-ordered view->click->purchase funnel (operators/sessions.py
+    funnel) on the sparse %{mod} event subset: stage i's anchor is the
+    user's first qualifying event AFTER the stage-(i-1) anchor, so the
+    counts witness the ordering constraint, not just type frequencies."""
+    from pagerank_spark.operators.sessions import funnel
+
+    _views(spark, sf_dir, ("events",))
+    ev = spark.table("events").where(F.col("event_id") % FUNNEL_EVENT_MOD == 0)
+    return funnel(ev, stages=("view", "click", "purchase"))
+
+
 def q_nofollow_edges(spark, sf_dir):
     """rel=nofollow-aware link extraction (functions/extract.py
     extract_links_df): synthesize pages whose link/rel layout is
@@ -1944,12 +1994,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "pack_sequences": q_pack_sequences,
         "dedup_clusters": q_dedup_clusters,
-        "curate": q_curate,
+        "session_stats": q_session_stats,
         "frame_sample": q_frame_sample,
         # ---- position 51+: family-mates of the entries above ----------
         # (weighted_sample's family stays witnessed in-window by
         # stratified_sample + temperature_sample; its slot went to the new
-        # redirect-resolution family)
+        # redirect-resolution family. curate's star-contraction core stays
+        # witnessed in-window by dedup_clusters; its slot went to the new
+        # event-log sessionization family)
+        "curate": q_curate,
+        "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "weighted_sample": q_weighted_sample,
         "redirect_rewrite": q_redirect_rewrite,
         "nofollow_edges": q_nofollow_edges,
@@ -2967,6 +3022,68 @@ LEFT JOIN res rs ON rs.url = e.src
 LEFT JOIN res rd ON rd.url = e.dst
 WHERE e.src NOT IN (SELECT src FROM loops)
   AND e.dst NOT IN (SELECT src FROM loops)
+"""
+
+    # gap-based sessionization: identical window algebra on both engines —
+    # epoch microseconds are exact BIGINTs, the session counter is a running
+    # sum of break flags, idx_in_session = row_number minus the running max
+    # of session-start row numbers (the same one-exchange formulation Spark
+    # runs). value_sum is DECIMAL(18,2)-summed then rounded in double.
+    session_cte = f"""
+s AS (
+  SELECT event_id, user_id, value,
+         epoch_us(ts) AS t,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > CAST({SESSION_GAP_SECONDS} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS is_new,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+assigned AS (
+  SELECT event_id, user_id, value, t,
+         CAST(SUM(is_new) OVER v AS BIGINT) AS session_seq,
+         CAST(rn - MAX(CASE WHEN is_new = 1 THEN rn END) OVER v + 1 AS INT)
+           AS idx_in_session
+  FROM s
+  WINDOW v AS (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+"""
+
+    sqls["sessionize"] = f"""
+WITH {session_cte}
+SELECT event_id, user_id, session_seq, idx_in_session FROM assigned
+"""
+
+    sqls["session_stats"] = f"""
+WITH {session_cte}
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM assigned GROUP BY user_id, session_seq
+"""
+
+    # strictly-ordered funnel on the sparse %{FUNNEL_EVENT_MOD} subset:
+    # stage i+1 anchors at the user's first qualifying event strictly after
+    # the stage-i anchor — identical chained conditional-min shape
+    sqls["funnel"] = f"""
+WITH fe AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+  WHERE event_id % {FUNNEL_EVENT_MOD} = 0
+),
+s1 AS (SELECT user_id, MIN(t) AS t FROM fe WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT fe.user_id, MIN(fe.t) AS t FROM fe JOIN s1 USING (user_id)
+       WHERE fe.event_type = 'click' AND fe.t > s1.t GROUP BY fe.user_id),
+s3 AS (SELECT fe.user_id, MIN(fe.t) AS t FROM fe JOIN s2 ON fe.user_id = s2.user_id
+       WHERE fe.event_type = 'purchase' AND fe.t > s2.t GROUP BY fe.user_id)
+SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM s3)
 """
 
     # host-crowding diversified search: one power iteration over the raw

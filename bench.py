@@ -462,6 +462,19 @@ def run_suite(spark, sf_dir: str) -> dict:
     resolve_redirects(redirs).count()
     timings["resolve_redirects"] = time.monotonic() - t0
 
+    # event-log sessionization + funnel over the real events table: the
+    # one-exchange window assignment, the piggybacked (user, session)
+    # rollup, and the chained conditional-min funnel
+    from pagerank_spark.operators.sessions import funnel, session_stats
+
+    ev = spark.table("events")
+    t0 = time.monotonic()
+    session_stats(ev, gap_seconds=8 * 3600).count()
+    timings["session_stats"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    funnel(ev.where(F.col("event_id") % 7 == 0)).count()
+    timings["funnel"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -1,0 +1,182 @@
+"""Event-log sessionization and funnel analysis over an events table
+(event_id, ts, user_id, event_type, value, ...).
+
+The crawl/serving side of a web-scale engine produces append-only event
+logs (fetch logs, query logs, click logs); these operators are the standard
+rollups a training-data pipeline runs over them:
+
+  * ``sessionize``    — gap-based session assignment (a new session starts
+    when the user's inter-event gap exceeds ``gap_seconds``)
+  * ``session_stats`` — per-session rollup (event count, exact microsecond
+    duration, exact DECIMAL value sum)
+  * ``funnel``        — strictly-ordered conversion funnel (stage i+1 must
+    happen AFTER the user's first stage-i event)
+
+Physical shape / 100-TB notes:
+
+  * ``sessionize`` is ONE user-keyed hash exchange: both window functions
+    (the lag-gap flag and the running session counter / session-start row
+    number) share the same partitioning+ordering, so Catalyst evaluates
+    them in a single Window operator over a single shuffle — no global
+    sort, no second exchange. Per-user state is the user's own history;
+    the classic pathological-user skew (a bot with 10^8 events) is bounded
+    upstream by per-user sampling, not here.
+  * Timestamps are compared as ``unix_micros`` BIGINTs, so the gap test is
+    exact integer arithmetic — bit-stable across engines (the DuckDB twin
+    uses ``epoch_us``).
+  * ``funnel`` is K conditional min-aggregates chained through user-keyed
+    joins (K = number of stages, a small constant): each stage is one
+    partial-aggregated exchange on user_id, never a self-join of the raw
+    log against itself.
+
+The reference (laurenleadbetter/Pagerank) has no event-log layer; these
+extend the engine the same way the text operators do (textops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_SECONDS = 30 * 60
+
+
+def _us(col):
+    """Microseconds-since-epoch BIGINT for TIMESTAMP or TIMESTAMP_NTZ input.
+    The NTZ→TZ cast applies the session timezone, a constant offset that
+    cancels in every gap/duration difference these operators compute (and
+    the repo pins the session to UTC anyway)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event session assignment: input columns plus
+
+      * ``session_seq``     — 1-based session index within the user
+      * ``idx_in_session``  — 1-based event index within the session
+
+    A new session starts on the user's first event or when the gap from the
+    previous event strictly exceeds ``gap_seconds``. Ordering within a user
+    is (ts, event_id) so duplicate timestamps cannot flip assignment.
+
+    One exchange, TWO Window operators (the data-dependency minimum: the
+    running session counter consumes the lag output): pass 1 computes the
+    previous-event timestamp and the user-ordered row number in one
+    same-spec Window; pass 2 computes the running break-flag sum
+    (session_seq) and the running max of session-start row numbers in one
+    running-frame Window. ``idx_in_session`` is then a plain projection
+    (row number minus session-start row number + 1) — no (user, session)
+    re-partition anywhere. Verified by tests/test_plan_audits.py.
+    """
+    us = _us(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us, F.col(id_col))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
+    # one select per pass: same-spec window expressions in one select are
+    # grouped into a single Window operator (chained withColumn would
+    # split them into one operator each)
+    s1 = events.select(
+        "*",
+        F.lag(us).over(w).alias("_prev"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    is_new = F.col("_prev").isNull() | (us - F.col("_prev") > gap_us)
+    s2 = s1.select("*", is_new.cast("int").alias("_new"))
+    out = s2.select(
+        "*",
+        F.sum("_new").over(run).alias("session_seq"),
+        F.max(F.when(F.col("_new") == 1, F.col("_rn"))).over(run).alias("_srn"),
+    )
+    return out.select(
+        "*", (F.col("_rn") - F.col("_srn") + F.lit(1)).alias("idx_in_session")
+    ).drop("_prev", "_rn", "_new", "_srn")
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup: (user_id, session_seq, n_events, duration_us,
+    value_sum). ``duration_us`` is last-minus-first in exact microseconds
+    (BIGINT); ``value_sum`` is summed in DECIMAL(18,2) so the result is
+    independent of partial-aggregation order (the adamic_adar recipe).
+
+    Two exchanges total: the sessionize window (user-keyed) and the
+    (user, session) aggregate — the latter is map-side combined because
+    sessionized rows for one (user, session) are contiguous per partition.
+    """
+    s = sessionize(events, gap_seconds, user_col, ts_col, id_col)
+    us = _us(F.col(ts_col))
+    return (
+        s.groupBy(F.col(user_col).alias("user_id"), "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(us) - F.min(us)).cast("bigint").alias("duration_us"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("value_sum"),
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered conversion funnel: (stage_idx, stage, n_users) —
+    n_users = users whose FIRST qualifying stage-i event happens strictly
+    after their first qualifying stage-(i-1) event.
+
+    ``first qualifying`` is the classic open-window funnel: stage 1 anchors
+    at the user's first stage-1 event; stage i anchors at the user's first
+    stage-i event after the stage-(i-1) anchor. Each stage is one
+    conditional min-aggregate on (user, ts) joined back on user_id — K
+    user-keyed partial-aggregated exchanges for a K-stage funnel, no
+    self-join of the raw log and NO driver actions (the whole funnel is one
+    lazy plan; stage prefixes are recomputed per stage row, an O(K²)
+    constant of cheap aggregates).
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    us = _us(F.col(ts_col))
+    # anchors: user_id -> anchor ts (microseconds) per completed stage
+    anchors = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(F.min(us).alias("t_anchor"))
+    )
+    stage_counts = []
+    for i, stage in enumerate(stages):
+        if i > 0:
+            anchors = (
+                events.where(F.col(type_col) == stage)
+                .select(F.col(user_col).alias("user_id"), us.alias("_t"))
+                .join(anchors, "user_id")
+                .where(F.col("_t") > F.col("t_anchor"))
+                .groupBy("user_id")
+                .agg(F.min("_t").alias("t_anchor"))
+            )
+        stage_counts.append(
+            anchors.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).cast("int").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = stage_counts[0]
+    for sc in stage_counts[1:]:
+        out = out.unionByName(sc)
+    return out

@@ -125,11 +125,16 @@ def test_gate_window_covers_every_operator_family():
         "bm25_topk", "ranked_retrieval", "c4_filter", "blocklist",
         "paragraph_dedup", "gopher_filter", "modularity",
         "stratified_sample", "temperature_sample",
-        "weighted_sample", "pack_sequences",
-        "dedup_clusters", "curate", "frame_sample",
+        "resolve_redirects", "pack_sequences",
+        "dedup_clusters", "session_stats", "frame_sample",
         # round 5: modularity (community quality) and gopher_filter (doc
         # quality verdict) took the slots of interleave_shards/domain_stats
-        # (trivial one-exchange family-mates, demoted past the window)
+        # (trivial one-exchange family-mates, demoted past the window);
+        # resolve_redirects (crawl-graph canonicalization, a new family) took
+        # weighted_sample's slot — the sampling family stays witnessed by
+        # stratified_sample + temperature_sample. session_stats (event-log
+        # sessionization, a new family) took curate's slot — curate's
+        # star-contraction core stays witnessed by dedup_clusters.
     }
     assert flagships <= window, f"flagships outside the window: {flagships - window}"
     # family-mates past the window still have twins (local gate covers them)

@@ -500,3 +500,55 @@ def test_extract_links_single_arrow_crossing_jvm_explode(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "Generate explode" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 5, t0 + dt.timedelta(minutes=7 * i), ("view", "click", "purchase")[i % 3], float(i))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id INT, user_id INT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+
+
+def test_sessionize_single_exchange_single_window(spark, events_df):
+    # every window expression (gap flag, running session counter, running
+    # session-start max, row numbers) shares partitionBy(user) orderBy(ts,
+    # id), so the whole assignment is ONE hash exchange and ONE Window
+    # operator — a second exchange here would double the cost of a pass
+    # over the entire event log
+    from pagerank_spark.operators.sessions import sessionize
+
+    plan = _physical(sessionize(events_df))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") <= 2, plan  # lag+rn pass, running-sum+max pass
+    assert "rangepartitioning" not in plan, plan  # no global sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_session_stats_reuses_session_partitioning(spark, events_df):
+    # the (user, session_seq) rollup is satisfied by the sessionize
+    # window's user-hash partitioning (session keys are user-local), so
+    # the aggregate adds NO second exchange
+    from pagerank_spark.operators.sessions import session_stats
+
+    plan = _physical(session_stats(events_df))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_funnel_no_raw_log_self_join(spark, events_df):
+    # each stage is a conditional min-aggregate joined on user_id — never a
+    # cartesian/nested-loop of the raw log against itself, and the stage
+    # joins stay hash/broadcast equi-joins
+    from pagerank_spark.operators.sessions import funnel
+
+    plan = _physical(funnel(events_df))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_min" in plan or "partial" in plan.lower(), plan
