@@ -1530,6 +1530,40 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, stages=("view", "click", "purchase"))
 
 
+def q_frontier_priority(spark, sf_dir):
+    """Crawl-frontier prioritization (operators/crawl.py): expected
+    PageRank inflow of every UNCRAWLED page (a dst never seen as src) from
+    the 6dp-pinned one-iteration ranks — the Cho/Garcia-Molina/Page URL-
+    ordering signal. 9dp-quantized DECIMAL-summed inflow terms; witnesses
+    the frontier cut (anti join), the inflow aggregation and the in-degree
+    count in one hash."""
+    from pagerank_spark.operators.crawl import frontier_priority
+
+    g = _graph_u(spark, sf_dir)
+    ranks = g.pagerank(alpha=0.85, max_iterations=1).select(
+        "url", F.round("rank", 6).alias("rank")
+    )
+    return frontier_priority(g.edges, ranks, alpha=0.85)
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness-aware crawl schedule (operators/crawl.py
+    frontier_schedule): top-2 frontier pages per host by priority with
+    1-based host positions — the per-cycle fetch list. Runs on the
+    page-level H graph (37 hosts x 211 pages) so hosts have MANY frontier
+    pages and the per-host cut actually bites; the cut is the same
+    WindowGroupLimit shape as search_diversified."""
+    from pagerank_spark.operators.crawl import frontier_schedule
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    _views(spark, sf_dir, ("events",))
+    g = LinkGraph.from_edges(spark.sql(HOSTG_SQL), apply_regex_filter=False)
+    ranks = g.pagerank(alpha=0.85, max_iterations=1).select(
+        "url", F.round("rank", 6).alias("rank")
+    )
+    return frontier_schedule(g.edges, ranks, per_host=2, alpha=0.85)
+
+
 def q_nofollow_edges(spark, sf_dir):
     """rel=nofollow-aware link extraction (functions/extract.py
     extract_links_df): synthesize pages whose link/rel layout is
@@ -1954,7 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "k_core3": q_k_core3,
         "search_topk": q_search_topk,
-        "url_query_predicate": q_url_query_predicate,
+        "frontier_priority": q_frontier_priority,
         # --- web-graph analytics -------------------------------------- 13-23
         "host_pagerank": q_host_pagerank,
         "random_walks": q_random_walks,
@@ -2001,10 +2035,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stratified_sample + temperature_sample; its slot went to the new
         # redirect-resolution family. curate's star-contraction core stays
         # witnessed in-window by dedup_clusters; its slot went to the new
-        # event-log sessionization family)
+        # event-log sessionization family. url_query_predicate's substring
+        # predicate stays witnessed in-window through search_topk and
+        # pagerank_personalized, which evaluate it inside both engines; its
+        # slot went to the new crawl-frontier family)
         "curate": q_curate,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "url_query_predicate": q_url_query_predicate,
+        "frontier_schedule": q_frontier_schedule,
         "weighted_sample": q_weighted_sample,
         "redirect_rewrite": q_redirect_rewrite,
         "nofollow_edges": q_nofollow_edges,
@@ -2292,6 +2331,33 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, url ASC) - 1 AS BIGINT) AS re
        url, rank AS pagerank
 FROM upr WHERE {pred}
 ORDER BY rank DESC, url ASC LIMIT {SEARCH_K}
+"""
+
+    # crawl-frontier prioritization over the same 6dp-pinned one-iteration
+    # ranks: inflow terms 9dp-quantized then DECIMAL-summed (order-free),
+    # frontier = dst never seen as src
+    # (local import: a later function-local `from ... import HOST_RE`
+    # makes the name local to this whole function scope)
+    from pagerank_spark.functions.urls import HOST_RE
+
+    frontier_cte = f"""
+{upr1},
+fsrcs AS (SELECT DISTINCT src FROM uedges),
+finfl AS (
+  SELECT e.dst AS url,
+         SUM(CAST(ROUND(e.weight * r.rank, 9) AS DECIMAL(38,9))) AS mass,
+         COUNT(*) AS n_inlinks
+  FROM uedges e JOIN upr r ON r.url = e.src
+  GROUP BY e.dst
+),
+fpri AS (
+  SELECT url, ROUND(0.85 * CAST(mass AS DOUBLE), 6) AS priority, n_inlinks
+  FROM finfl WHERE url NOT IN (SELECT src FROM fsrcs)
+)
+"""
+    sqls["frontier_priority"] = f"""
+WITH {frontier_cte}
+SELECT url, priority, n_inlinks FROM fpri
 """
 
     pers_pred = url_satisfies_query_sql("url", PERS_QUERY)
@@ -3090,8 +3156,10 @@ SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM s3)
     # H page graph (from_edges with no filters: dup-coalesced k/outdeg
     # weights), then the per-host ROW_NUMBER cut + global ordered take —
     # both window functions, same (rank DESC, url ASC) tie order as Spark
-    sqls["search_diversified"] = f"""
-WITH dg AS ({HOSTG_SQL}),
+    # shared H-page-graph one-iteration PR (from_edges, no filters):
+    # dup-coalesced k/outdeg weights -> one power iteration -> 6dp ranks
+    hpage_pr_cte = f"""
+dg AS ({HOSTG_SQL}),
 dverts AS (SELECT DISTINCT url FROM (
   SELECT src AS url FROM dg UNION ALL SELECT dst FROM dg)),
 dpc AS (SELECT src, dst, COUNT(*) AS k FROM dg GROUP BY src, dst),
@@ -3115,7 +3183,11 @@ xun AS (
   FROM dverts v LEFT JOIN contrib c ON c.dst = v.url
 ),
 nrm AS (SELECT sqrt(SUM(xu * xu)) AS l2 FROM xun),
-dpr AS (SELECT url, ROUND(xu / (SELECT l2 FROM nrm), 6) AS rank FROM xun),
+dpr AS (SELECT url, ROUND(xu / (SELECT l2 FROM nrm), 6) AS rank FROM xun)
+"""
+
+    sqls["search_diversified"] = f"""
+WITH {hpage_pr_cte},
 hosted AS (
   SELECT url, regexp_extract(url, '{HOST_RE}', 1) AS host, rank FROM dpr
 ),
@@ -3128,6 +3200,34 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, url ASC) - 1 AS BIGINT) AS re
        url, host, rank AS pagerank
 FROM crowd WHERE hpos <= {DIVSEARCH_PER_HOST}
 ORDER BY rank DESC, url ASC LIMIT {DIVSEARCH_K}
+"""
+
+    # politeness-aware crawl schedule over the same H-page one-iteration
+    # ranks: frontier = page never seen as src, inflow 9dp-quantized
+    # DECIMAL-summed, per-host top-2 by (priority DESC, url ASC)
+    sqls["frontier_schedule"] = f"""
+WITH {hpage_pr_cte},
+gsrcs AS (SELECT DISTINCT src FROM dedges),
+ginfl AS (
+  SELECT e.dst AS url,
+         SUM(CAST(ROUND(e.weight * r.rank, 9) AS DECIMAL(38,9))) AS mass,
+         COUNT(*) AS n_inlinks
+  FROM dedges e JOIN dpr r ON r.url = e.src
+  GROUP BY e.dst
+),
+gpri AS (
+  SELECT url, ROUND(0.85 * CAST(mass AS DOUBLE), 6) AS priority
+  FROM ginfl WHERE url NOT IN (SELECT src FROM gsrcs)
+),
+ghost AS (
+  SELECT regexp_extract(url, '{HOST_RE}', 1) AS host, url, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY regexp_extract(url, '{HOST_RE}', 1)
+           ORDER BY priority DESC, url ASC) AS host_pos
+  FROM gpri
+)
+SELECT host, url, priority, CAST(host_pos AS INT) AS host_pos
+FROM ghost WHERE host_pos <= 2
 """
 
     # robots-meta directives: the generative formula behind q_meta_robots

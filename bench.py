@@ -475,6 +475,26 @@ def run_suite(spark, sf_dir: str) -> dict:
     funnel(ev.where(F.col("event_id") % 7 == 0)).count()
     timings["funnel"] = time.monotonic() - t0
 
+    # crawl-frontier prioritization + politeness schedule: inflow of the
+    # uncrawled pages of a synthetic page graph under 1/outdeg weights
+    from pagerank_spark.operators.crawl import frontier_schedule
+
+    fedges = spark.sql(
+        "SELECT 'http://h' || CAST(user_id % 97 AS STRING) || '.test/p' "
+        "|| CAST(event_id % 2039 AS STRING) AS src, "
+        "'http://h' || CAST((user_id * 5 + 2) % 97 AS STRING) || '.test/q' "
+        "|| CAST((event_id * 17 + 3) % 2039 AS STRING) AS dst, "
+        "1.0 / (1 + event_id % 7) AS weight FROM events"
+    )
+    franks = spark.sql(
+        "SELECT DISTINCT 'http://h' || CAST(user_id % 97 AS STRING) || '.test/p' "
+        "|| CAST(event_id % 2039 AS STRING) AS url, "
+        "0.5 + ((event_id % 2039) % 100) / 100.0 AS rank FROM events"
+    )
+    t0 = time.monotonic()
+    frontier_schedule(fedges, franks, per_host=2).count()
+    timings["frontier_schedule"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

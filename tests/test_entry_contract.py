@@ -116,7 +116,7 @@ def test_gate_window_covers_every_operator_family():
         "ingest_edges", "extract_edges", "pagerank_converged", "pagerank_csr",
         "pagerank_personalized", "components", "label_propagation3",
         "triangles_global", "hits", "k_core3", "search_topk",
-        "url_query_predicate", "host_pagerank", "random_walks", "spam_mass",
+        "frontier_priority", "host_pagerank", "random_walks", "spam_mass",
         "link_distance", "neighborhood_function", "salsa", "scc",
         "clustering_coeff", "graph_report", "adamic_adar", "text_profile",
         "dedup_exact", "repetition_stats", "length_quantiles", "decontaminate",
@@ -135,6 +135,9 @@ def test_gate_window_covers_every_operator_family():
         # stratified_sample + temperature_sample. session_stats (event-log
         # sessionization, a new family) took curate's slot — curate's
         # star-contraction core stays witnessed by dedup_clusters.
+        # frontier_priority (crawl scheduling, a new family) took
+        # url_query_predicate's slot — the substring predicate is still
+        # evaluated in-window inside search_topk and pagerank_personalized.
     }
     assert flagships <= window, f"flagships outside the window: {flagships - window}"
     # family-mates past the window still have twins (local gate covers them)

@@ -552,3 +552,38 @@ def test_funnel_no_raw_log_self_join(spark, events_df):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+
+def test_frontier_priority_no_cartesian_partial_agg(spark):
+    # rank join is a src-keyed hash equi-join, the inflow aggregate is
+    # partial-aggregated (map-side combine), the frontier cut a LEFT ANTI —
+    # never a cartesian/nested-loop, never a Python crossing
+    from pagerank_spark.operators.crawl import frontier_priority
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.5), ("a", "x", 0.5), ("b", "x", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    ranks = spark.createDataFrame([("a", 0.4), ("b", 0.6)], ["url", "rank"])
+    plan = _physical(frontier_priority(edges, ranks))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_frontier_schedule_window_group_limit(spark):
+    # the per-host politeness cut must lower to WindowGroupLimit so each
+    # host keeps <= per_host rows IN the shuffle (same shape as
+    # search_diversified) — a global sort of the frontier would be a
+    # scale-killer
+    from pagerank_spark.operators.crawl import frontier_schedule
+
+    edges = spark.createDataFrame(
+        [("a.test/1", "b.test/%d" % i, 0.1) for i in range(10)],
+        ["src", "dst", "weight"],
+    )
+    ranks = spark.createDataFrame([("a.test/1", 1.0)], ["url", "rank"])
+    plan = _physical(frontier_schedule(edges, ranks, per_host=2))
+    assert "WindowGroupLimit" in plan, plan
+    assert "rangepartitioning" not in plan, plan
