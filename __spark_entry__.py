@@ -1530,6 +1530,55 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, stages=("view", "click", "purchase"))
 
 
+# re-crawl snapshots: two 90%-overlapping slices of the U-graph raw feed
+# (each drops a different 10% of events), diffed BEFORE ingest filtering —
+# the diff runs on what the crawler emits, not on the cleaned graph
+SNAP_OLD_SQL = U_SQL + " WHERE event_id % 10 <> 0"
+SNAP_NEW_SQL = U_SQL + " WHERE event_id % 10 <> 1"
+
+
+def q_graph_diff(spark, sf_dir):
+    """Re-crawl edge diff (operators/graphdiff.py edge_diff): links present
+    in exactly one snapshot, labeled added/removed — two change-sized LEFT
+    ANTI joins, the retained bulk never materializes."""
+    from pagerank_spark.operators.graphdiff import edge_diff
+
+    _views(spark, sf_dir, ("events",))
+    return edge_diff(spark.sql(SNAP_OLD_SQL), spark.sql(SNAP_NEW_SQL))
+
+
+def q_degree_delta(spark, sf_dir):
+    """Per-vertex connectivity change between re-crawl snapshots
+    (operators/graphdiff.py degree_delta): distinct-edge out/in degrees
+    before vs after, unchanged vertices filtered out."""
+    from pagerank_spark.operators.graphdiff import degree_delta
+
+    _views(spark, sf_dir, ("events",))
+    return degree_delta(spark.sql(SNAP_OLD_SQL), spark.sql(SNAP_NEW_SQL))
+
+
+def q_rank_delta(spark, sf_dir):
+    """Top rank movers (operators/graphdiff.py rank_delta): |Δrank| top-20
+    between the uniform init and one power iteration on the U graph — both
+    vectors 6dp-pinned, so the movers witness the join/abs/top-k machinery
+    on values the engines already agree on bit-for-bit."""
+    from pagerank_spark.operators.graphdiff import rank_delta
+
+    g = _graph_u(spark, sf_dir)
+    n = g.vertices.agg(F.count(F.lit(1)).alias("n"))
+    old = g.vertices.crossJoin(n).select(
+        "url", F.round(F.lit(1.0) / F.sqrt(F.col("n")), 6).alias("rank")
+    )
+    new = g.pagerank(alpha=0.85, max_iterations=1).select(
+        "url", F.round("rank", 6).alias("rank")
+    )
+    out = rank_delta(old, new, top_k=20)
+    return out.select(
+        F.col("mover_rank").cast("long").alias("mover_rank"),
+        "url", "rank_old", "rank_new", "delta",
+    )
+
+
 def q_frontier_priority(spark, sf_dir):
     """Crawl-frontier prioritization (operators/crawl.py): expected
     PageRank inflow of every UNCRAWLED page (a dst never seen as src) from
@@ -1980,7 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_edges": q_ingest_edges,
         "extract_edges": q_extract_edges,
         "pagerank_converged": q_pagerank_converged,
-        "pagerank_csr": q_pagerank_csr,
+        "graph_diff": q_graph_diff,
         "pagerank_personalized": q_pagerank_personalized,
         "components": q_components,
         "label_propagation3": q_label_propagation3,
@@ -2039,6 +2088,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # predicate stays witnessed in-window through search_topk and
         # pagerank_personalized, which evaluate it inside both engines; its
         # slot went to the new crawl-frontier family)
+        # pagerank_csr's twin is byte-identical to pagerank_converged's
+        # (PR_CONV_SQL), so the window kept no oracle diversity by holding
+        # both; the CSR engine stays pinned by the bit-exact v1==v2,
+        # resume and eviction pytests and the local gate. Its slot went to
+        # the new re-crawl snapshot-diff family.
+        "pagerank_csr": q_pagerank_csr,
+        "degree_delta": q_degree_delta,
+        "rank_delta": q_rank_delta,
         "curate": q_curate,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
@@ -2358,6 +2415,61 @@ fpri AS (
     sqls["frontier_priority"] = f"""
 WITH {frontier_cte}
 SELECT url, priority, n_inlinks FROM fpri
+"""
+
+    # re-crawl snapshot diffs over the two 90%-overlap U-feed slices:
+    # change-sized anti joins / degree tables, set semantics on (src, dst)
+    sqls["graph_diff"] = f"""
+WITH o AS (SELECT DISTINCT src, dst FROM ({SNAP_OLD_SQL})),
+n AS (SELECT DISTINCT src, dst FROM ({SNAP_NEW_SQL}))
+SELECT n.src, n.dst, 'added' AS status
+FROM n ANTI JOIN o ON o.src = n.src AND o.dst = n.dst
+UNION ALL
+SELECT o.src, o.dst, 'removed' AS status
+FROM o ANTI JOIN n ON n.src = o.src AND n.dst = o.dst
+"""
+
+    sqls["degree_delta"] = f"""
+WITH o AS (SELECT DISTINCT src, dst FROM ({SNAP_OLD_SQL})),
+n AS (SELECT DISTINCT src, dst FROM ({SNAP_NEW_SQL})),
+oo AS (SELECT src AS url, COUNT(*) AS c FROM o GROUP BY src),
+oi AS (SELECT dst AS url, COUNT(*) AS c FROM o GROUP BY dst),
+no AS (SELECT src AS url, COUNT(*) AS c FROM n GROUP BY src),
+ni AS (SELECT dst AS url, COUNT(*) AS c FROM n GROUP BY dst),
+verts AS (
+  SELECT DISTINCT url FROM (
+    SELECT url FROM oo UNION ALL SELECT url FROM oi
+    UNION ALL SELECT url FROM no UNION ALL SELECT url FROM ni)
+),
+j AS (
+  SELECT v.url,
+         CAST(COALESCE(oo.c, 0) AS BIGINT) AS out_old,
+         CAST(COALESCE(no.c, 0) AS BIGINT) AS out_new,
+         CAST(COALESCE(oi.c, 0) AS BIGINT) AS in_old,
+         CAST(COALESCE(ni.c, 0) AS BIGINT) AS in_new
+  FROM verts v
+  LEFT JOIN oo ON oo.url = v.url
+  LEFT JOIN no ON no.url = v.url
+  LEFT JOIN oi ON oi.url = v.url
+  LEFT JOIN ni ON ni.url = v.url
+)
+SELECT * FROM j WHERE out_old <> out_new OR in_old <> in_new
+"""
+
+    # top rank movers: uniform init vs one 6dp-pinned power iteration —
+    # same |delta| DESC, url ASC order and 0-based positions as Spark
+    sqls["rank_delta"] = f"""
+WITH {upr1},
+ro AS (SELECT url, ROUND(1.0 / sqrt((SELECT n FROM nn)), 6) AS rank_old FROM av),
+j AS (
+  SELECT ro.url, ro.rank_old, upr.rank AS rank_new,
+         ROUND(upr.rank - ro.rank_old, 6) AS delta
+  FROM ro JOIN upr ON upr.url = ro.url
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(delta) DESC, url ASC) - 1 AS BIGINT)
+         AS mover_rank,
+       url, rank_old, rank_new, delta
+FROM j ORDER BY ABS(delta) DESC, url ASC LIMIT 20
 """
 
     pers_pred = url_satisfies_query_sql("url", PERS_QUERY)

@@ -495,6 +495,16 @@ def run_suite(spark, sf_dir: str) -> dict:
     frontier_schedule(fedges, franks, per_host=2).count()
     timings["frontier_schedule"] = time.monotonic() - t0
 
+    # re-crawl edge diff between two 90%-overlapping snapshots of the
+    # page-graph feed — two change-sized anti joins
+    from pagerank_spark.operators.graphdiff import edge_diff
+
+    snap_old = fedges.where(F.col("src").isNotNull() & (F.length("dst") % 10 != 0))
+    snap_new = fedges.where(F.col("src").isNotNull() & (F.length("dst") % 10 != 1))
+    t0 = time.monotonic()
+    edge_diff(snap_old, snap_new).count()
+    timings["graph_diff"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

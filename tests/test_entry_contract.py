@@ -113,7 +113,7 @@ def test_gate_window_covers_every_operator_family():
     assert not missing, f"window entries without oracle twins: {missing}"
     # one representative per family (the round-4 verdict's unwitnessed list)
     flagships = {
-        "ingest_edges", "extract_edges", "pagerank_converged", "pagerank_csr",
+        "ingest_edges", "extract_edges", "pagerank_converged", "graph_diff",
         "pagerank_personalized", "components", "label_propagation3",
         "triangles_global", "hits", "k_core3", "search_topk",
         "frontier_priority", "host_pagerank", "random_walks", "spam_mass",
@@ -138,6 +138,10 @@ def test_gate_window_covers_every_operator_family():
         # frontier_priority (crawl scheduling, a new family) took
         # url_query_predicate's slot — the substring predicate is still
         # evaluated in-window inside search_topk and pagerank_personalized.
+        # graph_diff (re-crawl snapshot diffing, a new family) took
+        # pagerank_csr's slot — that twin was byte-identical to
+        # pagerank_converged's (zero oracle diversity), and the CSR engine
+        # stays pinned by bit-exact v1==v2 / resume / eviction pytests.
     }
     assert flagships <= window, f"flagships outside the window: {flagships - window}"
     # family-mates past the window still have twins (local gate covers them)

@@ -587,3 +587,28 @@ def test_frontier_schedule_window_group_limit(spark):
     plan = _physical(frontier_schedule(edges, ranks, per_host=2))
     assert "WindowGroupLimit" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_edge_diff_change_sized_anti_joins(spark):
+    # both directions are LEFT ANTI hash joins — a full outer join (or a
+    # nested loop) would materialize the retained bulk, which at 100 TB is
+    # ~the whole snapshot
+    from pagerank_spark.operators.graphdiff import edge_diff
+
+    old = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    new = spark.createDataFrame([("a", "b"), ("c", "d")], ["src", "dst"])
+    plan = _physical(edge_diff(old, new))
+    assert plan.count("LeftAnti") == 2, plan
+    assert "FullOuter" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rank_delta_take_ordered_no_global_sort(spark):
+    # the top-k mover cut must be TakeOrderedAndProject over the joined
+    # vertex table — k-sized result, no rangepartitioning of the corpus
+    from pagerank_spark.operators.graphdiff import rank_delta
+
+    old = spark.createDataFrame([("a", 0.5), ("b", 0.3)], ["url", "rank"])
+    new = spark.createDataFrame([("a", 0.1), ("b", 0.6)], ["url", "rank"])
+    plan = _physical(rank_delta(old, new, top_k=5))
+    assert "TakeOrderedAndProject" in plan, plan
