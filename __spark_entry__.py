@@ -1530,6 +1530,32 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, stages=("view", "click", "purchase"))
 
 
+# truss substrate: a triangle-rich circulant (127 vertices, offsets 1-5,
+# edge support 9-d for offset d) unioned with a triangle-poor functional
+# chain graph (mod 211) — at k=6 the chains peel in round 1 (support <= 1)
+# while the full circulant is the fixpoint (offset-5 edges sit exactly at
+# support 4 = k-2, witnessing the boundary)
+TRUSS_SQL = (
+    "SELECT 'v' || CAST(event_id % 127 AS STRING) AS src, "
+    "'v' || CAST((event_id + 1 + event_id % 5) % 127 AS STRING) AS dst FROM events "
+    "UNION ALL "
+    "SELECT 'c' || CAST(event_id % 211 AS STRING) AS src, "
+    "'c' || CAST((event_id * 31 + 7) % 211 AS STRING) AS dst FROM events"
+)
+KTRUSS_K = 6
+
+
+def q_k_truss(spark, sf_dir):
+    """k-truss decomposition (operators/ktruss.py): the maximal subgraph
+    where every edge closes >= k-2 triangles — iterated support filter;
+    the DuckDB twin is the same fixpoint as a recursive CTE whose per-edge
+    support is a correlated common-neighbor count."""
+    from pagerank_spark.operators.ktruss import k_truss
+
+    _views(spark, sf_dir, ("events",))
+    return k_truss(spark.sql(TRUSS_SQL), k=KTRUSS_K)
+
+
 # re-crawl snapshots: two 90%-overlapping slices of the U-graph raw feed
 # (each drops a different 10% of events), diffed BEFORE ingest filtering —
 # the diff runs on what the crawler emits, not on the cleaned graph
@@ -2094,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # resume and eviction pytests and the local gate. Its slot went to
         # the new re-crawl snapshot-diff family.
         "pagerank_csr": q_pagerank_csr,
+        "k_truss": q_k_truss,
         "degree_delta": q_degree_delta,
         "rank_delta": q_rank_delta,
         "curate": q_curate,
@@ -2358,6 +2385,48 @@ final AS (
   WHERE (SELECT COUNT(*) FROM lsurv) = (SELECT COUNT(*) FROM last)
 )
 SELECT DISTINCT url FROM (SELECT a AS url FROM final UNION ALL SELECT b FROM final) t
+"""
+
+    # k-truss fixpoint: same recursive-CTE shape as k_core3, with the
+    # degree condition replaced by a correlated common-neighbor (support)
+    # count; in DuckDB's recursion `it` means the previous round's rows
+    truss_support = f"""(
+      SELECT COUNT(*) FROM
+        (SELECT CASE WHEN x.a = e.a THEN x.b ELSE x.a END AS c
+         FROM {{tbl}} x WHERE x.a = e.a OR x.b = e.a) ca
+      JOIN
+        (SELECT CASE WHEN y.a = e.b THEN y.b ELSE y.a END AS c
+         FROM {{tbl}} y WHERE y.a = e.b OR y.b = e.b) cb
+      USING (c)
+    ) >= {KTRUSS_K - 2}"""
+    sqls["k_truss"] = f"""
+WITH RECURSIVE tg AS ({TRUSS_SQL}),
+tund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM tg WHERE src <> dst
+),
+it(iter, a, b) AS (
+  SELECT 0, a, b FROM tund
+  UNION ALL
+  SELECT iter + 1, a, b FROM (
+    SELECT e.iter, e.a, e.b,
+           COUNT(*) OVER () AS n_surv,
+           (SELECT COUNT(*) FROM it) AS n_prev
+    FROM it e
+    WHERE {truss_support.format(tbl="it")}
+  ) s
+  WHERE n_surv < n_prev
+),
+last AS (SELECT a, b FROM it WHERE iter = (SELECT MAX(iter) FROM it)),
+lsurv AS (
+  SELECT e.a, e.b FROM last e
+  WHERE {truss_support.format(tbl="last")}
+),
+final AS (
+  SELECT a, b FROM last
+  WHERE (SELECT COUNT(*) FROM lsurv) = (SELECT COUNT(*) FROM last)
+)
+SELECT a, b FROM final
 """
 
     # search over one U-graph power iteration

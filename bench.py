@@ -505,6 +505,22 @@ def run_suite(spark, sf_dir: str) -> dict:
     edge_diff(snap_old, snap_new).count()
     timings["graph_diff"] = time.monotonic() - t0
 
+    # k-truss on a triangle-rich circulant (2039 vertices, offsets 1-5)
+    # plus peeling chains — two support rounds to the fixpoint
+    from pagerank_spark.operators.ktruss import k_truss
+
+    truss_edges = spark.sql(
+        "SELECT 'v' || CAST(event_id % 2039 AS STRING) AS src, "
+        "'v' || CAST((event_id + 1 + event_id % 5) % 2039 AS STRING) AS dst "
+        "FROM events "
+        "UNION ALL "
+        "SELECT 'c' || CAST(event_id % 4093 AS STRING) AS src, "
+        "'c' || CAST((event_id * 31 + 7) % 4093 AS STRING) AS dst FROM events"
+    )
+    t0 = time.monotonic()
+    k_truss(truss_edges, k=6).count()
+    timings["k_truss6"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 
