@@ -2032,6 +2032,86 @@ def q_graph_report(spark, sf_dir):
     return gs.crossJoin(asr).crossJoin(pl)
 
 
+# host-resemblance mirror detection: 5-gram shingles, host = source; the
+# host-df cap (15 of 20 hosts) exercises the boilerplate-shingle valve, the
+# min_common floor keeps the report to genuinely overlapping host pairs
+MIRROR_NGRAM = 5
+MIRROR_MIN_COMMON = 5
+MIRROR_MAX_HOSTS = 15
+
+
+def q_host_resemblance(spark, sf_dir):
+    """Bharat-Broder mirror detection (operators/mirrors.py): per-host
+    distinct 5-gram shingle sets compared pairwise via the shingle-keyed
+    self-join — jaccard + containment per host pair, exact over the
+    host-df-capped shingle universe."""
+    from pagerank_spark.operators.mirrors import host_resemblance
+
+    return host_resemblance(
+        _docs(spark, sf_dir),
+        n=MIRROR_NGRAM,
+        min_common=MIRROR_MIN_COMMON,
+        max_shingle_hosts=MIRROR_MAX_HOSTS,
+    )
+
+
+# day-granularity cohorts (the 30-day synthetic log yields a full triangular
+# retention matrix at day periods; week periods would give ~5 rows)
+COHORT_PERIOD_SECONDS = 86400
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/sessions.py cohort_retention):
+    users bucketed by first-event day, activity counted per day offset —
+    exact BIGINT epoch-microsecond DIV arithmetic, single-division
+    retention ratio."""
+    from pagerank_spark.operators.sessions import cohort_retention
+
+    _views(spark, sf_dir, ("events",))
+    return cohort_retention(
+        spark.table("events"), period_seconds=COHORT_PERIOD_SECONDS
+    )
+
+
+# PMI over document co-occurrence: df in [5, 450] drops both the noise tail
+# and the in-every-doc stopword grade; the pair floor keeps the output to
+# statistically meaningful collocations
+PMI_MIN_PAIRS = 120
+PMI_MIN_DF = 5
+PMI_MAX_DF = 450
+
+
+def q_term_pmi(spark, sf_dir):
+    """Term co-occurrence PMI (operators/textsearch.py
+    term_cooccurrence_pmi): doc_id-keyed self-join of the distinct
+    (doc, term) relation with df caps on both ends; pmi is one double log
+    of exact BIGINT counts."""
+    from pagerank_spark.operators.textsearch import term_cooccurrence_pmi
+
+    return term_cooccurrence_pmi(
+        _docs(spark, sf_dir),
+        min_pair_count=PMI_MIN_PAIRS,
+        min_term_df=PMI_MIN_DF,
+        max_term_df=PMI_MAX_DF,
+    )
+
+
+KEYWORDS_K = 5
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-source characteristic terms by tf-idf (operators/textsearch.py
+    tfidf_keywords): group term counts x corpus idf, top-5 per source via
+    WindowGroupLimit."""
+    from pagerank_spark.operators.textsearch import tfidf_keywords
+
+    return tfidf_keywords(
+        _docs(spark, sf_dir), group_col="source", k=KEYWORDS_K
+    ).select(
+        F.col("group").alias("source"), "term", "tf", "df", "score", "pos"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2171,6 +2251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q_powerlaw_alpha,
         "katz": q_katz,
         "ingest_limited": q_ingest_limited,
+        "host_resemblance": q_host_resemblance,
+        "cohort_retention": q_cohort_retention,
+        "term_pmi": q_term_pmi,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -4181,6 +4265,104 @@ JOIN (
   FROM documents
   JOIN ({PR_CONV_SQL}) p ON p.url = 'n' || CAST(doc_id % 997 AS VARCHAR)
 ) pr USING (doc_id)
+"""
+
+    # host-resemblance mirror detection: per-host distinct 5-gram shingle
+    # hashes (same 60-bit md5 int64 keys as the dedup twins), host-df cap,
+    # exact jaccard/containment over the filtered universe
+    sqls["host_resemblance"] = f"""
+WITH hsh AS (
+  SELECT DISTINCT host, {HEX15.format(x='shingle')} AS sh FROM (
+    SELECT source AS host,
+           unnest(list_transform(
+             generate_series(1, greatest(len({TOKS}) - {MIRROR_NGRAM - 1}, 1)),
+             i -> array_to_string(list_slice({TOKS}, i, i + {MIRROR_NGRAM - 1}), ' '))) AS shingle
+    FROM documents) t
+),
+cold AS (SELECT sh FROM hsh GROUP BY sh HAVING COUNT(*) <= {MIRROR_MAX_HOSTS}),
+f AS (SELECT hsh.host, hsh.sh FROM hsh JOIN cold USING (sh)),
+sz AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_sh FROM f GROUP BY host),
+inter AS (
+  SELECT a.host AS host_a, b.host AS host_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM f a JOIN f b ON a.sh = b.sh AND a.host < b.host
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIRROR_MIN_COMMON}
+)
+SELECT host_a, host_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard,
+       ROUND(CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter
+JOIN sz sa ON sa.host = inter.host_a
+JOIN sz sb ON sb.host = inter.host_b
+"""
+
+    # cohort retention: exact integer epoch-microsecond floor-division
+    # periods (Spark DIV == DuckDB // on non-negative BIGINTs)
+    sqls["cohort_retention"] = f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // {COHORT_PERIOD_SECONDS * 1_000_000} AS period
+  FROM events
+),
+coh AS (SELECT user_id, MIN(period) AS cohort_period FROM active GROUP BY user_id),
+m AS (
+  SELECT cohort_period, period - cohort_period AS period_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM active JOIN coh USING (user_id) GROUP BY 1, 2
+),
+sz AS (SELECT cohort_period, n_users AS cs FROM m WHERE period_offset = 0)
+SELECT m.cohort_period, m.period_offset, m.n_users,
+       ROUND(CAST(m.n_users AS DOUBLE) / sz.cs, 6) AS retention
+FROM m JOIN sz USING (cohort_period)
+"""
+
+    # term co-occurrence PMI: identical [a-z0-9]+ tokenizer as the
+    # inverted-index twin; the pmi is ONE double log of exact BIGINTs with
+    # the identical operand order as the engine expression
+    sqls["term_pmi"] = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) t
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term
+  HAVING COUNT(*) >= {PMI_MIN_DF} AND COUNT(*) <= {PMI_MAX_DF}
+),
+kept AS (SELECT dt.doc_id, dt.term FROM dt JOIN df USING (term)),
+p AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_PAIRS}
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT term_a, term_b, n_pairs, da.df AS df_a, db.df AS df_b,
+       ROUND(ln(CAST(n_pairs AS DOUBLE) * n_docs / (da.df * db.df)), 6) AS pmi
+FROM p
+JOIN df da ON da.term = p.term_a
+JOIN df db ON db.term = p.term_b, n
+"""
+
+    # tf-idf keywords per source: group term counts x corpus idf, rounded
+    # BEFORE ranking on both engines so the per-group order is identical
+    sqls["tfidf_keywords"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+gtf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT source, term, tf, df,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+  FROM gtf JOIN dfq USING (term), n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS pos
+  FROM s
+)
+SELECT source, term, tf, df, score, CAST(pos AS INT) AS pos
+FROM r WHERE pos <= {KEYWORDS_K}
 """
 
     return sqls

@@ -521,6 +521,35 @@ def run_suite(spark, sf_dir: str) -> dict:
     k_truss(truss_edges, k=6).count()
     timings["k_truss6"] = time.monotonic() - t0
 
+    # host-level mirror detection over the documents table: per-source
+    # 5-gram shingle sets, shingle-keyed pair join with the host-df cap
+    from pagerank_spark.operators.mirrors import host_resemblance
+
+    t0 = time.monotonic()
+    host_resemblance(docs, n=5, min_common=5, max_shingle_hosts=15).count()
+    timings["host_resemblance"] = time.monotonic() - t0
+
+    # cohort retention over the real events table, day periods
+    from pagerank_spark.operators.sessions import cohort_retention
+
+    t0 = time.monotonic()
+    cohort_retention(ev, period_seconds=86400).count()
+    timings["cohort_retention"] = time.monotonic() - t0
+
+    # term co-occurrence PMI + per-source tf-idf keywords over documents
+    from pagerank_spark.operators.textsearch import (
+        term_cooccurrence_pmi,
+        tfidf_keywords,
+    )
+
+    t0 = time.monotonic()
+    term_cooccurrence_pmi(docs, min_pair_count=120, min_term_df=5).count()
+    timings["term_pmi"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    tfidf_keywords(docs, group_col="source", k=5).count()
+    timings["tfidf_keywords"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -129,6 +129,72 @@ def session_stats(
     )
 
 
+def cohort_retention(
+    events: DataFrame,
+    period_seconds: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: (cohort_period, period_offset, n_users,
+    retention) — of the users whose FIRST event falls in period
+    ``cohort_period`` (epoch time DIV period, exact BIGINT), how many were
+    active again ``period_offset`` periods later; ``retention`` is that
+    count over the cohort's size (offset 0 is 1.0 by construction).
+
+    The classic product-analytics rollup, and at crawl scale the
+    re-crawl-freshness report (cohort = first-crawled period of a host,
+    activity = periods it was re-fetched).
+
+    Physical shape — everything is user- or cohort-keyed, nothing is
+    row-sized after the first aggregate:
+
+      * first-seen period: ONE user-keyed partial-aggregated min;
+      * active (user, period) pairs: one partial-aggregated distinct
+        (shuffle O(users × active periods), already far below the raw log);
+      * activity ⋈ cohort on user_id, then a (cohort, offset) count — the
+        offsets per row are exact BIGINT subtractions;
+      * cohort sizes come from the offset-0 rows of the SAME matrix (a
+        cohort's first-event period is by definition an active period) via
+        a cohort-partitioned window over the already-aggregated matrix —
+        cohort×offset rows, NOT a second pass over the raw log (a self-join
+        here would re-derive the whole matrix subtree twice).
+
+    Period arithmetic is integer microseconds DIV period (no doubles, no
+    timezone math beyond the constant _us offset that cancels nowhere here
+    but is pinned UTC by the repo's session conf — cohort boundaries are
+    epoch-aligned in both engines).
+    """
+    p_us = int(period_seconds) * 1_000_000
+    period = F.expr(
+        f"CAST(unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {p_us} AS BIGINT)"
+    )
+    active = (
+        events.select(F.col(user_col).alias("user_id"), period.alias("period"))
+        .distinct()
+    )
+    cohorts = active.groupBy("user_id").agg(F.min("period").alias("cohort_period"))
+    matrix = (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cohort_period")
+    size = F.max(
+        F.when(F.col("period_offset") == 0, F.col("n_users"))
+    ).over(w)
+    return matrix.select(
+        "cohort_period",
+        "period_offset",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / size, 6).alias("retention"),
+    )
+
+
 def funnel(
     events: DataFrame,
     stages: tuple[str, ...] = ("view", "click", "purchase"),

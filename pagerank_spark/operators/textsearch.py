@@ -215,6 +215,127 @@ def ranked_retrieval(
     )
 
 
+def term_cooccurrence_pmi(
+    docs: DataFrame,
+    min_pair_count: int = 2,
+    min_term_df: int = 1,
+    max_term_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level term co-occurrence with pointwise mutual information:
+    (term_a, term_b, n_pairs, df_a, df_b, pmi), term_a < term_b,
+    pmi = ln(N · c(a,b) / (df(a) · df(b))) over document frequencies —
+    the standard distributional-association statistic (Church & Hanks 1990)
+    a corpus pipeline uses for collocation mining and topic drift checks.
+
+    Scale shape: the pair table is a doc_id-keyed self-join of the DISTINCT
+    (doc, term) relation — O(Σ t_d²) where t_d is the doc's distinct-term
+    count, a per-document constant, never corpus-quadratic. Two skew valves:
+
+      * ``max_term_df`` drops stopword-grade terms BEFORE the self-join
+        (a term in every document contributes N·(vocab) pairs of zero
+        information — PMI ≈ 0 by construction — at enormous cost);
+      * ``min_term_df``/``min_pair_count`` cut the long noise tail, which
+        is also where PMI's low-count bias lives.
+
+    The PMI itself is one double log of a ratio of exact BIGINTs — no
+    summation anywhere, so cross-engine bit-stability needs no decimal
+    machinery.
+    """
+    dterms = postings(docs, text_col=text_col, id_col=id_col).select(
+        "term", "doc_id"
+    )
+    df_ = dterms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    keep = df_.where(F.col("df") >= min_term_df)
+    if max_term_df is not None:
+        keep = keep.where(F.col("df") <= max_term_df)
+    kept = dterms.join(keep.select("term"), "term")
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pairs = (
+        kept.select("doc_id", F.col("term").alias("term_a"))
+        .join(kept.select("doc_id", F.col("term").alias("term_b")), "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_pair_count)
+    )
+    return (
+        pairs.join(keep.select(F.col("term").alias("term_a"), F.col("df").alias("df_a")), "term_a")
+        .join(keep.select(F.col("term").alias("term_b"), F.col("df").alias("df_b")), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_pairs",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    F.col("n_pairs").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per group by tf-idf:
+    (group, term, tf, df, score, pos) — tf is the term's total count inside
+    the group, idf = ln(N_docs / df) over the whole corpus, score = tf·idf,
+    pos the 1-based rank by (score DESC, term ASC).
+
+    The per-host keyword report every crawl dashboard carries (what is this
+    domain about? did its content drift after a re-crawl?).
+
+    Scale shape: one explode → (group, term) partial-aggregated count (the
+    inverted-index build keyed by group instead of doc); the corpus df table
+    joins on the term key it is already partitioned by; the top-k is a
+    group-partitioned row_number that lowers to WindowGroupLimit — rank
+    truncation happens map-side, no global sort, no full materialized rank.
+    The idf multiply is one double op on exact BIGINTs (no summation).
+    """
+    gtf = (
+        docs.select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = inverted_index(docs, text_col=text_col, id_col=id_col).select("term", "df")
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        gtf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "group",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("group").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("pos"))
+        .where(F.col("pos") <= k)
+    )
+
+
 def c4_filter(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -612,3 +612,73 @@ def test_rank_delta_take_ordered_no_global_sort(spark):
     new = spark.createDataFrame([("a", 0.1), ("b", 0.6)], ["url", "rank"])
     plan = _physical(rank_delta(old, new, top_k=5))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_host_resemblance_equi_joins_partial_aggs(spark, docs_path):
+    # candidate pairs come from the shingle-keyed hash self-join (never a
+    # host cartesian), the pair count is partial-aggregated, and with the
+    # host-df cap active the hot-shingle filter is itself an equi-join —
+    # no Python crossing anywhere. (The public operator eagerly checkpoints
+    # for cache hygiene, which hides the plan — audit the lazy builder.)
+    from pagerank_spark.operators.mirrors import (
+        _host_resemblance_plan,
+        host_shingles,
+    )
+
+    docs = spark.read.parquet(docs_path).selectExpr(
+        "doc_id", "text", "CAST(bucket_col AS STRING) AS source"
+    )
+    sh = host_shingles(docs, n=2)
+    plan = _physical(_host_resemblance_plan(sh, 1, 2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_cohort_retention_single_log_branch_bounded_exchanges(spark):
+    # user-keyed distinct + min, one (cohort, offset) aggregate; the cohort
+    # size comes from a cohort-partitioned window over the AGGREGATED matrix
+    # — the raw log subtree must appear in the plan exactly twice (activity
+    # + first-seen arms of the user join), never re-derived a third time
+    # for sizes, and nothing is range-partitioned
+    import datetime as dt
+
+    from pagerank_spark.operators.sessions import cohort_retention
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, dt.datetime(2024, 1, 1 + i % 5)) for i in range(20)],
+        "event_id INT, user_id INT, ts TIMESTAMP",
+    )
+    plan = _physical(cohort_retention(ev, period_seconds=86400))
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+    assert plan.count("Scan ExistingRDD") <= 2, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_term_pmi_no_cartesian_df_filter_before_self_join(spark, docs_path):
+    # the self-join is doc_id-keyed (hash equi-join); the df-cap semi-join
+    # prunes stopword-grade terms BEFORE pairs are emitted; the one-row
+    # n_docs table rides a broadcast
+    from pagerank_spark.operators.textsearch import term_cooccurrence_pmi
+
+    docs = spark.read.parquet(docs_path)
+    plan = _physical(term_cooccurrence_pmi(docs, min_term_df=2, max_term_df=40))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_tfidf_keywords_window_group_limit(spark, docs_path):
+    # the per-group top-k lowers to WindowGroupLimit (map-side rank
+    # truncation) — no global sort, no full materialized rank
+    from pagerank_spark.operators.textsearch import tfidf_keywords
+
+    docs = spark.read.parquet(docs_path).selectExpr(
+        "doc_id", "text", "CAST(bucket_col AS STRING) AS source"
+    )
+    plan = _physical(tfidf_keywords(docs, group_col="source", k=3))
+    assert "WindowGroupLimit" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
