@@ -2112,6 +2112,32 @@ def q_tfidf_keywords(spark, sf_dir):
     )
 
 
+def q_conductance(spark, sf_dir):
+    """Per-community conductance of the 3-round label-propagation
+    assignment over the G graph (operators/graphstats.py
+    community_conductance) — the cut-quality complement to modularity:
+    phi(C) = cut / min(vol, vol_total - vol) over exact BIGINT endpoint
+    counts; the twin composes the LP3 recursive unrolling with the
+    endpoint-explosion aggregation."""
+    from pagerank_spark.operators.graphstats import community_conductance
+    from pagerank_spark.operators.labelprop import label_propagation
+
+    _views(spark, sf_dir, ("events",))
+    raw = spark.sql(G_SQL)
+    labels = label_propagation(raw, max_iterations=3, stop_when_stable=False)
+    return community_conductance(raw, labels)
+
+
+def q_link_locality(spark, sf_dir):
+    """Per-host intra-host link fraction on the 37-host page graph
+    (operators/hostgraph.py link_locality): one host-keyed
+    map-side-combined groupBy; locality = intra/out of exact BIGINTs."""
+    from pagerank_spark.operators.hostgraph import link_locality
+
+    _views(spark, sf_dir, ("events",))
+    return link_locality(spark.sql(HOSTG_SQL))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2255,6 +2281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "term_pmi": q_term_pmi,
         "tfidf_keywords": q_tfidf_keywords,
+        "conductance": q_conductance,
+        "link_locality": q_link_locality,
     }
 
 
@@ -4363,6 +4391,57 @@ r AS (
 )
 SELECT source, term, tf, df, score, CAST(pos AS INT) AS pos
 FROM r WHERE pos <= {KEYWORDS_K}
+"""
+
+    # per-community conductance of the l3 assignment: endpoint explosion
+    # (2 rows/edge), exact BIGINT volumes/cuts, one division rounded 9 dp —
+    # see operators/graphstats.py community_conductance
+    sqls["conductance"] = (
+        "\nWITH " + lp3_body + """,
+el AS (
+  SELECT ls.label AS c_src, ld.label AS c_dst
+  FROM g JOIN l3 ls ON ls.url = g.src JOIN l3 ld ON ld.url = g.dst
+),
+ends AS (
+  SELECT c_src AS c, CASE WHEN c_src <> c_dst THEN 1 ELSE 0 END AS crossing FROM el
+  UNION ALL
+  SELECT c_dst AS c, CASE WHEN c_src <> c_dst THEN 1 ELSE 0 END AS crossing FROM el
+),
+per_c AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS volume,
+         CAST(SUM(crossing) AS BIGINT) AS cut_edges
+  FROM ends GROUP BY c
+),
+sz AS (SELECT label AS c, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM l3 GROUP BY label),
+tot AS (SELECT CAST(SUM(volume) AS BIGINT) AS vol_total FROM per_c)
+SELECT sz.c AS label, sz.n_vertices,
+       CAST(COALESCE(per_c.volume, 0) AS BIGINT) AS volume,
+       CAST(COALESCE(per_c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       CASE WHEN LEAST(COALESCE(per_c.volume, 0),
+                       tot.vol_total - COALESCE(per_c.volume, 0)) > 0
+            THEN ROUND(CAST(COALESCE(per_c.cut_edges, 0) AS DOUBLE)
+                       / LEAST(COALESCE(per_c.volume, 0),
+                               tot.vol_total - COALESCE(per_c.volume, 0)), 9)
+       END AS conductance
+FROM sz LEFT JOIN per_c ON per_c.c = sz.c CROSS JOIN tot
+"""
+    )
+
+    # per-host link locality: one src-host groupBy over the page edges,
+    # intra = same-host endpoints — see operators/hostgraph.py link_locality
+    sqls["link_locality"] = f"""
+WITH hraw AS ({HOSTG_SQL}),
+hb AS (
+  SELECT regexp_extract(src, '{HOST_RE}', 1) AS h_src,
+         regexp_extract(dst, '{HOST_RE}', 1) AS h_dst
+  FROM hraw
+)
+SELECT h_src AS host,
+       CAST(COUNT(*) AS BIGINT) AS out_links,
+       CAST(SUM(CASE WHEN h_src = h_dst THEN 1 ELSE 0 END) AS BIGINT) AS intra_links,
+       ROUND(CAST(SUM(CASE WHEN h_src = h_dst THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS locality
+FROM hb GROUP BY h_src
 """
 
     return sqls

@@ -550,6 +550,24 @@ def run_suite(spark, sf_dir: str) -> dict:
     tfidf_keywords(docs, group_col="source", k=5).count()
     timings["tfidf_keywords"] = time.monotonic() - t0
 
+    # per-community conductance of a hash-bucketed assignment over the main
+    # graph (labels vertex-sized, output community-sized)
+    from pagerank_spark.operators.graphstats import community_conductance
+
+    cc_labels = graph.vertices.select(
+        "url", (F.xxhash64("url") % 64).cast("string").alias("label")
+    )
+    t0 = time.monotonic()
+    community_conductance(graph.edges, cc_labels).count()
+    timings["conductance"] = time.monotonic() - t0
+
+    # per-host intra-link fraction on the 499-host page graph
+    from pagerank_spark.operators.hostgraph import link_locality
+
+    t0 = time.monotonic()
+    link_locality(spark.sql(hg_sql)).count()
+    timings["link_locality"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -179,6 +179,98 @@ def modularity(
     return collect_release(out, (el,))
 
 
+def community_conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    vertex_col: str = "url",
+    label_col: str = "label",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-community conductance of a community assignment — the standard
+    cut-quality complement to :func:`modularity` (Kannan/Vempala/Vetta 2004;
+    the score community-detection surveys report per cluster):
+
+        phi(C) = cut(C) / min(vol(C), vol_total - vol(C))
+
+    over the directed edge multiset viewed as an undirected multigraph:
+    each edge adds one endpoint to its src's and one to its dst's community
+    volume; ``cut(C)`` counts edges with exactly one endpoint in C (each
+    crossing edge contributes to BOTH touched communities' cuts).
+
+    Output: (label, n_vertices, volume, cut_edges, conductance) —
+    community-sized. ``conductance`` is NULL when the min-side volume is 0
+    (an edgeless community, or a single community holding every endpoint).
+
+    Plan shape: two vertex-sized label joins onto the edge table (same
+    shape as modularity — broadcast-able at any realistic community count),
+    ONE endpoint explosion (2 rows/edge, map-side combined immediately), a
+    community-keyed groupBy, and a vertex-sized groupBy for sizes. The
+    volume total rides a single-row aggregate over the community-sized
+    volume table — no second edge pass.
+
+    Cross-engine float hygiene: cut, volumes and the min-side are exact
+    BIGINTs; conductance is one IEEE division of two exact integers,
+    rounded 9 dp.
+    """
+    el = (
+        edges.select("src", "dst")
+        .join(
+            labels.select(
+                F.col(vertex_col).alias("src"), F.col(label_col).alias("c_src")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col(vertex_col).alias("dst"), F.col(label_col).alias("c_dst")
+            ),
+            "dst",
+        )
+        .persist()
+    )
+    ends = el.select(
+        F.explode(F.array("c_src", "c_dst")).alias("c"),
+        (F.col("c_src") != F.col("c_dst")).cast("long").alias("crossing"),
+    )
+    per_c = ends.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.sum("crossing").cast("long").alias("cut_edges"),
+    )
+    sizes = labels.groupBy(F.col(label_col).alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    total = per_c.agg(F.sum("volume").cast("long").alias("vol_total"))
+    joined = (
+        sizes.join(per_c, "c", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("c").alias("label"),
+            "n_vertices",
+            F.coalesce(F.col("volume"), F.lit(0)).cast("long").alias("volume"),
+            F.coalesce(F.col("cut_edges"), F.lit(0)).cast("long").alias("cut_edges"),
+            "vol_total",
+        )
+    )
+    min_side = F.least(F.col("volume"), F.col("vol_total") - F.col("volume"))
+    out = joined.select(
+        "label",
+        "n_vertices",
+        "volume",
+        "cut_edges",
+        F.when(
+            min_side > 0,
+            F.round(F.col("cut_edges").cast("double") / min_side.cast("double"), 9),
+        ).alias("conductance"),
+    )
+    # community-sized result: flatten lineage, release the labeled-edge cache
+    # (materialize=False returns the raw lazy plan — plan audits; the
+    # labeled-edge cache is released immediately, so branches recompute)
+    if not materialize:
+        el.unpersist()
+        return out
+    return checkpoint_release(out, (el,))
+
+
 def spearman_correlation(
     df: DataFrame, x_col: str, y_col: str
 ) -> DataFrame:

@@ -50,6 +50,43 @@ def host_graph(raw_edges: DataFrame, keep_self: bool = False) -> DataFrame:
     return hg.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))
 
 
+def link_locality(raw_edges: DataFrame) -> DataFrame:
+    """Per-host link locality: what fraction of a host's outgoing page
+    links stay on the host? The classic crawl/compression statistic
+    (Broder et al. 2000 report ~75-80% of web links are intra-host; it is
+    why host-grouped url orderings compress the web graph so well) and the
+    sanity check run before trusting a host-graph rollup that DROPS the
+    intra-host majority.
+
+    ``raw_edges``: (src, dst) page-url strings, duplicates allowed.
+    Returns (host, out_links, intra_links, locality) with
+    ``locality = intra/out`` rounded 9 dp — host-sized output.
+
+    Plan shape: one pure-Column host extraction per endpoint (codegen, no
+    UDF) and ONE map-side-combined groupBy on the src host — a single
+    host-keyed exchange carrying at most one row per (partition, host).
+    Counts are exact BIGINTs; locality is one IEEE division of them.
+    """
+    hb = raw_edges.select(
+        host_col(F.col("src")).alias("h_src"),
+        host_col(F.col("dst")).alias("h_dst"),
+    )
+    per_host = hb.groupBy(F.col("h_src").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_links"),
+        F.sum((F.col("h_src") == F.col("h_dst")).cast("long"))
+        .cast("long")
+        .alias("intra_links"),
+    )
+    return per_host.select(
+        "host",
+        "out_links",
+        "intra_links",
+        F.round(
+            F.col("intra_links").cast("double") / F.col("out_links").cast("double"), 9
+        ).alias("locality"),
+    )
+
+
 def host_linkgraph(
     raw_edges: DataFrame,
     keep_self: bool = False,

@@ -190,3 +190,79 @@ def test_spearman_correlation_average_rank_ties(spark):
     df = spark.createDataFrame([(1, 1), (1, 2), (2, 3)], ["x", "y"])
     row = spearman_correlation(df, "x", "y").collect()[0]
     assert row["spearman_rho"] == pytest.approx(round(1.5 / (1.5 * 2) ** 0.5, 6))
+
+
+def test_community_conductance_hand(spark):
+    """Hand graph (the modularity fixture): communities x={a,b}, y={c,d};
+    edges a→b, b→a, c→d, d→c, a→c. Endpoint volumes vol_x = vol_y = 5
+    (vol_total 10); the one crossing edge a→c adds 1 to BOTH cuts, so
+    phi = 1 / min(5, 5) = 0.2 for each community."""
+    from pagerank_spark.operators.graphstats import community_conductance
+
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("a", "c")])
+    labels = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")], ["url", "label"]
+    )
+    rows = {r["label"]: r for r in community_conductance(e, labels).collect()}
+    assert set(rows) == {"x", "y"}
+    for lab in ("x", "y"):
+        assert rows[lab]["n_vertices"] == 2
+        assert rows[lab]["volume"] == 5
+        assert rows[lab]["cut_edges"] == 1
+        assert rows[lab]["conductance"] == pytest.approx(0.2)
+
+
+def test_community_conductance_degenerate_sides_are_null(spark):
+    """A single community holding every endpoint has min-side volume 0
+    (vol_total − vol = 0) and an edgeless community has vol = 0 — both must
+    report NULL conductance, never a division blow-up."""
+    from pagerank_spark.operators.graphstats import community_conductance
+
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    labels = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("e", "lonely")], ["url", "label"]
+    )
+    rows = {r["label"]: r for r in community_conductance(e, labels).collect()}
+    assert rows["z"]["volume"] == 4 and rows["z"]["cut_edges"] == 0
+    assert rows["z"]["conductance"] is None
+    assert rows["lonely"]["n_vertices"] == 1
+    assert rows["lonely"]["volume"] == 0 and rows["lonely"]["cut_edges"] == 0
+    assert rows["lonely"]["conductance"] is None
+
+
+def test_community_conductance_releases_caches(spark):
+    from pagerank_spark.operators.graphstats import community_conductance
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    labels = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], ["url", "label"]
+    )
+    out = community_conductance(e, labels)
+    assert cm.isEmpty()
+    out.collect()
+    assert cm.isEmpty()
+
+
+def test_link_locality_hand(spark):
+    """Host a: 2 outgoing page links, 1 stays on a ⇒ 0.5; host b: 1 link,
+    intra ⇒ 1.0; hosts only ever seen as dst don't get a row (locality is
+    an OUT-link property)."""
+    from pagerank_spark.operators.hostgraph import link_locality
+
+    e = _edges(
+        spark,
+        [
+            ("http://a.com/1", "http://a.com/2"),
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://b.com/y", "http://b.com/z"),
+        ],
+    )
+    rows = {r["host"]: r for r in link_locality(e).collect()}
+    assert set(rows) == {"a.com", "b.com"}
+    assert rows["a.com"]["out_links"] == 2 and rows["a.com"]["intra_links"] == 1
+    assert rows["a.com"]["locality"] == pytest.approx(0.5)
+    assert rows["b.com"]["out_links"] == 1 and rows["b.com"]["intra_links"] == 1
+    assert rows["b.com"]["locality"] == pytest.approx(1.0)

@@ -682,3 +682,42 @@ def test_tfidf_keywords_window_group_limit(spark, docs_path):
     assert "WindowGroupLimit" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_link_locality_single_exchange_partial_agg(spark):
+    # per-host locality is ONE host-keyed groupBy over a pure-Column host
+    # extraction: exactly one hash exchange, map-side combine, no Python
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.hostgraph import link_locality
+
+    e = spark.range(200).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"), F.lit(".x/p")).alias("src"),
+        F.concat(F.lit("http://h"), (F.col("id") % 3).cast("string"), F.lit(".x/q")).alias("dst"),
+    )
+    plan = _physical(link_locality(e))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_community_conductance_hash_joins_only(spark):
+    # the label joins and the size/volume join must all be hash equi-joins;
+    # the only nested-loop allowed is the single-row volume-total broadcast
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.graphstats import community_conductance
+
+    e = spark.range(500).select(
+        F.concat(F.lit("v"), (F.col("id") % 97).cast("string")).alias("src"),
+        F.concat(F.lit("v"), ((F.col("id") * 31 + 5) % 97).cast("string")).alias("dst"),
+    )
+    labels = spark.range(97).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 5).cast("string").alias("label"),
+    )
+    plan = _physical(community_conductance(e, labels, materialize=False))
+    assert "CartesianProduct" not in plan, plan
+    # one single-row cross join (the vol_total broadcast) is the ceiling
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "rangepartitioning" not in plan, plan
