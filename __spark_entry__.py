@@ -2138,6 +2138,24 @@ def q_link_locality(spark, sf_dir):
     return link_locality(spark.sql(HOSTG_SQL))
 
 
+def q_bigram_logloss(spark, sf_dir):
+    """Bigram cross-entropy under the corpus's own bigram LM
+    (operators/textops.py bigram_logloss): order-2 CCNet-style perplexity
+    proxy — in-array bigram formation (zero-shuffle transform), exact MLE
+    counts, 9dp-quantized DECIMAL-summed bits."""
+    from pagerank_spark.operators.textops import bigram_logloss
+
+    return bigram_logloss(_docs(spark, sf_dir))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch Reading Ease per document (operators/textops.py readability):
+    zero-shuffle pure-Column counts, fixed IEEE score tree rounded 6 dp."""
+    from pagerank_spark.operators.textops import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2283,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "conductance": q_conductance,
         "link_locality": q_link_locality,
+        "bigram_logloss": q_bigram_logloss,
+        "readability": q_readability,
     }
 
 
@@ -4426,6 +4446,48 @@ SELECT sz.c AS label, sz.n_vertices,
 FROM sz LEFT JOIN per_c ON per_c.c = sz.c CROSS JOIN tot
 """
     )
+
+    # bigram cross-entropy: in-list bigram zip, exact MLE counts, the
+    # unigram 9dp-quantize + DECIMAL-sum recipe — see
+    # operators/textops.py bigram_logloss
+    sqls["bigram_logloss"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+bz AS (
+  SELECT doc_id,
+         unnest(list_zip(list_slice(toks, 1, len(toks)-1),
+                         list_slice(toks, 2, len(toks)))) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+bi AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bz),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND((ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE))) / ln(2.0), 9)
+              AS DECIMAL(28,9)) AS b
+  FROM bi JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS bits_per_token
+FROM scored GROUP BY doc_id
+"""
+
+    # Flesch Reading Ease: exact BIGINT counts, fixed IEEE score tree —
+    # see operators/textops.py readability
+    sqls["readability"] = f"""
+SELECT doc_id,
+       CAST(len({TOKS}) AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+       CASE WHEN len({TOKS}) > 0 AND length(trim(text)) > 0 THEN
+         ROUND(206.835
+               - 1.015 * (CAST(len({TOKS}) AS DOUBLE)
+                          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+               - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                         / len({TOKS})), 6)
+       END AS flesch
+FROM documents
+"""
 
     # per-host link locality: one src-host groupBy over the page edges,
     # intra = same-host endpoints — see operators/hostgraph.py link_locality

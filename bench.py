@@ -568,6 +568,17 @@ def run_suite(spark, sf_dir: str) -> dict:
     link_locality(spark.sql(hg_sql)).count()
     timings["link_locality"] = time.monotonic() - t0
 
+    # order-2 corpus LM cross-entropy + Flesch pass over documents
+    from pagerank_spark.operators.textops import bigram_logloss, readability
+
+    t0 = time.monotonic()
+    bigram_logloss(docs).count()
+    timings["bigram_logloss"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    readability(docs).count()
+    timings["readability"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -321,6 +321,109 @@ def unigram_logloss(
     )
 
 
+def bigram_logloss(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram cross-entropy under the corpus's own bigram LM — the order-2
+    step up from :func:`unigram_logloss` (the KenLM-style signal CCNet
+    thresholds, self-contained): (doc_id, n_bigrams, bits_per_token) with
+    bits = avg over bigram instances of -log2 p(w2|w1), where
+    p(w2|w1) = c(w1,w2) / c(w1,·) — exact MLE over the corpus's bigram
+    instances, no smoothing (every scored bigram exists in the LM by
+    construction). Docs with fewer than 2 tokens have no bigrams and no row.
+
+    Plan shape: bigram pairs are formed INSIDE the token array (one
+    ``transform`` over a sliced copy — zero shuffle, no posexplode
+    self-join), then ONE map-side-combined bigram count, a context rollup
+    of that (bigram-table-sized input, not corpus-sized), and the join
+    back + doc rollup. No Python, no driver-side vocabulary.
+
+    Cross-engine float hygiene (the unigram recipe): per-instance bits
+    ROUND((ln(c1)-ln(c2))/ln(2), 9) over exact BIGINTs, DECIMAL(28,9)-summed
+    (order-free), one final division rounded 6 dp.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _ws_tokens(F.lower(F.col(text_col))).alias("toks"),
+    )
+    bi = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks)-1),"
+                    " (t, i) -> struct(t AS w1, toks[i+1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    big_counts = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    ctx = big_counts.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    bits = F.round(
+        (F.log(F.col("c1").cast("double")) - F.log(F.col("c2").cast("double")))
+        / F.log(F.lit(2.0)),
+        9,
+    ).cast("decimal(28,9)")
+    scored = bi.join(big_counts, ["w1", "w2"]).join(ctx, "w1").select(
+        "doc_id", bits.alias("b")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("b").cast("double") / F.count(F.lit(1)), 6).alias(
+            "bits_per_token"
+        ),
+    )
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch Reading Ease per document (Flesch 1948 — the classic
+    text-difficulty score quality pipelines bucket corpora by):
+    (doc_id, n_words, n_sentences, n_syllables, flesch) with
+
+        flesch = 206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)
+
+    Words are whitespace tokens (the engine's token convention), sentences
+    are ``[.!?]+`` runs (min 1 so headline-only docs don't divide by zero),
+    and syllables the standard vowel-group heuristic (``[aeiouy]+`` runs in
+    the lowercased text — exact syllabification needs a dictionary; the
+    vowel-group count is the usual corpus-scale stand-in).
+
+    Pure Column expressions over ONE scan — zero shuffle, whole-stage
+    codegen. Counts are exact BIGINTs; the score is a fixed IEEE expression
+    tree over them (two divisions, two multiplies, two subtractions),
+    identical in the DuckDB twin, rounded 6 dp. NULL when there are no
+    words.
+    """
+    t = F.lower(F.col(text_col))
+    n_words = F.size(_ws_tokens(t)).cast("long")
+    n_sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syllables = F.regexp_count(t, F.lit("[aeiouy]+")).cast("long")
+    flesch = F.when(
+        (n_words > 0) & (F.length(F.trim(F.col(text_col))) > 0),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+            - F.lit(84.6) * (n_syllables.cast("double") / n_words.cast("double")),
+            6,
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
 # Gopher document-level quality rules (Rae et al. 2021, appendix A1.1).
 # The 8 "stop words" the rule counts DISTINCT membership of (>= 2 required):
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

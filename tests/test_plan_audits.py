@@ -721,3 +721,29 @@ def test_community_conductance_hash_joins_only(spark):
     # one single-row cross join (the vol_total broadcast) is the ceiling
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_readability_zero_exchange_pruned_scan(spark, docs_path):
+    # the Flesch pass is one codegen'd scan: any Exchange or Python node is
+    # a regression, and only (doc_id, text) may leave the parquet reader
+    from pagerank_spark.operators.textops import readability
+
+    q = readability(spark.read.parquet(docs_path))
+    plan = _physical(q)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    fmt = _formatted(q)
+    scan = [l for l in fmt.splitlines() if "ReadSchema" in l]
+    assert scan and "lang" not in scan[0] and "bucket_col" not in scan[0], fmt
+
+
+def test_bigram_logloss_bounded_exchanges_partial_agg(spark, docs_path):
+    # bigram pairs form INSIDE the token array (no posexplode self-join);
+    # the shuffles are the bigram count, the context rollup, and the two
+    # join co-partitionings — bounded, with map-side combine on the counts
+    from pagerank_spark.operators.textops import bigram_logloss
+
+    plan = _physical(bigram_logloss(spark.read.parquet(docs_path)))
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan

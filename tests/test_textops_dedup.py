@@ -695,3 +695,44 @@ def test_ngram_containment_capped_path_matches_exact(spark):
         ).collect()
     )
     assert exact == capped and exact
+
+
+def test_bigram_logloss_hand(spark):
+    """Corpus: doc1 'a b a c', doc2 'a b'. Bigram counts c(a,b)=2,
+    c(b,a)=1, c(a,c)=1; contexts c(a,.)=3, c(b,.)=1. Bits: (a,b)=log2(3/2),
+    (b,a)=0, (a,c)=log2(3). doc1 avg of the three = 0.723308; doc2 =
+    0.584963 (6 dp). A single-token doc has no bigrams and NO row."""
+    import math
+
+    from pagerank_spark.operators.textops import bigram_logloss
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "z")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bigram_logloss(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 1
+    b_ab = round(math.log2(3 / 2), 9)
+    b_ba = 0.0
+    b_ac = round(math.log2(3), 9)
+    assert rows[1]["bits_per_token"] == pytest.approx(
+        round((b_ab + b_ba + b_ac) / 3, 6), abs=1e-9
+    )
+    assert rows[2]["bits_per_token"] == pytest.approx(round(b_ab, 6), abs=1e-9)
+
+
+def test_readability_hand(spark):
+    """'The cat sat. It ran!' → 5 ws words, 2 sentence-end runs, 5 vowel
+    groups: flesch = 206.835 − 1.015·2.5 − 84.6·1.0 = 119.6975. Empty text
+    reports NULL flesch (no words)."""
+    from pagerank_spark.operators.textops import readability
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in readability(docs).collect()}
+    assert rows[1]["n_words"] == 5
+    assert rows[1]["n_sentences"] == 2
+    assert rows[1]["n_syllables"] == 5
+    assert rows[1]["flesch"] == pytest.approx(119.6975)
+    assert rows[2]["flesch"] is None
