@@ -2156,6 +2156,26 @@ def q_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (operators/dedup.py doc_novelty):
+    fraction of the doc's distinct 3-gram shingles with corpus df = 1 —
+    int64 shingle keys, one df count + join back, exact BIGINTs."""
+    from pagerank_spark.operators.dedup import doc_novelty
+
+    return doc_novelty(_docs(spark, sf_dir), n=SHINGLE_N)
+
+
+def q_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set on the G graph
+    (operators/mis.py): md5-priority local minima admitted per round,
+    closed neighborhoods removed; the twin replays the same rounds as a
+    recursive CTE with inline priorities."""
+    from pagerank_spark.operators.mis import maximal_independent_set
+
+    _views(spark, sf_dir, ("events",))
+    return maximal_independent_set(spark.sql(G_SQL))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2303,6 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_locality": q_link_locality,
         "bigram_logloss": q_bigram_logloss,
         "readability": q_readability,
+        "doc_novelty": q_doc_novelty,
+        "mis": q_mis,
     }
 
 
@@ -4487,6 +4509,67 @@ SELECT doc_id,
                          / len({TOKS})), 6)
        END AS flesch
 FROM documents
+"""
+
+    # per-doc n-gram novelty: the SHINGLE_CTE int64 keys, one df count,
+    # join back — see operators/dedup.py doc_novelty
+    sqls["doc_novelty"] = f"""
+WITH {SHINGLE_CTE},
+dfq AS (SELECT sh.sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh.sh)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS novelty
+FROM sh JOIN dfq USING (sh) GROUP BY doc_id
+"""
+
+    # deterministic Luby MIS: recursive survivor set (a vertex survives a
+    # round iff it neither wins — beats every remaining neighbor's md5
+    # priority — nor touches a winner), winners recovered per level —
+    # see operators/mis.py
+    _p = HEX15.format
+    sqls["mis"] = f"""
+WITH RECURSIVE g AS ({G_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM g WHERE src <> dst
+),
+adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+verts AS (
+  SELECT DISTINCT url FROM (SELECT a AS url FROM und UNION ALL SELECT b FROM und)
+),
+it(iter, url) AS (
+  SELECT 0, url FROM verts
+  UNION ALL
+  SELECT s.iter + 1, s.url FROM (
+    SELECT r.iter, r.url, {_p(x='r.url')} AS p,
+      (SELECT MIN({_p(x='a2.v')}) FROM adj a2
+        WHERE a2.u = r.url AND a2.v IN (SELECT url FROM it)) AS mn
+    FROM it r
+  ) s
+  WHERE NOT (s.mn IS NULL OR s.p < s.mn)
+    AND NOT EXISTS (
+      SELECT 1 FROM adj a3
+      WHERE a3.u = s.url AND a3.v IN (SELECT url FROM it)
+        AND (
+          (SELECT MIN({_p(x='a4.v')}) FROM adj a4
+            WHERE a4.u = a3.v AND a4.v IN (SELECT url FROM it)) IS NULL
+          OR {_p(x='a3.v')} < (SELECT MIN({_p(x='a4.v')}) FROM adj a4
+            WHERE a4.u = a3.v AND a4.v IN (SELECT url FROM it))
+        )
+    )
+),
+lvl AS (SELECT iter, url, {_p(x='url')} AS p FROM it),
+mn2 AS (
+  SELECT l.iter, l.url, MIN({_p(x='a5.v')}) AS mn
+  FROM lvl l JOIN adj a5 ON a5.u = l.url
+  JOIN lvl l2 ON l2.iter = l.iter AND l2.url = a5.v
+  GROUP BY l.iter, l.url
+)
+SELECT DISTINCT lvl.url FROM lvl
+LEFT JOIN mn2 ON mn2.iter = lvl.iter AND mn2.url = lvl.url
+WHERE mn2.mn IS NULL OR lvl.p < mn2.mn
 """
 
     # per-host link locality: one src-host groupBy over the page edges,

@@ -579,6 +579,20 @@ def run_suite(spark, sf_dir: str) -> dict:
     readability(docs).count()
     timings["readability"] = time.monotonic() - t0
 
+    # per-doc shingle novelty over documents
+    from pagerank_spark.operators.dedup import doc_novelty
+
+    t0 = time.monotonic()
+    doc_novelty(docs).count()
+    timings["doc_novelty"] = time.monotonic() - t0
+
+    # Luby MIS on the main graph (vertex-priority symmetry breaking)
+    from pagerank_spark.operators.mis import maximal_independent_set
+
+    t0 = time.monotonic()
+    maximal_independent_set(graph.edges).count()
+    timings["mis"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -590,6 +590,43 @@ def decontaminate(
 # exact-substring pass)
 # ---------------------------------------------------------------------------
 
+def doc_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram novelty: (doc_id, n_shingles, n_unique, novelty)
+    with ``novelty`` = the fraction of the doc's DISTINCT word n-grams that
+    appear in NO other document — the per-doc complement of the
+    corpus-level :func:`duplicate_span_stats` profile, and the ranking
+    signal data curation uses to keep the most-informative copy of heavily
+    templated content (high novelty = original text; near-zero = boilerplate
+    assembled from phrases the corpus already has).
+
+    Plan shape: rides :func:`shingle_hashes` (int64 60-bit keys before any
+    exchange), ONE map-side-combined df count on the shingle key, one
+    shingle-keyed join back, one doc-keyed rollup. Counts are exact
+    BIGINTs; novelty is one IEEE division rounded 9 dp.
+    """
+    sh = shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(
+                F.col("n_unique").cast("double") / F.col("n_shingles").cast("double"),
+                9,
+            ).alias("novelty"),
+        )
+    )
+
+
 def duplicate_span_stats(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

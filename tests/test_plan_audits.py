@@ -747,3 +747,14 @@ def test_bigram_logloss_bounded_exchanges_partial_agg(spark, docs_path):
     assert plan.count("Exchange hashpartitioning") <= 5, plan
     assert "partial" in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_novelty_bounded_exchanges_int64_keys(spark, docs_path):
+    # novelty rides the int64 shingle keys: df count + join back + doc
+    # rollup — bounded exchanges, map-side combine, no Python
+    from pagerank_spark.operators.dedup import doc_novelty
+
+    plan = _physical(doc_novelty(spark.read.parquet(docs_path)))
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan and "Arrow" not in plan, plan

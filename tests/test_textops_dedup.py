@@ -736,3 +736,19 @@ def test_readability_hand(spark):
     assert rows[1]["n_syllables"] == 5
     assert rows[1]["flesch"] == pytest.approx(119.6975)
     assert rows[2]["flesch"] is None
+
+
+def test_doc_novelty_hand(spark):
+    """d1 'a b c d' and d2 'a b c x' share shingle 'a b c' (df=2); their
+    other shingle each has df=1 → novelty 0.5; d3's only shingle is unique
+    → 1.0."""
+    from pagerank_spark.operators.dedup import doc_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "z z z")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in doc_novelty(docs, n=3).collect()}
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_unique"] == 1
+    assert rows[1]["novelty"] == pytest.approx(0.5)
+    assert rows[2]["novelty"] == pytest.approx(0.5)
+    assert rows[3]["n_shingles"] == 1 and rows[3]["novelty"] == pytest.approx(1.0)
