@@ -2176,6 +2176,45 @@ def q_mis(spark, sf_dir):
     return maximal_independent_set(spark.sql(G_SQL))
 
 
+# G graph plus a disjoint even cycle (C20 on 'b' vertices — bipartite),
+# so the bipartiteness check witnesses BOTH outcomes in one run
+BIP_SQL = (
+    f"SELECT src, dst FROM ({G_SQL}) "
+    "UNION ALL "
+    "SELECT 'b' || CAST(event_id % 20 AS STRING) AS src, "
+    "'b' || CAST((event_id + 1) % 20 AS STRING) AS dst FROM events"
+)
+
+
+def q_bipartite(spark, sf_dir):
+    """Per-component bipartiteness via the double cover
+    (operators/components.py bipartite_check): two star-contraction
+    components runs; a vertex is odd-cycle-touched iff its two cover
+    copies merge. Substrate = G (odd cycles) + a disjoint even C20
+    (bipartite), witnessing both outcomes."""
+    from pagerank_spark.operators.components import bipartite_check
+
+    _views(spark, sf_dir, ("events",))
+    return bipartite_check(spark.sql(BIP_SQL))
+
+
+def q_closeness(spark, sf_dir):
+    """Exact depth-capped out-closeness for the '%00' landmark sample over
+    the branching B graph (operators/distance.py closeness_sample):
+    per-source BFS with (source, url)-keyed state, one source rollup."""
+    from pagerank_spark.operators.distance import closeness_sample
+
+    _views(spark, sf_dir, ("events",))
+    e = spark.sql(B_SQL)
+    sources = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .filter(F.col("url").endswith("00"))
+    )
+    return closeness_sample(e, sources, max_depth=BFS_DEPTH)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2325,6 +2364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "doc_novelty": q_doc_novelty,
         "mis": q_mis,
+        "bipartite": q_bipartite,
+        "closeness": q_closeness,
     }
 
 
@@ -4570,6 +4611,82 @@ mn2 AS (
 SELECT DISTINCT lvl.url FROM lvl
 LEFT JOIN mn2 ON mn2.iter = lvl.iter AND mn2.url = lvl.url
 WHERE mn2.mn IS NULL OR lvl.p < mn2.mn
+"""
+
+    # bipartiteness via double cover: the components min-label closure run
+    # twice (original + cover); conflict = a vertex's two cover copies
+    # sharing a cover component — see operators/components.py bipartite_check
+    sqls["bipartite"] = f"""
+WITH RECURSIVE g AS ({BIP_SQL}),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM g UNION ALL SELECT dst AS u, src AS v FROM g)
+  WHERE u <> v
+),
+verts AS (SELECT DISTINCT url FROM (SELECT src AS url FROM g UNION ALL SELECT dst FROM g)),
+reach(url, r) AS (
+  SELECT url, url FROM verts
+  UNION
+  SELECT und.u, reach.r FROM reach JOIN und ON und.v = reach.url
+),
+comp AS (SELECT url, MIN(r) AS component FROM reach GROUP BY url),
+cund AS (
+  SELECT u || '|0' AS u, v || '|1' AS v FROM und
+  UNION ALL
+  SELECT u || '|1', v || '|0' FROM und
+),
+cverts AS (SELECT DISTINCT u AS url FROM cund),
+creach(url, r) AS (
+  SELECT url, url FROM cverts
+  UNION
+  SELECT cund.u, creach.r FROM creach JOIN cund ON cund.v = creach.url
+),
+ccomp AS (SELECT url, MIN(r) AS c FROM creach GROUP BY url),
+confl AS (
+  SELECT substr(s0.url, 1, length(s0.url) - 2) AS url,
+         CASE WHEN s0.c = s1.c THEN 1 ELSE 0 END AS odd
+  FROM ccomp s0 JOIN ccomp s1
+    ON substr(s0.url, 1, length(s0.url) - 2) = substr(s1.url, 1, length(s1.url) - 2)
+  WHERE s0.url LIKE '%|0' AND s1.url LIKE '%|1'
+)
+SELECT comp.component, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       SUM(COALESCE(confl.odd, 0)) = 0 AS is_bipartite
+FROM comp LEFT JOIN confl USING (url)
+GROUP BY comp.component
+"""
+
+    # exact landmark closeness: per-source unrolled BFS ((source, url)
+    # state), one rollup — see operators/distance.py closeness_sample
+    _cparts = [
+        "c0 AS (SELECT url AS source, url, 0 AS dist FROM bverts WHERE url LIKE '%00')"
+    ]
+    for _k in range(1, BFS_DEPTH + 1):
+        _seen = " UNION ALL ".join(
+            f"SELECT source, url FROM c{_j}" for _j in range(_k)
+        )
+        _cparts.append(
+            f"c{_k} AS (SELECT DISTINCT f.source, e.dst AS url, {_k} AS dist "
+            f"FROM c{_k - 1} f JOIN bedges e ON e.src = f.url "
+            f"WHERE NOT EXISTS (SELECT 1 FROM ({_seen}) p "
+            f"WHERE p.source = f.source AND p.url = e.dst))"
+        )
+    _callu = " UNION ALL ".join(f"SELECT * FROM c{_j}" for _j in range(BFS_DEPTH + 1))
+    sqls["closeness"] = f"""
+WITH {BEDGE_CTE},
+{",".join(_cparts)},
+allc AS ({_callu}),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         CAST(SUM(dist) AS BIGINT) AS total_dist
+  FROM allc WHERE dist > 0 GROUP BY source
+)
+SELECT c0.source,
+       CAST(COALESCE(agg.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(COALESCE(agg.total_dist, 0) AS BIGINT) AS total_dist,
+       CASE WHEN COALESCE(agg.total_dist, 0) > 0 THEN
+         ROUND(CAST(agg.n_reached AS DOUBLE) / agg.total_dist, 9)
+       END AS closeness
+FROM c0 LEFT JOIN agg USING (source)
 """
 
     # per-host link locality: one src-host groupBy over the page edges,

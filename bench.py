@@ -593,6 +593,22 @@ def run_suite(spark, sf_dir: str) -> dict:
     maximal_independent_set(graph.edges).count()
     timings["mis"] = time.monotonic() - t0
 
+    # double-cover bipartiteness (two components runs) on the main graph
+    from pagerank_spark.operators.components import bipartite_check
+
+    t0 = time.monotonic()
+    bipartite_check(graph.edges).count()
+    timings["bipartite"] = time.monotonic() - t0
+
+    # exact landmark closeness from the '%0' seed sample, depth 3
+    from pagerank_spark.operators.distance import closeness_sample
+
+    t0 = time.monotonic()
+    closeness_sample(
+        graph.edges, graph.vertices.filter(F.col("url").endswith("00")), max_depth=3
+    ).count()
+    timings["closeness"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

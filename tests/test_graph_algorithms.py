@@ -62,3 +62,56 @@ def test_triangle_count_exact(spark, edges):
     for url, t in per_got.items():
         assert t == per_want.get(url, 0)
     assert set(per_want) <= set(per_got)
+
+
+def test_bipartite_check_hand(spark):
+    """Even cycle a-b-c-d (bipartite), triangle x-y-z (odd), self-loop-only
+    vertex s (trivially bipartite, isolated in the cover)."""
+    from pagerank_spark.operators.components import bipartite_check
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"), ("s", "s")],
+        ["src", "dst"],
+    )
+    rows = {r["component"]: r for r in bipartite_check(e).collect()}
+    assert rows["a"]["n_vertices"] == 4 and rows["a"]["is_bipartite"] is True
+    assert rows["x"]["n_vertices"] == 3 and rows["x"]["is_bipartite"] is False
+    assert rows["s"]["n_vertices"] == 1 and rows["s"]["is_bipartite"] is True
+
+
+def test_multi_source_distance_and_closeness_hand(spark):
+    """a→b, a→c, b→d: from a the reachable set is {b:1, c:1, d:2} →
+    closeness 3/4; d has no out-edges → NULL."""
+    from pagerank_spark.operators.distance import (
+        closeness_sample,
+        multi_source_distance,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d")], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([("a",), ("d",)], ["url"])
+    d = {
+        (r["source"], r["url"]): r["dist"]
+        for r in multi_source_distance(e, srcs, max_depth=5).collect()
+    }
+    assert d[("a", "a")] == 0 and d[("a", "b")] == 1
+    assert d[("a", "c")] == 1 and d[("a", "d")] == 2
+    assert ("d", "a") not in d and d[("d", "d")] == 0
+    rows = {r["source"]: r for r in closeness_sample(e, srcs, max_depth=5).collect()}
+    assert rows["a"]["n_reached"] == 3 and rows["a"]["total_dist"] == 4
+    assert rows["a"]["closeness"] == pytest.approx(0.75)
+    assert rows["d"]["n_reached"] == 0 and rows["d"]["closeness"] is None
+
+
+def test_closeness_depth_cap(spark):
+    """A 4-chain capped at depth 2 only counts 2 hops."""
+    from pagerank_spark.operators.distance import closeness_sample
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([("a",)], ["url"])
+    row = closeness_sample(e, srcs, max_depth=2).collect()[0]
+    assert row["n_reached"] == 2 and row["total_dist"] == 3
