@@ -2215,6 +2215,23 @@ def q_closeness(spark, sf_dir):
     return closeness_sample(e, sources, max_depth=BFS_DEPTH)
 
 
+WWALK_LEN = 3
+WWALK_WPV = 2
+
+
+def q_weighted_walks(spark, sf_dir):
+    """Deterministic WEIGHTED random walks over the ingested U graph's
+    1/outdeg transition weights (operators/walks.py weighted_random_walks):
+    exponential-race argmin per step — the walk samples the exact PageRank
+    kernel; the twin unrolls the same -ln((h+1)/2^60)/w argmin."""
+    from pagerank_spark.operators.walks import weighted_random_walks
+
+    g = _graph_u(spark, sf_dir)
+    return weighted_random_walks(
+        g.edges, walk_length=WWALK_LEN, walks_per_vertex=WWALK_WPV
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2366,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "bipartite": q_bipartite,
         "closeness": q_closeness,
+        "weighted_walks": q_weighted_walks,
     }
 
 
@@ -4687,6 +4705,32 @@ SELECT c0.source,
          ROUND(CAST(agg.n_reached AS DOUBLE) / agg.total_dist, 9)
        END AS closeness
 FROM c0 LEFT JOIN agg USING (source)
+"""
+
+    # weighted walks: per-step arg_min of -ln((h+1)/2^60)/weight over the
+    # U graph's 1/outdeg edges — see operators/walks.py weighted_random_walks
+    _wwparts = [
+        "wst AS (SELECT DISTINCT src AS url FROM uedges)",
+        "ww0 AS (SELECT url || '#' || CAST(r AS STRING) AS walk_id, 0 AS step, url "
+        f"FROM wst CROSS JOIN generate_series(0, {WWALK_WPV - 1}) t(r))",
+    ]
+    for _t in range(1, WWALK_LEN + 1):
+        _prev = "ww0" if _t == 1 else f"ws{_t - 1}"
+        _h = HEX15.format(x=f"w.walk_id || '|{_t}|' || e.dst")
+        _key = f"-ln(CAST(({_h}) + 1 AS DOUBLE) / 1152921504606846976.0) / e.weight"
+        _wwparts.append(
+            f"ws{_t} AS (SELECT w.walk_id, {_t} AS step, arg_min(e.dst, {_key}) AS url "
+            f"FROM {_prev} w JOIN uedges e ON e.src = w.url GROUP BY w.walk_id)"
+        )
+    _wwunion = " UNION ALL ".join(
+        f"SELECT * FROM {n}"
+        for n in ["ww0"] + [f"ws{_t}" for _t in range(1, WWALK_LEN + 1)]
+    )
+    sqls["weighted_walks"] = f"""
+WITH {INGEST_CTE},
+{",".join(_wwparts)},
+allww AS ({_wwunion})
+SELECT walk_id, CAST(step AS INT) AS step, url FROM allww
 """
 
     # per-host link locality: one src-host groupBy over the page edges,

@@ -609,6 +609,13 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["closeness"] = time.monotonic() - t0
 
+    # weighted walks over the 1/outdeg kernel (exponential-race argmin)
+    from pagerank_spark.operators.walks import weighted_random_walks
+
+    t0 = time.monotonic()
+    weighted_random_walks(graph.edges, walk_length=4, walks_per_vertex=1).count()
+    timings["weighted_walks4"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

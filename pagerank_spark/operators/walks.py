@@ -90,6 +90,73 @@ def random_walks(
     return out.select("walk_id", "step", "url")
 
 
+def weighted_random_walks(
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_vertex: int = 1,
+    starts: DataFrame | None = None,
+    weight_col: str = "weight",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(walk_id, step, url) — deterministic WEIGHTED random walks: step
+    ``t`` of walk ``w`` at vertex ``u`` moves to
+
+        argmin_{(u,d,wt) in E}  -ln(u01) / wt,   u01 = (md5_60(w|t|d)+1)/2^60
+
+    — the exponential-race (Gumbel-trick) form of a draw proportional to
+    the edge weight: each candidate's key is an Exponential(wt) variate
+    driven by its own deterministic uniform, and the minimum lands on edge
+    i with probability wt_i / Σ wt (Efraimidis & Spirakis 2006, the k=1
+    case — the same key :func:`pagerank_spark.operators.sampling.
+    weighted_sample` ranks by). With 1/outdeg LinkGraph weights this walks
+    the EXACT PageRank transition kernel; with raw counts it is the
+    node2vec p=q=1 weighted walk.
+
+    Unlike the uniform variant, parallel edges must be pre-summed
+    (LinkGraph's duplicate-edge coalesce does this): the uniform is a pure
+    function of (walk, step, dst), so two rows for one dst race with the
+    SAME u01 and behave as max(wt), not the sum. Edges with weight <= 0
+    are dropped (zero selection probability). Spark shape is identical to
+    :func:`random_walks`: the per-step shuffle carries O(#walks) rows via
+    the map-side min_by partial aggregate.
+    """
+    if walk_length < 0:
+        raise ValueError("walk_length must be >= 0")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    e = edges.select(
+        F.col("src").cast("string"),
+        F.col("dst").cast("string"),
+        F.col(weight_col).cast("double").alias("_w"),
+    ).where(F.col("_w") > 0)
+    if starts is None:
+        starts = e.select(F.col("src").alias("url")).distinct()
+    state = starts.select(
+        F.col("url").cast("string").alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("_r"),
+    ).select(
+        F.concat(F.col("url"), F.lit("#"), F.col("_r").cast("string")).alias("walk_id"),
+        "url",
+    )
+    two60 = float(1 << 60)
+    steps = [state.withColumn("step", F.lit(0).cast("int"))]
+    for t in range(1, walk_length + 1):
+        h = hexint15(F.concat(F.col("walk_id"), F.lit(f"|{t}|"), F.col("dst")))
+        # (h+1)/2^60 in (0, 1]: exact int scaled by a power of two — the
+        # double is bit-identical across engines; ln(u)=0 at u=1 is a
+        # valid race key, and u=0 (NULL ln) cannot occur
+        key = -F.log((h + F.lit(1)).cast("double") / F.lit(two60)) / F.col("_w")
+        cand = state.join(e, state["url"] == e["src"]).select(
+            "walk_id", F.col("dst"), key.alias("_k")
+        )
+        state = cand.groupBy("walk_id").agg(F.min_by("dst", "_k").alias("url"))
+        if t % checkpoint_every == 0 and t < walk_length:
+            state = state.localCheckpoint(eager=True)
+        steps.append(state.withColumn("step", F.lit(t).cast("int")))
+    out = reduce(DataFrame.unionByName, steps)
+    return out.select("walk_id", "step", "url")
+
+
 def walk_sentences(walks: DataFrame) -> DataFrame:
     """(walk_id, sentence) — each walk's vertices space-joined in step order,
     the exact line format word2vec-style trainers consume (and that

@@ -135,3 +135,63 @@ def test_random_walks_explicit_starts_and_zero_length(spark):
     starts = spark.createDataFrame([("a",), ("zzz",)], ["url"])
     rows = random_walks(raw, walk_length=0, walks_per_vertex=1, starts=starts).collect()
     assert {(r.walk_id, r.step, r.url) for r in rows} == {("a#0", 0, "a"), ("zzz#0", 0, "zzz")}
+
+
+def test_weighted_walks_follow_weight_proportions(spark):
+    """Star a→b (w=0.9), a→c (w=0.1): across 2000 independent step-1 draws
+    the b-fraction must track 0.9 (the exponential-race key is an exact
+    weight-proportional draw; 3σ ≈ 0.02 at n=2000)."""
+    from pagerank_spark.operators.walks import weighted_random_walks
+
+    e = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.1)], ["src", "dst", "weight"]
+    )
+    out = weighted_random_walks(e, walk_length=1, walks_per_vertex=2000)
+    picks = [r["url"] for r in out.where("step = 1").collect()]
+    assert len(picks) == 2000
+    frac_b = picks.count("b") / 2000
+    assert 0.85 <= frac_b <= 0.95, frac_b
+
+
+def test_weighted_walks_drop_nonpositive_and_truncate(spark):
+    """weight <= 0 edges never race; a walk reaching a dangling vertex
+    truncates (no step row)."""
+    from pagerank_spark.operators.walks import weighted_random_walks
+
+    e = spark.createDataFrame(
+        [("a", "b", 0.0), ("a", "c", 1.0), ("c", "d", -2.0)],
+        ["src", "dst", "weight"],
+    )
+    rows = {
+        (r["walk_id"], r["step"]): r["url"]
+        for r in weighted_random_walks(e, walk_length=3).collect()
+    }
+    # every a-walk goes to c (the only positive edge), then truncates
+    assert rows[("a#0", 1)] == "c"
+    assert ("a#0", 2) not in rows
+    # c has no POSITIVE out-edge, so it is not a default start at all
+    assert ("c#0", 0) not in rows
+    # explicit start at c: just the start row, then truncation
+    from pagerank_spark.operators.walks import weighted_random_walks as wrw
+
+    starts = spark.createDataFrame([("c",)], ["url"])
+    rows2 = {
+        (r["walk_id"], r["step"]): r["url"]
+        for r in wrw(e, walk_length=2, starts=starts).collect()
+    }
+    assert rows2 == {("c#0", 0): "c"}
+
+
+def test_weighted_walks_uniform_weights_match_uniform_variant_distribution(spark):
+    """With equal weights the race is a uniform draw — each of 3 neighbors
+    picked ~1/3 over 1500 walks."""
+    from pagerank_spark.operators.walks import weighted_random_walks
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 1.0), ("a", "d", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    out = weighted_random_walks(e, walk_length=1, walks_per_vertex=1500)
+    picks = [r["url"] for r in out.where("step = 1").collect()]
+    for v in ("b", "c", "d"):
+        assert 0.28 <= picks.count(v) / 1500 <= 0.39, (v, picks.count(v))
