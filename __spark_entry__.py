@@ -2232,6 +2232,83 @@ def q_weighted_walks(spark, sf_dir):
     )
 
 
+# Host-conditioned line-structured text for the boilerplate scrubber: every
+# doc of host srcK opens with the SAME banner (removed: 25/25 per host),
+# carries a unique content slice (kept), a ~4/7-frequency host promo (sits
+# ON the min_frac=0.5 bar — 12-16 of 25 docs per host, so BOTH outcomes are
+# witnessed across the 20 hosts), and a ~1/3-frequency line SHARED ACROSS
+# ALL hosts (kept everywhere: ~167 corpus copies but < 50% of any one host —
+# the host-conditioning witness vs corpus-wide paragraph_dedup). doc_id % 7
+# and % 3 are coprime with the source assignment's % 20, so the frequencies
+# cycle WITHIN each host rather than degenerating to 0% / 100%.
+HB_SQL = (
+    "SELECT doc_id, source, "
+    "'Welcome to ' || source || ' portal' || chr(10) "
+    "|| substr(text, 1, 60 + doc_id % 40) || chr(10) "
+    "|| CASE WHEN doc_id % 7 < 4 THEN 'special offer from ' || source "
+    "ELSE 'unique tail ' || CAST(doc_id AS STRING) END || chr(10) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN 'subscribe to the newsletter today' "
+    "ELSE 'closing line ' || CAST(doc_id AS STRING) END AS text "
+    "FROM documents"
+)
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Host-conditional boilerplate line removal (operators/dedup.py
+    host_boilerplate): a line is stripped from host h's pages iff it
+    repeats in >= min_docs AND >= min_frac of h's documents — nav/footer
+    scrubbing that never suppresses cross-host quotation. Family-mate of
+    the in-window paragraph_dedup (same explode→int64-key→join machinery,
+    host-conditional all-copies policy instead of corpus first-wins)."""
+    from pagerank_spark.operators.dedup import host_boilerplate
+
+    _views(spark, sf_dir, ("documents",))
+    return host_boilerplate(spark.sql(HB_SQL))
+
+
+def q_inlink_diversity(spark, sf_dir):
+    """Per-page in-link host diversity on the 37-host page graph
+    (operators/hostgraph.py inlink_diversity): distinct linking pages /
+    hosts / external hosts per target — the TrustRank-era link-farm prior.
+    Family-mate of the in-window host_pagerank (same host_col extraction,
+    two stacked partial aggregates)."""
+    from pagerank_spark.operators.hostgraph import inlink_diversity
+
+    _views(spark, sf_dir, ("events",))
+    return inlink_diversity(spark.sql(HOSTG_SQL))
+
+
+def q_zipf_alpha(spark, sf_dir):
+    """Corpus-level Zipf exponent of the token-frequency distribution
+    (operators/textops.py zipf_alpha): the Clauset-Shalizi-Newman MLE over
+    vocabulary counts — the machine-text drift gauge next to the per-doc
+    unigram_logloss. Family-mate of the in-window graph_report's
+    powerlaw_alpha (same 9dp-quantize + DECIMAL-sum estimator, vocabulary
+    instead of degrees)."""
+    from pagerank_spark.operators.textops import zipf_alpha
+
+    return zipf_alpha(_docs(spark, sf_dir))
+
+
+def q_nearest_seed(spark, sf_dir):
+    """Graph Voronoi partition over the branching B graph
+    (operators/distance.py nearest_seed): every reachable vertex assigned
+    to its closest '%00' seed, ties to MIN(seed) — vertex-sized frontier
+    state no matter how many seeds. Family-mate of the in-window
+    link_distance (same level-synchronous BFS skeleton)."""
+    from pagerank_spark.operators.distance import nearest_seed
+
+    _views(spark, sf_dir, ("events",))
+    e = spark.sql(B_SQL)
+    seeds = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .filter(F.col("url").endswith("00"))
+    )
+    return nearest_seed(e, seeds, max_depth=BFS_DEPTH)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2384,6 +2461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite": q_bipartite,
         "closeness": q_closeness,
         "weighted_walks": q_weighted_walks,
+        "host_boilerplate": q_host_boilerplate,
+        "inlink_diversity": q_inlink_diversity,
+        "zipf_alpha": q_zipf_alpha,
+        "nearest_seed": q_nearest_seed,
     }
 
 
@@ -4748,6 +4829,110 @@ SELECT h_src AS host,
        ROUND(CAST(SUM(CASE WHEN h_src = h_dst THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 9) AS locality
 FROM hb GROUP BY h_src
+"""
+
+    # host-conditional boilerplate removal (operators/dedup.py
+    # host_boilerplate): per-(host, normalized-line) distinct-doc frequency,
+    # lines crossing BOTH bars (nd >= 2 AND nd >= 0.5 * host docs) stripped
+    # from every copy, order rebuilt per doc
+    _hb_key = HEX15.format(x=r"regexp_replace(trim(lower(ln)), '\s+', ' ', 'g')")
+    sqls["host_boilerplate"] = f"""
+WITH hbd AS ({HB_SQL}),
+hhn AS (SELECT source AS host, CAST(COUNT(*) AS BIGINT) AS host_n
+        FROM hbd GROUP BY source),
+hbl AS (
+  SELECT doc_id, source AS host, u.idx AS idx, u.ln AS ln FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(lst)),
+                  i -> {{'idx': i - 1, 'ln': lst[i]}})) AS u
+    FROM (SELECT doc_id, source, string_split(text, chr(10)) AS lst FROM hbd))
+  WHERE trim(u.ln) <> ''
+),
+hbk AS (SELECT doc_id, host, idx, ln, {_hb_key} AS lh FROM hbl),
+hbf AS (
+  SELECT host, lh, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM (SELECT DISTINCT host, lh, doc_id FROM hbk) GROUP BY host, lh
+),
+hbb AS (
+  SELECT host, lh FROM hbf JOIN hhn USING (host)
+  WHERE nd >= 2 AND CAST(nd AS DOUBLE) >= 0.5 * host_n
+),
+hbm AS (
+  SELECT k.doc_id, k.idx, k.ln, (b.lh IS NULL) AS keep
+  FROM hbk k LEFT JOIN hbb b ON b.host = k.host AND b.lh = k.lh
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN ln END, chr(10) ORDER BY idx),
+                '') AS clean_text
+FROM hbm GROUP BY doc_id
+"""
+
+    # per-page in-link host diversity (operators/hostgraph.py
+    # inlink_diversity): dedup (dst, src) pairs, then one dst rollup of
+    # exact counts; external = linking host differs from the page's own
+    sqls["inlink_diversity"] = f"""
+WITH hraw AS ({HOSTG_SQL}),
+idb AS (
+  SELECT dst AS url, regexp_extract(dst, '{HOST_RE}', 1) AS h_dst,
+         src, regexp_extract(src, '{HOST_RE}', 1) AS h_src
+  FROM hraw
+),
+idd AS (SELECT DISTINCT url, h_dst, src, h_src FROM idb),
+ida AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+         CAST(COUNT(DISTINCT h_src) AS BIGINT) AS n_hosts,
+         CAST(COUNT(DISTINCT CASE WHEN h_src <> h_dst THEN h_src END)
+              AS BIGINT) AS n_ext_hosts
+  FROM idd GROUP BY url
+)
+SELECT url, n_inlinks, n_hosts, n_ext_hosts,
+       ROUND(CAST(n_ext_hosts AS DOUBLE) / CAST(n_inlinks AS DOUBLE),
+             9) AS diversity
+FROM ida
+"""
+
+    # corpus Zipf exponent (operators/textops.py zipf_alpha): the
+    # powerlaw_alpha CSN estimator over the unigram_logloss vocabulary —
+    # per-type log terms 9dp-quantized then DECIMAL-summed
+    sqls["zipf_alpha"] = f"""
+WITH ztoks AS (SELECT unnest({TOKS}) AS tok FROM documents),
+zvocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ztoks GROUP BY tok),
+zs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+         SUM(CASE WHEN c >= 2
+                  THEN CAST(ROUND(ln(c / 1.5), 9) AS DECIMAL(28,9)) END) AS slog
+  FROM zvocab
+)
+SELECT n_types, n_tail,
+       ROUND(1.0 + CAST(n_tail AS DOUBLE) / CAST(slog AS DOUBLE), 6) AS alpha
+FROM zs
+"""
+
+    # graph Voronoi partition (operators/distance.py nearest_seed):
+    # per-level MIN(seed) settles each newly-reached vertex exactly once;
+    # unrolled level CTEs with the settled-set anti-join (link_distance's
+    # shape plus the seed label)
+    _nsparts = [
+        "ns0 AS (SELECT url, url AS seed, 0 AS dist FROM bverts "
+        "WHERE url LIKE '%00')"
+    ]
+    for _k in range(1, BFS_DEPTH + 1):
+        _seen = " UNION ALL ".join(f"SELECT url FROM ns{_j}" for _j in range(_k))
+        _nsparts.append(
+            f"ns{_k} AS (SELECT e.dst AS url, MIN(f.seed) AS seed, {_k} AS dist "
+            f"FROM ns{_k - 1} f JOIN bedges e ON e.src = f.url "
+            f"WHERE e.dst NOT IN ({_seen}) GROUP BY e.dst)"
+        )
+    _nsunion = " UNION ALL ".join(
+        f"SELECT * FROM ns{_j}" for _j in range(BFS_DEPTH + 1)
+    )
+    sqls["nearest_seed"] = f"""
+WITH {BEDGE_CTE},
+{",".join(_nsparts)},
+allns AS ({_nsunion})
+SELECT url, seed, CAST(dist AS INT) AS dist FROM allns
 """
 
     return sqls

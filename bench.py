@@ -616,6 +616,36 @@ def run_suite(spark, sf_dir: str) -> dict:
     weighted_random_walks(graph.edges, walk_length=4, walks_per_vertex=1).count()
     timings["weighted_walks4"] = time.monotonic() - t0
 
+    # host-conditional boilerplate line removal over documents
+    from pagerank_spark.operators.dedup import host_boilerplate
+
+    t0 = time.monotonic()
+    host_boilerplate(docs).count()
+    timings["host_boilerplate"] = time.monotonic() - t0
+
+    # per-page in-link host diversity on the page graph
+    from pagerank_spark.operators.hostgraph import inlink_diversity
+
+    t0 = time.monotonic()
+    inlink_diversity(spark.sql(hg_sql)).count()
+    timings["inlink_diversity"] = time.monotonic() - t0
+
+    # corpus Zipf exponent over the documents vocabulary
+    from pagerank_spark.operators.textops import zipf_alpha
+
+    t0 = time.monotonic()
+    zipf_alpha(docs).count()
+    timings["zipf_alpha"] = time.monotonic() - t0
+
+    # graph Voronoi partition from the '%00' seed set, depth 3
+    from pagerank_spark.operators.distance import nearest_seed
+
+    t0 = time.monotonic()
+    nearest_seed(
+        graph.edges, graph.vertices.filter(F.col("url").endswith("00")), max_depth=3
+    ).count()
+    timings["nearest_seed"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

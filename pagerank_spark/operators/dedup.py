@@ -730,3 +730,84 @@ def paragraph_dedup(
         )
     )
     return per_doc.select("doc_id", "n_paras", "n_kept", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# host-conditional boilerplate removal (CCNet/Dolma-style: strip lines that
+# repeat across most pages of the SAME host — nav menus, footers, cookie
+# banners — while identical wording on unrelated hosts stays untouched)
+# ---------------------------------------------------------------------------
+
+def host_boilerplate(
+    docs: DataFrame,
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-host boilerplate line removal: (doc_id, n_lines, n_kept,
+    clean_text) where a line is boilerplate for host h iff its normalized
+    form occurs in >= ``min_docs`` distinct documents of h AND in >=
+    ``min_frac`` of h's documents. Unlike :func:`paragraph_dedup` (corpus-
+    wide, first copy survives) this removes EVERY copy, but only when the
+    repetition is host-local — the footer of one site never suppresses the
+    same sentence quoted on another.
+
+    Plan shape: one host doc-count aggregate (host-sized); lines explode to
+    60-bit int64 keys BEFORE the wide exchange; per-(host, line) distinct-doc
+    counts are two stacked partial aggregates on (host, lh, doc_id) then
+    (host, lh); the boilerplate set (tiny — lines crossing the frequency
+    bar) joins back on (host, lh) and the per-doc rollup rebuilds order with
+    array_sort. Whitespace-only segments are dropped before counting, so
+    n_lines counts content lines. No Python anywhere.
+    """
+    pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("host_n")
+    )
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("idx", "ln"),
+    ).where(F.trim(F.col("ln")) != "")
+    keyed = lines.withColumn(
+        "lh", hexint15(F.regexp_replace(F.trim(F.lower(F.col("ln"))), r"\s+", " "))
+    )
+    # distinct-doc frequency per (host, line): dedup per doc first (a doc
+    # repeating its own header counts once), then a map-side-combined count
+    freq = (
+        keyed.select("host", "lh", "doc_id")
+        .distinct()
+        .groupBy("host", "lh")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    )
+    boiler = (
+        freq.join(host_docs, "host")
+        .where(
+            (F.col("nd") >= F.lit(int(min_docs)))
+            & (F.col("nd").cast("double") >= F.lit(float(min_frac)) * F.col("host_n"))
+        )
+        .select("host", "lh", F.lit(True).alias("is_boiler"))
+    )
+    marked = keyed.join(boiler, ["host", "lh"], "left").withColumn(
+        "keep", F.col("is_boiler").isNull()
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("keep"), F.struct("idx", "ln")))
+                    ),
+                    lambda x: x["ln"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_lines", "n_kept", "clean_text")
+    )

@@ -63,6 +63,60 @@ def link_distance(
     return out.select("url", "dist")
 
 
+def nearest_seed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Graph Voronoi partition: (url, seed, dist) assigning every reachable
+    vertex to its CLOSEST seed — the label a seed-propagation curation pass
+    wants ("which trusted hub does this page belong to?"), and the
+    assignment step of graph k-center/landmark clustering. Ties (two seeds
+    at equal distance) break to the lexicographically smallest seed, so the
+    partition is deterministic.
+
+    Unlike :func:`multi_source_distance` (whose state is (source, url)-keyed
+    — k sources cost a k×-wide frontier), the Voronoi frontier keeps ONE row
+    per vertex: after each expansion a ``min(seed)`` aggregate settles every
+    newly-reached vertex exactly once, so state and shuffles stay
+    vertex-sized no matter how many seeds there are. Per level: one
+    src-keyed join against the edge table, one map-side-combined min
+    aggregate, one anti-join against the settled set; every level
+    localCheckpoint-ed (flat lineage at any depth).
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    e = edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    frontier = (
+        seeds.select(F.col("url").cast("string"))
+        .distinct()
+        .select("url", F.col("url").alias("seed"))
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    settled = frontier.select("url")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["url"] == e["src"])
+            .select(F.col("dst").alias("url"), "seed")
+            .join(settled, "url", "left_anti")
+            .groupBy("url")
+            .agg(F.min("seed").alias("seed"))
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        settled = settled.union(nxt.select("url"))
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("url", "seed", "dist")
+
+
 def multi_source_distance(
     edges: DataFrame,
     sources: DataFrame,

@@ -87,6 +87,56 @@ def link_locality(raw_edges: DataFrame) -> DataFrame:
     )
 
 
+def inlink_diversity(raw_edges: DataFrame) -> DataFrame:
+    """Per-page in-link diversity: (url, n_inlinks, n_hosts, n_ext_hosts,
+    diversity) — how many distinct pages link here, from how many distinct
+    hosts, and from how many hosts OTHER than the page's own.
+
+    The classic anti-spam / ranking prior (TrustRank-era "link diversity"):
+    a page whose thousands of in-links all come from one or two hosts is a
+    link farm; editorially-linked pages accumulate many independent linking
+    hosts. ``diversity = n_ext_hosts / n_inlinks`` rounded 9 dp.
+
+    Plan shape: one pure-Column host extraction per endpoint (codegen, no
+    UDF), then the distinct-count lowered to TWO stacked partial aggregates
+    — dedup on (dst, src_host, src) first (map-side combine collapses the
+    parallel-link bulk before the shuffle), then one dst-keyed rollup
+    counting rows and distinct hosts via the same two-phase shape. All
+    counts exact BIGINTs; output is vertex-sized.
+    """
+    hb = raw_edges.select(
+        F.col("dst").alias("url"),
+        host_col(F.col("dst")).alias("h_dst"),
+        F.col("src"),
+        host_col(F.col("src")).alias("h_src"),
+    )
+    # one row per distinct (dst, src) — parallel links collapse map-side
+    per_src = hb.select("url", "h_dst", "src", "h_src").distinct()
+    return (
+        per_src.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+            F.countDistinct("h_src").cast("long").alias("n_hosts"),
+            F.countDistinct(
+                F.when(F.col("h_src") != F.col("h_dst"), F.col("h_src"))
+            )
+            .cast("long")
+            .alias("n_ext_hosts"),
+        )
+        .select(
+            "url",
+            "n_inlinks",
+            "n_hosts",
+            "n_ext_hosts",
+            F.round(
+                F.col("n_ext_hosts").cast("double")
+                / F.col("n_inlinks").cast("double"),
+                9,
+            ).alias("diversity"),
+        )
+    )
+
+
 def host_linkgraph(
     raw_edges: DataFrame,
     keep_self: bool = False,

@@ -321,6 +321,43 @@ def unigram_logloss(
     )
 
 
+def zipf_alpha(
+    docs: DataFrame, c_min: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """One-row Zipf/power-law fit of the corpus token-frequency
+    distribution: (n_types, n_tail, alpha) — the Clauset-Shalizi-Newman
+    continuous MLE ``alpha = 1 + n / Σ ln(c / (c_min − 1/2))`` over the
+    token TYPES whose corpus frequency c ≥ c_min (the graphstats.py
+    powerlaw_alpha recipe applied to the vocabulary instead of the degree
+    table). Natural text sits near alpha ≈ 2 (Zipf's law); machine-
+    generated or boilerplate-heavy corpora drift off it — the corpus-level
+    sanity gauge next to the per-doc unigram_logloss score.
+
+    Plan shape: one token explode → one map-side-combined vocabulary count
+    (the unigram_logloss vocab) → one one-row aggregate. Per-type log terms
+    are ROUND(…,9)-quantized then DECIMAL-summed — exact, order-independent
+    — so the estimate is hash-stable across engines.
+    """
+    vocab = (
+        docs.select(F.explode(_ws_tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    term = F.round(F.log(F.col("c") / (c_min - 0.5)), 9).cast("decimal(28,9)")
+    s = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") >= c_min, 1).otherwise(0)).cast("long").alias("n_tail"),
+        F.sum(F.when(F.col("c") >= c_min, term)).alias("slog"),
+    )
+    return s.select(
+        "n_types",
+        "n_tail",
+        F.round(
+            1.0 + F.col("n_tail").cast("double") / F.col("slog").cast("double"), 6
+        ).alias("alpha"),
+    )
+
+
 def bigram_logloss(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

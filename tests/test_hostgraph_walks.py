@@ -195,3 +195,28 @@ def test_weighted_walks_uniform_weights_match_uniform_variant_distribution(spark
     picks = [r["url"] for r in out.where("step = 1").collect()]
     for v in ("b", "c", "d"):
         assert 0.28 <= picks.count(v) / 1500 <= 0.39, (v, picks.count(v))
+
+
+def test_inlink_diversity_hand(spark):
+    from pagerank_spark.operators.hostgraph import inlink_diversity
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://t.com/x"),
+            ("http://a.com/1", "http://t.com/x"),  # parallel link collapses
+            ("http://a.com/2", "http://t.com/x"),
+            ("http://b.com/1", "http://t.com/x"),
+            ("http://t.com/self", "http://t.com/x"),  # intra-host
+            ("http://a.com/1", "http://b.com/y"),
+        ],
+        ["src", "dst"],
+    )
+    got = {r["url"]: r for r in inlink_diversity(edges).collect()}
+
+    tx = got["http://t.com/x"]
+    # 4 distinct linking PAGES from 3 hosts, 2 of them external to t.com
+    assert (tx["n_inlinks"], tx["n_hosts"], tx["n_ext_hosts"]) == (4, 3, 2)
+    assert tx["diversity"] == 0.5
+    by = got["http://b.com/y"]
+    assert (by["n_inlinks"], by["n_hosts"], by["n_ext_hosts"]) == (1, 1, 1)
+    assert by["diversity"] == 1.0

@@ -79,3 +79,51 @@ def test_paragraph_dedup_metacharacter_separator(spark):
     # 'beta' already seen at (1,1): first occurrence wins
     assert got[2]["n_paras"] == 2 and got[2]["n_kept"] == 1
     assert got[2]["clean_text"] == "delta"
+
+
+def test_host_boilerplate_host_conditional_removal(spark):
+    from pagerank_spark.operators.dedup import host_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            # host a: "nav menu" in 3/3 docs, "footer x" in 2/3, "promo" 1/3
+            (1, "a", "nav menu\ncontent one\npromo"),
+            (2, "a", "nav menu\ncontent two\nfooter x"),
+            (3, "a", "nav menu\ncontent three\nfooter x"),
+            # host b: "nav menu" only in ONE doc (twice within it) — a
+            # within-doc repeat counts once, nd=1 < min_docs → kept
+            (4, "b", "nav menu\nnav menu\ncontent four"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {r["doc_id"]: r for r in host_boilerplate(docs).collect()}
+
+    # host a: nav menu (3/3) and footer x (2/3 >= 0.5) stripped everywhere;
+    # promo (1/3 < 0.5) survives despite repeating NOWHERE — frequency bar
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 2)
+    assert got[1]["clean_text"] == "content one\npromo"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 1)
+    assert got[2]["clean_text"] == "content two"
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (3, 1)
+    assert got[3]["clean_text"] == "content three"
+    # host b keeps its copies of the line host a scrubbed
+    assert (got[4]["n_lines"], got[4]["n_kept"]) == (3, 3)
+    assert got[4]["clean_text"] == "nav menu\nnav menu\ncontent four"
+
+
+def test_host_boilerplate_normalized_match_and_blank_lines(spark):
+    from pagerank_spark.operators.dedup import host_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (5, "c", " NAV  Menu \n\ncontent five"),
+            (6, "c", "nav menu\ncontent six"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {r["doc_id"]: r for r in host_boilerplate(docs).collect()}
+    # case/whitespace-normalized key matches; blank line never counted
+    assert (got[5]["n_lines"], got[5]["n_kept"]) == (2, 1)
+    assert got[5]["clean_text"] == "content five"
+    assert (got[6]["n_lines"], got[6]["n_kept"]) == (2, 1)
+    assert got[6]["clean_text"] == "content six"

@@ -752,3 +752,16 @@ def test_doc_novelty_hand(spark):
     assert rows[1]["novelty"] == pytest.approx(0.5)
     assert rows[2]["novelty"] == pytest.approx(0.5)
     assert rows[3]["n_shingles"] == 1 and rows[3]["novelty"] == pytest.approx(1.0)
+
+
+def test_zipf_alpha_hand(spark):
+    from pagerank_spark.operators.textops import zipf_alpha
+
+    # corpus counts: a=4, b=2, c=1, d=1 → tail (c>=2) = {a, b}
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d")], ["doc_id", "text"]
+    )
+    row = zipf_alpha(docs).collect()[0]
+    assert (row["n_types"], row["n_tail"]) == (4, 2)
+    slog = round(math.log(4 / 1.5), 9) + round(math.log(2 / 1.5), 9)
+    assert row["alpha"] == pytest.approx(round(1.0 + 2 / slog, 6), abs=1e-6)

@@ -108,3 +108,36 @@ def test_link_distance_zero_depth(spark):
     seeds = spark.createDataFrame([("s",)], ["url"])
     got = {r.url: r.dist for r in link_distance(e, seeds, max_depth=0).collect()}
     assert got == {"s": 0}
+
+
+def test_nearest_seed_voronoi(spark):
+    from pagerank_spark.operators.distance import nearest_seed
+
+    edges = spark.createDataFrame(
+        [("s1", "m"), ("s2", "m"), ("m", "x"), ("s2", "y"), ("y", "z"),
+         ("m", "s2")],  # back-edge into a settled seed: must stay dist 0
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("s1",), ("s2",)], ["url"])
+    got = {r["url"]: (r["seed"], r["dist"]) for r in
+           nearest_seed(edges, seeds).collect()}
+    assert got == {
+        "s1": ("s1", 0),
+        "s2": ("s2", 0),
+        "m": ("s1", 1),   # equidistant from both seeds → MIN(seed) tie-break
+        "y": ("s2", 1),
+        "x": ("s1", 2),   # inherits m's label
+        "z": ("s2", 2),
+    }
+
+
+def test_nearest_seed_depth_cap(spark):
+    from pagerank_spark.operators.distance import nearest_seed
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("s",)], ["url"])
+    got = {r["url"]: r["dist"] for r in
+           nearest_seed(edges, seeds, max_depth=1).collect()}
+    assert got == {"s": 0, "a": 1}
