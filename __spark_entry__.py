@@ -2309,6 +2309,29 @@ def q_nearest_seed(spark, sf_dir):
     return nearest_seed(e, seeds, max_depth=BFS_DEPTH)
 
 
+COSINE_THRESHOLD = 0.85
+COSINE_MAX_DF = 1000  # skew cap: candidate generation only; never binds at
+                      # sf0.01 (500 docs, max term df 402) so the uncapped
+                      # DuckDB oracle hash-matches while the capped scale
+                      # path is what executes (the ngram_jaccard protocol)
+
+
+def q_tfidf_cosine(spark, sf_dir):
+    """All-pairs tf-idf cosine similarity join over documents
+    (operators/textsearch.py tfidf_cosine_pairs): the WEIGHTED near-dup
+    detector next to the set-based ngram_jaccard/minhash family —
+    candidates from the df-capped term index, exact L2-normalized dot
+    rescore. Family-mate of the in-window ngram_jaccard (same
+    capped-candidates + exact-rescore contract)."""
+    from pagerank_spark.operators.textsearch import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs(spark, sf_dir),
+        threshold=COSINE_THRESHOLD,
+        max_term_df=COSINE_MAX_DF,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2465,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inlink_diversity": q_inlink_diversity,
         "zipf_alpha": q_zipf_alpha,
         "nearest_seed": q_nearest_seed,
+        "tfidf_cosine": q_tfidf_cosine,
     }
 
 
@@ -4933,6 +4957,54 @@ WITH {BEDGE_CTE},
 {",".join(_nsparts)},
 allns AS ({_nsunion})
 SELECT url, seed, CAST(dist AS INT) AS dist FROM allns
+"""
+
+    # all-pairs tf-idf cosine (operators/textsearch.py tfidf_cosine_pairs):
+    # idf quantized 9dp, per-(doc, term-hash) weights and per-term products
+    # 9dp-quantized then DECIMAL-summed, fixed IEEE norm/division tree —
+    # bit-stable across engines. Uncapped here (COSINE_MAX_DF never binds
+    # at sf0.01), exactly mirroring the ngram_jaccard oracle protocol.
+    _cth = HEX15.format(x="term")
+    sqls["tfidf_cosine"] = f"""
+WITH cp AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) GROUP BY doc_id, term
+),
+cnd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM cp GROUP BY term),
+cw AS (
+  SELECT doc_id, {_cth} AS th,
+         SUM(CAST(ROUND(tf * ROUND(ln(CAST(n AS DOUBLE) / df), 9), 9)
+                  AS DECIMAL(28,9))) AS w
+  FROM cp JOIN cdf USING (term) CROSS JOIN cnd
+  WHERE df < n
+  GROUP BY doc_id, {_cth}
+),
+cnr AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 9)
+                            AS DECIMAL(28,9))) AS DOUBLE)) AS nr
+  FROM cw GROUP BY doc_id
+),
+cu AS (
+  SELECT doc_id, th, CAST(w AS DOUBLE) / nr AS u
+  FROM cw JOIN cnr USING (doc_id)
+),
+ccand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cu a JOIN cu b ON b.th = a.th AND a.doc_id < b.doc_id
+),
+cdot AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CAST(ROUND(ua.u * ub.u, 9) AS DECIMAL(28,9))) AS s
+  FROM ccand c
+  JOIN cu ua ON ua.doc_id = c.id_a
+  JOIN cu ub ON ub.doc_id = c.id_b AND ub.th = ua.th
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, ROUND(CAST(s AS DOUBLE), 6) AS cosine
+FROM cdot WHERE ROUND(CAST(s AS DOUBLE), 6) >= {COSINE_THRESHOLD}
 """
 
     return sqls

@@ -646,6 +646,17 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["nearest_seed"] = time.monotonic() - t0
 
+    # all-pairs tf-idf cosine near-dup join (df-capped candidates + exact
+    # rescore); cap scales with corpus size like the production setting
+    from pagerank_spark.operators.textsearch import tfidf_cosine_pairs
+
+    n_docs_b = docs.count()
+    t0 = time.monotonic()
+    tfidf_cosine_pairs(
+        docs, threshold=0.85, max_term_df=max(50, n_docs_b // 5)
+    ).count()
+    timings["tfidf_cosine"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -758,3 +758,17 @@ def test_doc_novelty_bounded_exchanges_int64_keys(spark, docs_path):
     assert plan.count("Exchange hashpartitioning") <= 4, plan
     assert "partial" in plan.lower(), plan
     assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_tfidf_cosine_hash_joins_only_no_python(spark, docs_path):
+    # the all-pairs cosine join must stay hash equi-joins end to end: no
+    # cartesian/nested-loop anywhere (the broadcast N-docs scalar rides a
+    # BroadcastExchange), no Python crossing, partial-agg sums
+    from pagerank_spark.operators.textsearch import tfidf_cosine_pairs
+
+    plan = _physical(
+        tfidf_cosine_pairs(spark.read.parquet(docs_path), max_term_df=40)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "partial" in plan.lower(), plan

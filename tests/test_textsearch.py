@@ -4,6 +4,7 @@ replay pinning the scoring formula."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from pagerank_spark.operators.textsearch import (
@@ -131,3 +132,32 @@ def test_blocklist_filter_is_broadcast_anti(spark):
     assert [r["doc_id"] for r in kept.collect()] == [2]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tfidf_cosine_pairs_hand(spark):
+    import math
+
+    from pagerank_spark.operators.textsearch import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple banana"), (3, "cherry date")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(docs, threshold=0.1).collect()}
+    # doc 3 shares no term with 1/2: no pair row at all (not a 0.0 row)
+    assert set(got) == {(1, 2)}
+    # idf(apple)=idf(banana)=ln(3/2); d1=(2,1)·d2=(1,1) → 3/sqrt(10) after
+    # the idf weights cancel in the normalized dot
+    assert got[(1, 2)] == pytest.approx(3 / math.sqrt(10), abs=1e-5)
+
+
+def test_tfidf_cosine_pairs_df_cap_prunes_candidates(spark):
+    from pagerank_spark.operators.textsearch import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple banana"), (3, "cherry date")],
+        ["doc_id", "text"],
+    )
+    # every shared term has df=2 > cap=1: candidate generation goes dry
+    assert tfidf_cosine_pairs(docs, threshold=0.1, max_term_df=1).count() == 0
