@@ -2309,6 +2309,25 @@ def q_nearest_seed(spark, sf_dir):
     return nearest_seed(e, seeds, max_depth=BFS_DEPTH)
 
 
+def q_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness from the '%00' landmark set over the
+    branching B graph, depth-capped (operators/distance.py
+    betweenness_sample): exact-integer sigma forward pass, quantized
+    DECIMAL-summed dependency accumulation backward. Family-mate of the
+    in-window link_distance (same (source, url)-keyed BFS skeleton)."""
+    from pagerank_spark.operators.distance import betweenness_sample
+
+    _views(spark, sf_dir, ("events",))
+    e = spark.sql(B_SQL)
+    sources = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .filter(F.col("url").endswith("00"))
+    )
+    return betweenness_sample(e, sources, max_depth=BFS_DEPTH)
+
+
 COSINE_THRESHOLD = 0.85
 COSINE_MAX_DF = 1000  # skew cap: candidate generation only; never binds at
                       # sf0.01 (500 docs, max term df 402) so the uncapped
@@ -2489,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha": q_zipf_alpha,
         "nearest_seed": q_nearest_seed,
         "tfidf_cosine": q_tfidf_cosine,
+        "betweenness": q_betweenness,
     }
 
 
@@ -5005,6 +5025,55 @@ cdot AS (
 )
 SELECT id_a, id_b, ROUND(CAST(s AS DOUBLE), 6) AS cosine
 FROM cdot WHERE ROUND(CAST(s AS DOUBLE), 6) >= {COSINE_THRESHOLD}
+"""
+
+    # sampled Brandes betweenness (operators/distance.py betweenness_sample):
+    # forward levels carry exact-integer sigma (path counts); backward levels
+    # accumulate delta = sum sigma_u/sigma_v * (1 + delta_v) over DAG
+    # successors, each contribution 9dp-quantized then DECIMAL-summed —
+    # bit-identical to the Spark recipe level by level
+    _bwparts = [
+        "bw0 AS (SELECT url AS source, url, CAST(1 AS BIGINT) AS sigma "
+        "FROM bverts WHERE url LIKE '%00')"
+    ]
+    for _k in range(1, BFS_DEPTH + 1):
+        _seen = " UNION ALL ".join(
+            f"SELECT source, url FROM bw{_j}" for _j in range(_k)
+        )
+        _bwparts.append(
+            f"bw{_k} AS (SELECT f.source, e.dst AS url, "
+            f"CAST(SUM(f.sigma) AS BIGINT) AS sigma "
+            f"FROM bw{_k - 1} f JOIN bedges e ON e.src = f.url "
+            f"WHERE NOT EXISTS (SELECT 1 FROM ({_seen}) p "
+            f"WHERE p.source = f.source AND p.url = e.dst) "
+            f"GROUP BY f.source, e.dst)"
+        )
+    _bwparts.append(
+        f"bd{BFS_DEPTH} AS (SELECT source, url, sigma, "
+        f"CAST(0 AS DECIMAL(28,9)) AS delta FROM bw{BFS_DEPTH})"
+    )
+    for _k in range(BFS_DEPTH - 1, 0, -1):
+        _bwparts.append(
+            f"bd{_k} AS (SELECT u.source, u.url, u.sigma, "
+            f"COALESCE(s.sd, CAST(0 AS DECIMAL(28,9))) AS delta "
+            f"FROM bw{_k} u LEFT JOIN ("
+            f"SELECT f.source, f.url, "
+            f"SUM(CAST(ROUND(CAST(f.sigma AS DOUBLE) / v.sigma "
+            f"* (1.0 + CAST(v.delta AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sd "
+            f"FROM bw{_k} f JOIN bedges e ON e.src = f.url "
+            f"JOIN bd{_k + 1} v ON v.source = f.source AND v.url = e.dst "
+            f"GROUP BY f.source, f.url) s "
+            f"ON s.source = u.source AND s.url = u.url)"
+        )
+    _bwunion = " UNION ALL ".join(
+        f"SELECT url, delta FROM bd{_k}" for _k in range(1, BFS_DEPTH + 1)
+    )
+    sqls["betweenness"] = f"""
+WITH {BEDGE_CTE},
+{",".join(_bwparts)},
+allbw AS ({_bwunion})
+SELECT url, ROUND(CAST(SUM(delta) AS DOUBLE), 6) AS betweenness
+FROM allbw GROUP BY url
 """
 
     return sqls

@@ -657,6 +657,15 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["tfidf_cosine"] = time.monotonic() - t0
 
+    # sampled Brandes betweenness from the '%00' landmark set, depth 3
+    from pagerank_spark.operators.distance import betweenness_sample
+
+    t0 = time.monotonic()
+    betweenness_sample(
+        graph.edges, graph.vertices.filter(F.col("url").endswith("00")), max_depth=3
+    ).count()
+    timings["betweenness3"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

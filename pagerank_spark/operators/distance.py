@@ -165,6 +165,122 @@ def multi_source_distance(
     return out.select("source", "url", "dist")
 
 
+def betweenness_sample(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Sampled betweenness centrality: (url, betweenness) — Brandes (2001)
+    dependency accumulation over the exact shortest-path DAGs of a SOURCE
+    SAMPLE, depth-capped — the pivot/landmark estimator of Brandes-Pich
+    2007 (k pivots cost k BFS sweeps instead of |V|; scores are the raw
+    dependency sums over the sample, unnormalized). The one classic
+    centrality the engine lacked next to PageRank/Katz/HITS/closeness:
+    "which pages sit ON the shortest click-paths" rather than "which pages
+    get linked".
+
+    Forward pass: level-synchronous BFS with (source, url)-keyed state
+    (the multi_source_distance skeleton) carrying sigma = #shortest paths —
+    exact BIGINTs, aggregated with one partial-agg SUM per level instead of
+    a distinct. Backward pass: levels processed deepest-first;
+    delta(u) = sum over DAG successors v of sigma_u/sigma_v * (1+delta_v),
+    one hash equi-join against the edge table and one against the
+    (level d+1, delta) table per level, every level localCheckpoint-ed
+    (flat lineage both directions). betweenness(v) = sum of delta(s, v)
+    over the sample, v != s (level-0 rows excluded).
+
+    Determinism contract for the DuckDB twin: sigma is exact integer
+    arithmetic; each delta contribution is a fixed IEEE expression of
+    exact sigmas and the previous level's quantized delta, ROUND(…,9) then
+    DECIMAL-summed (order-independent), so every level — and the final
+    per-url sum — is bit-identical across engines; output rounded 6 dp.
+
+    Parallel edges are deduplicated (sigma counts paths in the simple
+    digraph); self-loops never lie on a shortest path and are dropped by
+    the settled-set anti-join.
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    e = (
+        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        sources.select(F.col("url").cast("string").alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("url"))
+        .withColumn("sigma", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    settled = frontier.select("source", "url")
+    for _d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["url"] == e["src"])
+            .select("source", F.col("dst").alias("url"), "sigma")
+            .join(settled, ["source", "url"], "left_anti")
+            .groupBy("source", "url")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        settled = settled.union(nxt.select("source", "url"))
+        frontier = nxt
+    depth = len(levels) - 1
+    zero = F.lit(0).cast("decimal(28,9)")
+    if depth == 0:
+        return levels[0].select(
+            "url", F.lit(0.0).alias("betweenness")
+        ).where(F.lit(False))
+    deltas = {
+        depth: levels[depth].select("source", "url", "sigma", zero.alias("delta"))
+    }
+    for d in range(depth - 1, 0, -1):
+        up = levels[d]
+        vn = deltas[d + 1]
+        contrib = (
+            up.alias("u")
+            .join(e.alias("ed"), F.col("u.url") == F.col("ed.src"))
+            .join(
+                vn.alias("v"),
+                (F.col("v.source") == F.col("u.source"))
+                & (F.col("v.url") == F.col("ed.dst")),
+            )
+            .select(
+                F.col("u.source").alias("source"),
+                F.col("u.url").alias("url"),
+                F.round(
+                    (F.col("u.sigma").cast("double") / F.col("v.sigma").cast("double"))
+                    * (F.lit(1.0) + F.col("v.delta").cast("double")),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("c"),
+            )
+            .groupBy("source", "url")
+            .agg(F.sum("c").alias("sd"))
+        )
+        deltas[d] = (
+            up.join(contrib, ["source", "url"], "left")
+            .select(
+                "source",
+                "url",
+                "sigma",
+                F.coalesce(F.col("sd").cast("decimal(28,9)"), zero).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = deltas[1].select("url", "delta")
+    for d in range(2, depth + 1):
+        out = out.unionByName(deltas[d].select("url", "delta"))
+    return out.groupBy("url").agg(
+        F.round(F.sum("delta").cast("double"), 6).alias("betweenness")
+    )
+
+
 def closeness_sample(
     edges: DataFrame,
     sources: DataFrame,

@@ -141,3 +141,49 @@ def test_nearest_seed_depth_cap(spark):
     got = {r["url"]: r["dist"] for r in
            nearest_seed(edges, seeds, max_depth=1).collect()}
     assert got == {"s": 0, "a": 1}
+
+
+def test_betweenness_sample_path_and_diamond(spark):
+    from pagerank_spark.operators.distance import betweenness_sample
+
+    # path s->a->b->c from s: delta(a)=2, delta(b)=1, delta(c)=0
+    e = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    s = spark.createDataFrame([("s",)], ["url"])
+    got = {r["url"]: r["betweenness"] for r in betweenness_sample(e, s).collect()}
+    assert got == {"a": 2.0, "b": 1.0, "c": 0.0}
+
+    # diamond s->{a,b}->t: sigma(t)=2, each middle carries half the
+    # dependency — the split sigma ratio, not just hop counting
+    e2 = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t")], ["src", "dst"]
+    )
+    got2 = {r["url"]: r["betweenness"] for r in betweenness_sample(e2, s).collect()}
+    assert got2 == {"a": 0.5, "b": 0.5, "t": 0.0}
+
+
+def test_betweenness_sample_multi_source_and_duplicate_edges(spark):
+    from pagerank_spark.operators.distance import betweenness_sample
+
+    # m bridges both sources to t → dependencies ADD across the sample;
+    # the duplicated s1->m edge must not double sigma (simple-digraph dedup)
+    e = spark.createDataFrame(
+        [("s1", "m"), ("s1", "m"), ("s2", "m"), ("m", "t")], ["src", "dst"]
+    )
+    s = spark.createDataFrame([("s1",), ("s2",)], ["url"])
+    got = {r["url"]: r["betweenness"] for r in betweenness_sample(e, s).collect()}
+    assert got == {"m": 2.0, "t": 0.0}
+
+
+def test_betweenness_sample_depth_cap(spark):
+    from pagerank_spark.operators.distance import betweenness_sample
+
+    # cap at 2: paths beyond 2 hops don't exist → delta(a) only counts b
+    e = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    s = spark.createDataFrame([("s",)], ["url"])
+    got = {r["url"]: r["betweenness"]
+           for r in betweenness_sample(e, s, max_depth=2).collect()}
+    assert got == {"a": 1.0, "b": 0.0}
