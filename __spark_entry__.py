@@ -2309,6 +2309,17 @@ def q_nearest_seed(spark, sf_dir):
     return nearest_seed(e, seeds, max_depth=BFS_DEPTH)
 
 
+def q_avg_neighbor_degree(spark, sf_dir):
+    """Average-neighbor-degree curve knn(k) on the heavy-tailed H graph
+    (operators/graphstats.py avg_neighbor_degree): the disaggregated view
+    of the in-window graph_report's assortativity r — per-vertex means of
+    exact BIGINTs, 9dp-quantized DECIMAL bucket averages."""
+    from pagerank_spark.operators.graphstats import avg_neighbor_degree
+
+    _views(spark, sf_dir, ("events",))
+    return avg_neighbor_degree(spark.sql(H_SQL))
+
+
 def q_betweenness(spark, sf_dir):
     """Sampled Brandes betweenness from the '%00' landmark set over the
     branching B graph, depth-capped (operators/distance.py
@@ -2509,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_seed": q_nearest_seed,
         "tfidf_cosine": q_tfidf_cosine,
         "betweenness": q_betweenness,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
     }
 
 
@@ -5074,6 +5086,23 @@ WITH {BEDGE_CTE},
 allbw AS ({_bwunion})
 SELECT url, ROUND(CAST(SUM(delta) AS DOUBLE), 6) AS betweenness
 FROM allbw GROUP BY url
+"""
+
+    # average-neighbor-degree curve (operators/graphstats.py
+    # avg_neighbor_degree): per-vertex mean in-degree of out-neighbors over
+    # exact BIGINTs, 9dp-quantized then DECIMAL-averaged per out-degree k
+    sqls["avg_neighbor_degree"] = f"""
+WITH h AS ({H_SQL}),
+ade AS (SELECT DISTINCT src, dst FROM h WHERE src <> dst),
+aind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS dy FROM ade GROUP BY dst),
+apv AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(dy) AS BIGINT) AS sdy
+  FROM ade JOIN aind USING (dst) GROUP BY src
+)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(sdy AS DOUBLE) / CAST(k AS DOUBLE), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS knn
+FROM apv GROUP BY k
 """
 
     return sqls

@@ -666,6 +666,13 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["betweenness3"] = time.monotonic() - t0
 
+    # average-neighbor-degree curve on the page graph
+    from pagerank_spark.operators.graphstats import avg_neighbor_degree
+
+    t0 = time.monotonic()
+    avg_neighbor_degree(spark.sql(hg_sql)).count()
+    timings["avg_neighbor_degree"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -400,6 +400,54 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     return collect_release(out, (de,))
 
 
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Average-neighbor-degree curve knn(k): (k, n_vertices, knn) — for
+    each out-degree k, the mean over vertices of out-degree k of the mean
+    IN-degree of their distinct out-neighbors (Pastor-Satorras et al.
+    2001's k_nn, directed out-in flavor — the same edge-role convention as
+    :func:`degree_assortativity`, of which this is the disaggregated view:
+    a falling curve is the disassortative structure a single negative r
+    summarizes, and hubs-link-to-hubs shows up as the rising tail r alone
+    can hide).
+
+    Scale shape: one distinct edge pass, one in-degree partial agg, one
+    dst-keyed equi-join, one src rollup (per-vertex mean = exact-BIGINT
+    sum / count), one k rollup. Per-vertex means are 9dp-quantized then
+    DECIMAL-summed per bucket so the bucket average is order-independent
+    and bit-identical across engines; output is O(max out-degree) rows.
+    """
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    ind = de.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("dy"))
+    pv = (
+        de.join(ind, "dst")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("dy").cast("long").alias("sdy"),
+        )
+    )
+    mean9 = F.round(
+        F.col("sdy").cast("double") / F.col("k").cast("double"), 9
+    ).cast("decimal(28,9)")
+    out = (
+        pv.select("k", mean9.alias("m9"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(
+                F.sum("m9").cast("double") / F.count(F.lit(1)), 6
+            ).alias("knn"),
+        )
+    )
+    # O(max out-degree) rows: collect-materialize, release the edge cache
+    return collect_release(out, (de,))
+
+
 def rich_club(edges: DataFrame, ks: list[int] = (2, 4, 8, 16)) -> DataFrame:
     """Rich-club coefficients over the undirected simple graph: for each
     degree threshold k, (k, n_k, e_k, phi) with n_k = |{v : deg(v) > k}|,

@@ -121,6 +121,7 @@ def test_report_operators_release_caches(spark):
     report (collect for tiny outputs, eager localCheckpoint for data-sized
     ones) and releases the intermediates before returning."""
     from pagerank_spark.operators.graphstats import (
+        avg_neighbor_degree,
         degree_assortativity,
         powerlaw_alpha,
         rich_club,
@@ -149,6 +150,7 @@ def test_report_operators_release_caches(spark):
         rich_club(e, ks=(1, 2)),
         powerlaw_alpha(e, d_min=1),
         clustering_coefficients(e),
+        avg_neighbor_degree(e),
         triangle_count(e),
         triangle_count(e, per_vertex=True),
         cocitation(e, min_count=1),
@@ -266,3 +268,23 @@ def test_link_locality_hand(spark):
     assert rows["a.com"]["locality"] == pytest.approx(0.5)
     assert rows["b.com"]["out_links"] == 1 and rows["b.com"]["intra_links"] == 1
     assert rows["b.com"]["locality"] == pytest.approx(1.0)
+
+
+def test_avg_neighbor_degree_hand(spark):
+    from pagerank_spark.operators.graphstats import avg_neighbor_degree
+
+    # star out of h (outdeg 3) into a,b,c; a->b (outdeg 1); in-degrees:
+    # a=1, b=2, c=1. knn(3) = (1+2+1)/3; knn(1) = indeg(b) = 2.
+    # duplicate + self-loop edges must not count.
+    e = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("h", "b"), ("a", "b"),
+         ("c", "c")],
+        ["src", "dst"],
+    )
+    got = {r["k"]: r for r in avg_neighbor_degree(e).collect()}
+    # c's only out-edge is the excluded self-loop → c has no k bucket
+    assert set(got) == {1, 3}
+    assert got[3]["n_vertices"] == 1
+    assert got[3]["knn"] == pytest.approx(4 / 3, abs=1e-6)
+    assert got[1]["n_vertices"] == 1  # just a (a->b)
+    assert got[1]["knn"] == pytest.approx(2.0, abs=1e-6)
