@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pagerank_spark.functions.urls import HOST_RE
+from pagerank_spark.functions.urls import HOST_RE, PATH_RE
 from pagerank_spark.operators.dedup import MINHASH_P, minhash_params
 from pagerank_spark.operators.similarity import (
     LSH_PLANES,
@@ -2309,6 +2309,50 @@ def q_nearest_seed(spark, sf_dir):
     return nearest_seed(e, seeds, max_depth=BFS_DEPTH)
 
 
+# One robots.txt body per HOSTG host: the '*' group disallows /p1 (hits
+# p1, p10-p19, p100-p199), every third host carves an Allow exception
+# back out (longest-prefix + allow-wins-ties both witnessed), every fourth
+# host adds an exact-agent group blocking everything for 'gruftbot' —
+# so the agent-precedence query witnesses exact-match hosts AND
+# '*'-fallback hosts in one run
+ROBOTS_SQL = (
+    "SELECT 'www.h' || CAST(k AS STRING) || '.example' AS host, "
+    "'User-agent: *' || chr(10) || 'Disallow: /p1' || chr(10) "
+    "|| CASE WHEN k % 3 = 0 THEN 'Allow: /p1' || CAST(k AS STRING) || chr(10) "
+    "ELSE '' END "
+    "|| CASE WHEN k % 4 = 0 THEN 'User-agent: gruftbot' || chr(10) "
+    "|| 'Disallow: /' || chr(10) ELSE '' END AS robots_txt "
+    "FROM (SELECT DISTINCT user_id % 37 AS k FROM events) t"
+)
+
+ROBOTS_AGENT = "gruftbot"
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots.txt parsed to the flat per-host rule table
+    (operators/crawl.py robots_rules): RFC 9309 group semantics —
+    consecutive User-agent lines share a group, a User-agent after a rule
+    line starts a new one; comments stripped, empty-path rules dropped.
+    Family-mate of the in-window frontier_priority (crawl stack)."""
+    from pagerank_spark.operators.crawl import robots_rules
+
+    _views(spark, sf_dir, ("events",))
+    return robots_rules(spark.sql(ROBOTS_SQL))
+
+
+def q_frontier_allowed(spark, sf_dir):
+    """Crawl frontier filtered through robots rules for an exact agent
+    (operators/crawl.py robots_allowed): exact-agent group wins over '*'
+    where defined, longest prefix wins, Allow beats Disallow at equal
+    length, no rule / no robots = allowed."""
+    from pagerank_spark.operators.crawl import robots_allowed, robots_rules
+
+    _views(spark, sf_dir, ("events",))
+    rules = robots_rules(spark.sql(ROBOTS_SQL))
+    frontier = spark.sql(f"SELECT DISTINCT src AS url FROM ({HOSTG_SQL})")
+    return robots_allowed(frontier, rules, agent=ROBOTS_AGENT)
+
+
 def q_avg_neighbor_degree(spark, sf_dir):
     """Average-neighbor-degree curve knn(k) on the heavy-tailed H graph
     (operators/graphstats.py avg_neighbor_degree): the disaggregated view
@@ -2521,6 +2565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "betweenness": q_betweenness,
         "avg_neighbor_degree": q_avg_neighbor_degree,
+        "robots_rules": q_robots_rules,
+        "frontier_allowed": q_frontier_allowed,
     }
 
 
@@ -5103,6 +5149,88 @@ SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vertices,
        ROUND(CAST(SUM(CAST(ROUND(CAST(sdy AS DOUBLE) / CAST(k AS DOUBLE), 9)
                            AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS knn
 FROM apv GROUP BY k
+"""
+
+    # robots.txt parse (operators/crawl.py robots_rules): line explode,
+    # comment strip, directive regex, group boundary = user-agent after a
+    # non-user-agent line (lag + running sum), agents x rules per group
+    _rb_dir = r"^(?i)(user-agent|allow|disallow)\s*:\s*(.*?)\s*$"
+    _rb_cte = f"""
+rb AS ({ROBOTS_SQL}),
+rbl AS (
+  SELECT host, u.pos AS pos, trim(regexp_replace(u.ln, '#.*$', '')) AS ln
+  FROM (
+    SELECT host,
+           unnest(list_transform(generate_series(1, len(lst)),
+                  i -> {{'pos': i - 1, 'ln': lst[i]}})) AS u
+    FROM (SELECT host, string_split(robots_txt, chr(10)) AS lst FROM rb))
+),
+rbp AS (
+  SELECT host, pos,
+         lower(regexp_extract(ln, '{_rb_dir}', 1)) AS kind,
+         regexp_extract(ln, '{_rb_dir}', 2) AS value
+  FROM rbl WHERE regexp_extract(ln, '{_rb_dir}', 1) <> ''
+),
+rbg1 AS (
+  SELECT *, CASE WHEN kind = 'user-agent'
+                  AND COALESCE(LAG(kind) OVER (PARTITION BY host ORDER BY pos),
+                               '') <> 'user-agent'
+            THEN 1 ELSE 0 END AS nb
+  FROM rbp
+),
+rbg AS (
+  SELECT *, SUM(nb) OVER (PARTITION BY host ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS gid
+  FROM rbg1
+),
+rba AS (SELECT DISTINCT host, gid, lower(value) AS agent
+        FROM rbg WHERE kind = 'user-agent'),
+rbr AS (
+  SELECT host, gid, kind = 'allow' AS allow, value AS prefix,
+         CAST(length(value) AS BIGINT) AS rule_len
+  FROM rbg WHERE kind IN ('allow', 'disallow') AND value <> ''
+),
+rbrules AS (
+  SELECT host, agent, allow, prefix, rule_len
+  FROM rba JOIN rbr USING (host, gid)
+)"""
+    sqls["robots_rules"] = f"""
+WITH {_rb_cte}
+SELECT host, agent, allow, prefix, rule_len FROM rbrules
+"""
+
+    # frontier filter (operators/crawl.py robots_allowed): exact-agent
+    # group beats '*' where defined; longest prefix wins, Allow beats
+    # Disallow at equal length; no rule / no robots = allowed
+    sqls["frontier_allowed"] = f"""
+WITH {_rb_cte},
+fr0 AS (SELECT DISTINCT src AS url FROM ({HOSTG_SQL})),
+fr AS (
+  SELECT url, regexp_extract(url, '{HOST_RE}', 1) AS host,
+         COALESCE(NULLIF(regexp_extract(url, '{PATH_RE}', 1), ''), '/') AS path
+  FROM fr0
+),
+rcand AS (
+  SELECT *, CASE WHEN agent = '{ROBOTS_AGENT}' THEN 1 ELSE 0 END AS spec
+  FROM rbrules WHERE agent IN ('{ROBOTS_AGENT}', '*')
+),
+rhs AS (SELECT host, MAX(spec) AS _hs FROM rcand GROUP BY host),
+reff AS (SELECT c.* FROM rcand c JOIN rhs USING (host)
+         WHERE spec = 1 OR _hs = 0),
+rhits AS (
+  SELECT f.url, e.allow, e.prefix, e.rule_len
+  FROM fr f JOIN reff e USING (host)
+  WHERE starts_with(f.path, e.prefix)
+),
+rwin AS (
+  SELECT url, allow, prefix,
+         ROW_NUMBER() OVER (PARTITION BY url
+                            ORDER BY rule_len DESC, allow DESC, prefix) AS rn
+  FROM rhits
+)
+SELECT f.url, f.host, COALESCE(w.allow, TRUE) AS allowed,
+       w.prefix AS matched_prefix
+FROM fr f LEFT JOIN (SELECT * FROM rwin WHERE rn = 1) w USING (url)
 """
 
     return sqls

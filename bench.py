@@ -673,6 +673,22 @@ def run_suite(spark, sf_dir: str) -> dict:
     avg_neighbor_degree(spark.sql(hg_sql)).count()
     timings["avg_neighbor_degree"] = time.monotonic() - t0
 
+    # robots.txt parse + frontier filter over the page-graph hosts
+    from pagerank_spark.operators.crawl import robots_allowed, robots_rules
+
+    robots_sql = (
+        "SELECT 'www.h' || CAST(k AS STRING) || '.example' AS host, "
+        "'User-agent: *' || chr(10) || 'Disallow: /p1' || chr(10) "
+        "|| CASE WHEN k % 3 = 0 THEN 'Allow: /p1' || CAST(k AS STRING) "
+        "|| chr(10) ELSE '' END AS robots_txt "
+        "FROM (SELECT DISTINCT user_id % 499 AS k FROM events) t"
+    )
+    t0 = time.monotonic()
+    rb_rules = robots_rules(spark.sql(robots_sql))
+    frontier_df = spark.sql(f"SELECT DISTINCT src AS url FROM ({hg_sql})")
+    robots_allowed(frontier_df, rb_rules).count()
+    timings["robots_filter"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

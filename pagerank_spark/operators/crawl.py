@@ -87,3 +87,144 @@ def frontier_schedule(
         .where(F.col("host_pos") <= per_host)
         .select("host", "url", "priority", "host_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt: parse per-host rule groups, filter the frontier through them
+# ---------------------------------------------------------------------------
+
+_DIRECTIVE_RE = r"^(?i)(user-agent|allow|disallow)\s*:\s*(.*?)\s*$"
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse one robots.txt body per host into the flat rule table
+    (host, agent, allow, prefix, rule_len) — one row per
+    (user-agent, Allow/Disallow path) pair, RFC 9309's group semantics:
+    consecutive ``User-agent:`` lines share the group that the following
+    Allow/Disallow lines populate; a ``User-agent:`` after a rule line
+    starts a NEW group. Implemented subset (documented, deliberately the
+    prefix-match core): comments (#…) stripped, directive names
+    case-insensitive, agent names lowercased, empty-path rules dropped
+    (RFC: "Disallow:" with no path disallows nothing); the * and $
+    path wildcards are NOT interpreted — prefixes match literally
+    (:func:`robots_allowed` is a pure prefix matcher).
+
+    Scale shape: one split+posexplode per host doc, the group boundary a
+    single lag/running-sum Window partitioned by host (robots bodies are
+    KB-sized — the window is per-host-file, never corpus-wide), then one
+    (host, group) equi-join expanding each group's agents × its rules.
+    Input contract: at most one robots body per host.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace(F.col("ln"), r"#.*$", "")).alias("ln"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract(F.col("ln"), _DIRECTIVE_RE, 1)).alias("kind"),
+        F.regexp_extract(F.col("ln"), _DIRECTIVE_RE, 2).alias("value"),
+    ).where(F.col("kind") != "")
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.select(
+        "host",
+        "pos",
+        "kind",
+        "value",
+        F.sum(
+            F.when(
+                (F.col("kind") == "user-agent")
+                & (
+                    F.coalesce(F.lag("kind").over(w), F.lit(""))
+                    != "user-agent"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("gid"),
+    )
+    agents = (
+        grouped.where(F.col("kind") == "user-agent")
+        .select("host", "gid", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.where(
+        F.col("kind").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host",
+        "gid",
+        (F.col("kind") == "allow").alias("allow"),
+        F.col("value").alias("prefix"),
+        F.length("value").cast("long").alias("rule_len"),
+    )
+    return agents.join(rules, ["host", "gid"]).select(
+        "host", "agent", "allow", "prefix", "rule_len"
+    )
+
+
+def robots_allowed(
+    frontier: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, host, allowed, matched_prefix) — the crawl-frontier filter:
+    each url checked against its host's robots rules for ``agent``.
+    RFC 9309 resolution, prefix subset: the group is the exact
+    (lowercased) agent match when the host defines one, else the ``*``
+    group; among matching rules the LONGEST prefix wins and Allow beats
+    Disallow at equal length; no matching rule — or no robots at all for
+    the host — means allowed (matched_prefix NULL).
+
+    Scale shape: host/path extraction is pure Column regex; the rule join
+    is a host-keyed equi-join against a host-bounded rule table (broadcast
+    when small); the winner cut is a url-partitioned row_number that
+    lowers to WindowGroupLimit — rank truncation happens map-side, no
+    global sort. Determinism: ties beyond (length, allow) break on prefix
+    ascending.
+    """
+    from pagerank_spark.functions.urls import PATH_RE
+    from pagerank_spark.functions.urls import host_col as _host
+
+    fr = frontier.select(
+        F.col(url_col).alias("url"),
+        _host(F.col(url_col)).alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col(url_col), PATH_RE, 1), F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    req = str(agent).lower()
+    cand = rules.where(
+        (F.col("agent") == req) | (F.col("agent") == "*")
+    ).withColumn("spec", (F.col("agent") == req).cast("int"))
+    has_spec = cand.groupBy("host").agg(F.max("spec").alias("_hs"))
+    eff = cand.join(has_spec, "host").where(
+        (F.col("spec") == 1) | (F.col("_hs") == 0)
+    )
+    hits = fr.join(eff, "host").where(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    uw = Window.partitionBy("url").orderBy(
+        F.desc("rule_len"), F.desc("allow"), F.col("prefix")
+    )
+    winner = (
+        hits.select("url", "allow", "prefix", F.row_number().over(uw).alias("_rn"))
+        .where(F.col("_rn") == 1)
+        .select("url", "allow", F.col("prefix").alias("matched_prefix"))
+    )
+    return fr.join(winner, "url", "left").select(
+        "url",
+        "host",
+        F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        "matched_prefix",
+    )

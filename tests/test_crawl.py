@@ -75,3 +75,72 @@ def test_frontier_schedule_positions(graph):
         [(r["host_pos"], r["url"]) for r in rows if r["host"] == "y.test"]
     )
     assert y == [(1, "y.test/1"), (2, "y.test/2")]
+
+
+def test_robots_rules_groups_comments_and_empty_paths(spark):
+    from pagerank_spark.operators.crawl import robots_rules
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"
+             "User-Agent: GruftBot\nUser-agent: otherbot\nDisallow: /\n"
+             "# comment\nDisallow:\n"),
+            ("b.com", "user-agent: *\ndisallow: /x # inline comment\n"),
+        ],
+        ["host", "robots_txt"],
+    )
+    got = {(r["host"], r["agent"], r["prefix"]): (r["allow"], r["rule_len"])
+           for r in robots_rules(robots).collect()}
+    assert got == {
+        # group 1: '*' with one Disallow + one Allow
+        ("a.com", "*", "/private"): (False, 8),
+        ("a.com", "*", "/private/ok"): (True, 11),
+        # group 2: two consecutive User-agent lines SHARE the Disallow;
+        # agent names lowercased; the empty-path Disallow is dropped
+        ("a.com", "gruftbot", "/"): (False, 1),
+        ("a.com", "otherbot", "/"): (False, 1),
+        # inline comment stripped before the value is read
+        ("b.com", "*", "/x"): (False, 2),
+    }
+
+
+def test_robots_allowed_precedence_and_fallback(spark):
+    from pagerank_spark.operators.crawl import robots_allowed, robots_rules
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"
+             "User-agent: gruftbot\nDisallow: /\n"),
+            ("b.com", "user-agent: *\ndisallow: /x\n"),
+        ],
+        ["host", "robots_txt"],
+    )
+    rules = robots_rules(robots)
+    frontier = spark.createDataFrame(
+        [("http://a.com/private/ok/page",), ("http://a.com/private/no",),
+         ("http://a.com/pub",), ("http://b.com/x/y",),
+         ("http://c.com/anything",), ("http://a.com",)],
+        ["url"],
+    )
+    star = {r["url"]: (r["allowed"], r["matched_prefix"])
+            for r in robots_allowed(frontier, rules, agent="*").collect()}
+    # longest prefix wins; allow beats the shorter disallow
+    assert star["http://a.com/private/ok/page"] == (True, "/private/ok")
+    assert star["http://a.com/private/no"] == (False, "/private")
+    # no matching rule → allowed with NULL prefix; no robots host too
+    assert star["http://a.com/pub"] == (True, None)
+    assert star["http://c.com/anything"] == (True, None)
+    assert star["http://b.com/x/y"] == (False, "/x")
+    # empty path normalizes to '/' and matches nothing in the '*' group
+    assert star["http://a.com"] == (True, None)
+
+    bot = {r["url"]: (r["allowed"], r["matched_prefix"])
+           for r in robots_allowed(frontier, rules, agent="GruftBot").collect()}
+    # exact-agent group REPLACES '*' on a.com (blanket block), b.com
+    # falls back to its '*' group
+    assert bot["http://a.com/private/ok/page"] == (False, "/")
+    assert bot["http://a.com"] == (False, "/")
+    assert bot["http://b.com/x/y"] == (False, "/x")
+    assert bot["http://c.com/anything"] == (True, None)
