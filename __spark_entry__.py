@@ -2406,6 +2406,34 @@ def q_tfidf_cosine(spark, sf_dir):
     )
 
 
+SEEDED_LP_ITERS = 3
+
+
+def q_seeded_labels(spark, sf_dir):
+    """Semi-supervised hard-clamped label spread over the branching B graph
+    (operators/labelprop.py seeded_label_propagation): seeds '%0'→'A',
+    '%1'→'B', three synchronous rounds — unlabeled neighbors contribute no
+    votes, seeds are clamped, ties go to the smallest label, vertices no
+    labeled neighbor ever reaches stay out of the output. Family-mate of
+    the in-window label_propagation3 (same message/argmax round shape)."""
+    from pagerank_spark.operators.labelprop import seeded_label_propagation
+
+    _views(spark, sf_dir, ("events",))
+    e = spark.sql(B_SQL)
+    verts = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    seeds = verts.select(
+        "url",
+        F.when(F.col("url").endswith("0"), F.lit("A"))
+        .when(F.col("url").endswith("1"), F.lit("B"))
+        .alias("label"),
+    ).where(F.col("label").isNotNull())
+    return seeded_label_propagation(e, seeds, iterations=SEEDED_LP_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2567,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "robots_rules": q_robots_rules,
         "frontier_allowed": q_frontier_allowed,
+        "seeded_labels": q_seeded_labels,
     }
 
 
@@ -5232,5 +5261,43 @@ SELECT f.url, f.host, COALESCE(w.allow, TRUE) AS allowed,
        w.prefix AS matched_prefix
 FROM fr f LEFT JOIN (SELECT * FROM rwin WHERE rn = 1) w USING (url)
 """
+
+    # seeded label propagation (operators/labelprop.py
+    # seeded_label_propagation): the lp3 round unrolled with a NULL-vote
+    # filter and the seed clamp coalesced first
+    _slp_round = """
+sr{i} AS (
+  SELECT sund.u AS url, sl{p}.label, COUNT(*) AS c
+  FROM sund JOIN sl{p} ON sl{p}.url = sund.v
+  WHERE sl{p}.label IS NOT NULL GROUP BY sund.u, sl{p}.label
+),
+sb{i} AS (
+  SELECT url, label FROM (
+    SELECT url, label, ROW_NUMBER() OVER (PARTITION BY url ORDER BY c DESC, label ASC) AS rn
+    FROM sr{i}) t WHERE rn = 1
+),
+sl{i} AS (
+  SELECT sl{p}.url, sl{p}.seed, COALESCE(sl{p}.seed, sb{i}.label, sl{p}.label) AS label
+  FROM sl{p} LEFT JOIN sb{i} ON sb{i}.url = sl{p}.url
+)"""
+    _slp_body = (
+        f"""sg AS ({B_SQL}),
+sund AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM sg UNION ALL SELECT dst AS u, src AS v FROM sg)
+  WHERE u <> v
+),
+sverts AS (SELECT DISTINCT url FROM (SELECT src AS url FROM sg UNION ALL SELECT dst FROM sg)),
+sl0 AS (
+  SELECT url,
+         CASE WHEN url LIKE '%0' THEN 'A' WHEN url LIKE '%1' THEN 'B' END AS seed,
+         CASE WHEN url LIKE '%0' THEN 'A' WHEN url LIKE '%1' THEN 'B' END AS label
+  FROM sverts),"""
+        + ",".join(_slp_round.format(i=i, p=i - 1) for i in range(1, SEEDED_LP_ITERS + 1))
+    )
+    sqls["seeded_labels"] = (
+        "\nWITH " + _slp_body
+        + f"\nSELECT url, label FROM sl{SEEDED_LP_ITERS} WHERE label IS NOT NULL\n"
+    )
 
     return sqls

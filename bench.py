@@ -689,6 +689,19 @@ def run_suite(spark, sf_dir: str) -> dict:
     robots_allowed(frontier_df, rb_rules).count()
     timings["robots_filter"] = time.monotonic() - t0
 
+    # seeded (hard-clamped) label spread, 3 rounds, two seed classes
+    from pagerank_spark.operators.labelprop import seeded_label_propagation
+
+    t0 = time.monotonic()
+    slp_seeds = graph.vertices.select(
+        "url",
+        F.when(F.col("url").endswith("0"), F.lit("A"))
+        .when(F.col("url").endswith("1"), F.lit("B"))
+        .alias("label"),
+    ).where(F.col("label").isNotNull())
+    seeded_label_propagation(graph.edges, slp_seeds, iterations=3).count()
+    timings["seeded_labels3"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 
