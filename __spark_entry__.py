@@ -28,6 +28,7 @@ from pagerank_spark.operators.similarity import (
     PAIR_LSH_PLANES,
     PAIR_LSH_TABLES,
 )
+from pagerank_spark.operators.textsearch import RRF_K
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -2406,6 +2407,50 @@ def q_tfidf_cosine(spark, sf_dir):
     )
 
 
+RRF_LIST_K = 25
+RRF_TOP = 30
+
+
+def q_rank_fusion(spark, sf_dir):
+    """Reciprocal rank fusion of three retrievers — BM25 text relevance,
+    the converged-PageRank link prior, and the Flesch readability quality
+    list (operators/textsearch.py reciprocal_rank_fusion): the
+    calibration-free sibling of the in-window ranked_retrieval's weighted
+    blend. Each list is cut to its own deterministic top-25 (rounded
+    scores, doc_id tie-break) before fusing."""
+    from pagerank_spark.operators.textops import readability
+    from pagerank_spark.operators.textsearch import (
+        bm25_topk,
+        reciprocal_rank_fusion,
+    )
+
+    _views(spark, sf_dir, ("documents", "events"))
+    docs = spark.table("documents")
+    bm25 = bm25_topk(docs, BM25_TERMS, k=BM25_K)
+    pr = q_pagerank_converged(spark, sf_dir)
+    pr_list = (
+        docs.select(
+            "doc_id",
+            F.concat(F.lit("n"), (F.col("doc_id") % 997).cast("string")).alias("url"),
+        )
+        .join(pr, "url")
+        .select("doc_id", F.round("rank", 9).alias("prior"))
+        .orderBy(F.desc("prior"), F.col("doc_id"))
+        .limit(RRF_LIST_K)
+    )
+    read_list = (
+        readability(docs)
+        .where(F.col("flesch").isNotNull())
+        .select("doc_id", "flesch")
+        .orderBy(F.desc("flesch"), F.col("doc_id"))
+        .limit(RRF_LIST_K)
+    )
+    return reciprocal_rank_fusion(
+        [(bm25, "score"), (pr_list, "prior"), (read_list, "flesch")],
+        top_k=RRF_TOP,
+    )
+
+
 SEEDED_LP_ITERS = 3
 
 
@@ -2596,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "frontier_allowed": q_frontier_allowed,
         "seeded_labels": q_seeded_labels,
+        "rank_fusion": q_rank_fusion,
     }
 
 
@@ -5299,5 +5345,41 @@ sl0 AS (
         "\nWITH " + _slp_body
         + f"\nSELECT url, label FROM sl{SEEDED_LP_ITERS} WHERE label IS NOT NULL\n"
     )
+
+    # reciprocal rank fusion (operators/textsearch.py
+    # reciprocal_rank_fusion): per-list 1-based ranks by rounded score
+    # DESC then doc_id, 1/(60+r) contributions 9dp-quantized and
+    # DECIMAL-summed
+    sqls["rank_fusion"] = f"""
+WITH rfa AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM ({sqls["bm25_topk"]})
+),
+rfb AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY prior DESC, doc_id) AS r
+  FROM (
+    SELECT doc_id, ROUND(p.rank, 9) AS prior
+    FROM documents
+    JOIN ({PR_CONV_SQL}) p ON p.url = 'n' || CAST(doc_id % 997 AS VARCHAR)
+    ORDER BY prior DESC, doc_id LIMIT {RRF_LIST_K})
+),
+rfc AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY flesch DESC, doc_id) AS r
+  FROM (
+    SELECT doc_id, flesch FROM ({sqls["readability"]})
+    WHERE flesch IS NOT NULL
+    ORDER BY flesch DESC, doc_id LIMIT {RRF_LIST_K})
+),
+rfu AS (
+  SELECT * FROM rfa UNION ALL SELECT * FROM rfb UNION ALL SELECT * FROM rfc
+),
+rff AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+         SUM(CAST(ROUND(1.0 / ({RRF_K} + r), 9) AS DECIMAL(28,9))) AS s
+  FROM rfu GROUP BY doc_id
+)
+SELECT doc_id, n_lists, ROUND(CAST(s AS DOUBLE), 6) AS rrf
+FROM rff ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+"""
 
     return sqls

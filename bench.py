@@ -702,6 +702,35 @@ def run_suite(spark, sf_dir: str) -> dict:
     seeded_label_propagation(graph.edges, slp_seeds, iterations=3).count()
     timings["seeded_labels3"] = time.monotonic() - t0
 
+    # reciprocal rank fusion of BM25 + rank prior + readability lists
+    from pagerank_spark.operators.textops import readability as _readability
+    from pagerank_spark.operators.textsearch import (
+        bm25_topk as _bm25,
+        reciprocal_rank_fusion,
+    )
+
+    t0 = time.monotonic()
+    fuse_bm25 = _bm25(docs, ["query", "spark", "window"], k=25)
+    fuse_prior = (
+        docs.select(
+            "doc_id", F.round((F.col("doc_id") % 97) / 97.0, 9).alias("prior")
+        )
+        .orderBy(F.desc("prior"), F.col("doc_id"))
+        .limit(25)
+    )
+    fuse_read = (
+        _readability(docs)
+        .where(F.col("flesch").isNotNull())
+        .select("doc_id", "flesch")
+        .orderBy(F.desc("flesch"), F.col("doc_id"))
+        .limit(25)
+    )
+    reciprocal_rank_fusion(
+        [(fuse_bm25, "score"), (fuse_prior, "prior"), (fuse_read, "flesch")],
+        top_k=30,
+    ).count()
+    timings["rank_fusion"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

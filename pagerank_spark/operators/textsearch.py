@@ -215,6 +215,66 @@ def ranked_retrieval(
     )
 
 
+RRF_K = 60  # Cormack, Clarke & Büttcher 2009's constant
+
+
+def reciprocal_rank_fusion(
+    ranked_lists: list[tuple[DataFrame, str]],
+    k: int = RRF_K,
+    top_k: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Büttcher 2009): combine
+    several retrievers' CANDIDATE LISTS without score calibration —
+    rrf(d) = Σ_lists 1/(k + rank_of_d_in_list). The standard way a search
+    stack merges BM25, link-authority, and quality/semantic retrievers
+    whose raw scores live on incomparable scales (ranked_retrieval's
+    multiplicative blend needs a tuned weight; RRF needs none).
+
+    ``ranked_lists`` is [(df, score_col), ...]; within each list rank is
+    1-based by score DESC then id ASC. Returns (id_col, n_lists, rrf)
+    ordered rrf DESC then id, cut to ``top_k`` when given.
+
+    Scale contract: inputs are retriever OUTPUT lists — already cut to
+    their own top-k upstream (bm25_topk, search, ann_topk are all k-sized)
+    — so the per-list global row_number window runs over k rows, not the
+    corpus; never feed a corpus-sized table. The fusion agg is one
+    id-keyed partial agg over Σ list sizes rows. For deterministic
+    cross-engine ranks, pre-round each score column (the callers' 6/9 dp
+    convention); each 1/(k+r) contribution is 9dp-quantized and
+    DECIMAL-summed so the fold order never shows.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for df, score_col in ranked_lists:
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        parts.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias("_r"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    contrib = F.round(F.lit(1.0) / (F.lit(float(k)) + F.col("_r")), 9).cast(
+        "decimal(28,9)"
+    )
+    fused = (
+        u.select(id_col, contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum("_c").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_lists",
+            F.round(F.col("_s").cast("double"), 6).alias("rrf"),
+        )
+    )
+    out = fused.orderBy(F.desc("rrf"), F.col(id_col))
+    return out.limit(top_k) if top_k else out
+
+
 def term_cooccurrence_pmi(
     docs: DataFrame,
     min_pair_count: int = 2,

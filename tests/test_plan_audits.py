@@ -772,3 +772,25 @@ def test_tfidf_cosine_hash_joins_only_no_python(spark, docs_path):
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_rank_fusion_take_ordered_partial_agg(spark):
+    # the fused top-k must be TakeOrderedAndProject (no global sort of the
+    # union) and the per-doc sum a partial-aggregated hash exchange; the
+    # per-list windows run over k-sized retriever outputs by contract
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.textsearch import reciprocal_rank_fusion
+
+    l1 = spark.range(100).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        (F.col("id") % 37).cast("double").alias("s"),
+    ).limit(25)
+    l2 = spark.range(100).select(
+        F.concat(F.lit("d"), (F.col("id") * 3 % 100).cast("string")).alias("doc_id"),
+        (F.col("id") % 41).cast("double").alias("s"),
+    ).limit(25)
+    plan = _physical(reciprocal_rank_fusion([(l1, "s"), (l2, "s")], top_k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan and "CartesianProduct" not in plan, plan

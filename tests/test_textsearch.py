@@ -161,3 +161,31 @@ def test_tfidf_cosine_pairs_df_cap_prunes_candidates(spark):
     )
     # every shared term has df=2 > cap=1: candidate generation goes dry
     assert tfidf_cosine_pairs(docs, threshold=0.1, max_term_df=1).count() == 0
+
+
+def test_reciprocal_rank_fusion_hand(spark):
+    from pagerank_spark.operators.textsearch import reciprocal_rank_fusion
+
+    l1 = spark.createDataFrame(
+        [("a", 3.0), ("b", 2.0), ("c", 1.0)], ["doc_id", "s"]
+    )
+    l2 = spark.createDataFrame([("b", 9.0), ("a", 8.0)], ["doc_id", "s"])
+    rows = reciprocal_rank_fusion([(l1, "s"), (l2, "s")]).collect()
+    got = {r["doc_id"]: (r["n_lists"], r["rrf"]) for r in rows}
+    # a: 1/61 + 1/62, b: 1/62 + 1/61 (identical), c: 1/63
+    assert got["a"] == (2, pytest.approx(0.032522, abs=1e-6))
+    assert got["b"] == got["a"]
+    assert got["c"] == (1, pytest.approx(0.015873, abs=1e-6))
+    # the a/b rrf tie breaks by doc_id ascending
+    assert [r["doc_id"] for r in rows] == ["a", "b", "c"]
+
+
+def test_reciprocal_rank_fusion_in_list_tie_and_topk(spark):
+    from pagerank_spark.operators.textsearch import reciprocal_rank_fusion
+
+    # equal scores within a list: rank by doc_id ascending — x gets rank 1
+    l1 = spark.createDataFrame([("y", 5.0), ("x", 5.0)], ["doc_id", "s"])
+    rows = reciprocal_rank_fusion([(l1, "s")], top_k=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == "x"
+    assert rows[0]["rrf"] == pytest.approx(1 / 61, abs=1e-6)
