@@ -2410,6 +2410,41 @@ def q_tfidf_cosine(spark, sf_dir):
 RRF_LIST_K = 25
 RRF_TOP = 30
 
+# repeated-crawl observation log: every event is one fetch of page
+# p(event_id % 211) at its event ts; the content fingerprint flips with
+# user_id so consecutive fetches change pseudo-randomly per page
+CRAWL_OBS_SQL = (
+    "SELECT 'p' || CAST(event_id % 211 AS STRING) AS url, ts, "
+    "user_id % 5 AS fingerprint FROM events"
+)
+RECRAWL_BUDGET = 50
+
+
+def q_change_rate(spark, sf_dir):
+    """Per-page Poisson change-rate estimate from the repeated-crawl log
+    (operators/crawl.py change_rate — Cho & Garcia-Molina 2003 bias-reduced
+    MLE over consecutive-fetch fingerprint flips): one url-keyed exchange,
+    window change flags + rollup sharing the partitioning, exact BIGINT
+    counts/spans, fixed double lambda tree. Family-mate of the in-window
+    frontier_priority/session_stats (crawl + window-rollup stacks)."""
+    from pagerank_spark.operators.crawl import change_rate
+
+    _views(spark, sf_dir, ("events",))
+    return change_rate(spark.sql(CRAWL_OBS_SQL))
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Re-crawl budget allocation (operators/crawl.py recrawl_schedule):
+    the top-50 fastest-changing pages with 1/lambda revisit intervals
+    clamped to the politeness floor / staleness ceiling —
+    TakeOrderedAndProject over the change_rate output."""
+    from pagerank_spark.operators.crawl import change_rate, recrawl_schedule
+
+    _views(spark, sf_dir, ("events",))
+    return recrawl_schedule(
+        change_rate(spark.sql(CRAWL_OBS_SQL)), budget=RECRAWL_BUDGET
+    )
+
 
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal rank fusion of three retrievers — BM25 text relevance,
@@ -2642,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_allowed": q_frontier_allowed,
         "seeded_labels": q_seeded_labels,
         "rank_fusion": q_rank_fusion,
+        "change_rate": q_change_rate,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -5380,6 +5417,48 @@ rff AS (
 )
 SELECT doc_id, n_lists, ROUND(CAST(s AS DOUBLE), 6) AS rrf
 FROM rff ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+    # page change-rate (operators/crawl.py change_rate): lag over
+    # (url; t, fingerprint) for the consecutive-fetch change flags, exact
+    # BIGINT counts/spans, the Cho & Garcia-Molina bias-reduced lambda as
+    # the SAME double expression tree Spark evaluates
+    _cr_cte = f"""
+cro AS ({CRAWL_OBS_SQL}),
+crf AS (
+  SELECT url, epoch_us(CAST(ts AS TIMESTAMP)) AS t, fingerprint,
+         LAG(fingerprint) OVER (
+           PARTITION BY url
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), fingerprint) AS prev
+  FROM cro
+),
+cra AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND fingerprint <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
+  FROM crf GROUP BY url
+),
+crr AS (
+  SELECT url, n_obs, n_changes, span_us,
+         ROUND(-ln((CAST(n_obs - 1 AS DOUBLE) - CAST(n_changes AS DOUBLE) + 0.5)
+                   / (CAST(n_obs - 1 AS DOUBLE) + 0.5))
+               / (CAST(span_us AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE)
+                  / 86400000000.0), 6) AS lambda_per_day
+  FROM cra WHERE n_obs >= 2 AND span_us > 0
+)"""
+    sqls["change_rate"] = f"""
+WITH {_cr_cte}
+SELECT url, n_obs, n_changes, span_us, lambda_per_day FROM crr
+"""
+
+    sqls["recrawl_schedule"] = f"""
+WITH {_cr_cte}
+SELECT url, lambda_per_day,
+       ROUND(CASE WHEN lambda_per_day <= 0 THEN 365.0
+                  ELSE least(365.0, greatest(0.05, 1.0 / lambda_per_day))
+             END, 6) AS revisit_days
+FROM crr ORDER BY lambda_per_day DESC, url LIMIT {RECRAWL_BUDGET}
 """
 
     return sqls

@@ -731,6 +731,17 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["rank_fusion"] = time.monotonic() - t0
 
+    # change-rate estimation + re-crawl schedule over the event crawl log
+    from pagerank_spark.operators.crawl import change_rate, recrawl_schedule
+
+    t0 = time.monotonic()
+    obs = spark.sql(
+        "SELECT 'p' || CAST(event_id % 499 AS STRING) AS url, ts, "
+        "user_id % 5 AS fingerprint FROM events"
+    )
+    recrawl_schedule(change_rate(obs), budget=50).count()
+    timings["recrawl_schedule"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -144,3 +144,57 @@ def test_robots_allowed_precedence_and_fallback(spark):
     assert bot["http://a.com"] == (False, "/")
     assert bot["http://b.com/x/y"] == (False, "/x")
     assert bot["http://c.com/anything"] == (True, None)
+
+
+def test_change_rate_hand(spark):
+    import datetime as dt
+    import math
+
+    from pagerank_spark.operators.crawl import change_rate
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def day(k):
+        return d0 + dt.timedelta(days=k)
+
+    obs = (
+        # a: 5 daily fetches, fp 1,1,2,2,3 -> X=2 of n=4 intervals
+        [("a", day(k), fp) for k, fp in enumerate([1, 1, 2, 2, 3])]
+        # b: 3 fetches, never changes -> lambda 0
+        + [("b", day(k), 7) for k in range(3)]
+        # c: 2 fetches 2 days apart, changed -> X=1, n=1
+        + [("c", day(0), 1), ("c", day(2), 2)]
+        # d: single observation -> excluded
+        + [("d", day(0), 1)]
+    )
+    df = spark.createDataFrame(obs, ["url", "ts", "fingerprint"])
+    got = {r["url"]: r for r in change_rate(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    a = got["a"]
+    assert (a["n_obs"], a["n_changes"], a["span_us"]) == (5, 2, 4 * 86_400_000_000)
+    # -ln((4-2+.5)/(4+.5)) / 1 day
+    assert a["lambda_per_day"] == pytest.approx(math.log(4.5 / 2.5), abs=1e-6)
+    assert got["b"]["lambda_per_day"] == 0.0
+    # c: -ln(0.5/1.5) per 2-day interval
+    assert got["c"]["lambda_per_day"] == pytest.approx(math.log(3.0) / 2, abs=1e-6)
+
+
+def test_recrawl_schedule_budget_and_clamps(spark):
+    import math
+
+    from pagerank_spark.operators.crawl import recrawl_schedule
+
+    rates = spark.createDataFrame(
+        [("hot", 40.0), ("warm", 0.5), ("cold", 0.0), ("tie", 0.5)],
+        ["url", "lambda_per_day"],
+    )
+    rows = recrawl_schedule(rates, budget=3, min_interval_days=0.05).collect()
+    # top-3 by rate, rate ties broken by url ascending
+    assert [r["url"] for r in rows] == ["hot", "tie", "warm"]
+    by = {r["url"]: r["revisit_days"] for r in rows}
+    # 1/40 = 0.025 clamps up to the politeness floor
+    assert by["hot"] == pytest.approx(0.05)
+    assert by["warm"] == pytest.approx(2.0)
+    # never-changing pages clamp to the max when they make the budget
+    rows2 = recrawl_schedule(rates, budget=4).collect()
+    assert {r["url"]: r["revisit_days"] for r in rows2}["cold"] == pytest.approx(365.0)

@@ -794,3 +794,24 @@ def test_rank_fusion_take_ordered_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial" in plan.lower(), plan
     assert "Python" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_change_rate_single_exchange_shared_partitioning(spark):
+    # the lag window and the per-page rollup must share ONE url-keyed
+    # exchange (the sessionization contract); no Python, no range sort of
+    # the observation log
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.crawl import change_rate
+
+    obs = spark.range(1000).select(
+        F.concat(F.lit("p"), (F.col("id") % 50).cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+        (F.col("id") % 7).alias("fingerprint"),
+    )
+    plan = _physical(change_rate(obs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+    # the window sort is within-partition; a global range exchange of the
+    # observation log would be a regression
+    assert "Exchange rangepartitioning" not in plan, plan
