@@ -2410,6 +2410,37 @@ def q_tfidf_cosine(spark, sf_dir):
 RRF_LIST_K = 25
 RRF_TOP = 30
 
+# generative page formula for the tag-structure features: every count and
+# the visible-text volume are analytically known per doc_id, so the oracle
+# recomputes them in closed form and any parser deviation hash-mismatches
+TAGPAGE_SQL = (
+    "SELECT doc_id, "
+    "'www.s' || CAST(doc_id % 50 AS STRING) || '.test/p' || CAST(doc_id AS STRING) AS url, "
+    "'<script>var skip = \"no\";</script><p>para text ' || CAST(doc_id AS STRING) || '</p>' "
+    "|| repeat('<img src=\"i.png\">', CAST(doc_id % 3 + 1 AS INT)) "
+    "|| repeat('<li>item</li>', CAST(doc_id % 4 AS INT)) "
+    "|| '<a href=\"/x\">anchor ' || CAST(doc_id AS STRING) || '</a> tail text' AS page "
+    "FROM documents"
+)
+
+
+def q_html_tag_stats(spark, sf_dir):
+    """HTML structure features (functions/extract.py html_tag_stats_df):
+    per-page start-tag histogram (anchors/scripts/images/paragraphs/list
+    items), visible-text volume and text-to-markup ratio — the structural
+    quality signals template/boilerplate classifiers cut on. Pages are
+    synthesized by TAGPAGE_SQL so every output is generatively known:
+    script CDATA contributes no tags or text, repeat()-counts vary per doc,
+    and the stripped-chunk text accounting is pinned in closed form.
+    Family-mate of the in-window extract_edges (same Arrow crossing)."""
+    from pagerank_spark.functions.extract import html_tag_stats_df
+
+    _views(spark, sf_dir, ("documents",))
+    pages = spark.sql(TAGPAGE_SQL).select(
+        "url", F.encode(F.col("page"), "UTF-8").alias("html")
+    )
+    return html_tag_stats_df(pages)
+
 # repeated-crawl observation log: every event is one fetch of page
 # p(event_id % 211) at its event ts; the content fingerprint flips with
 # user_id so consecutive fetches change pseudo-randomly per page
@@ -2679,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_fusion": q_rank_fusion,
         "change_rate": q_change_rate,
         "recrawl_schedule": q_recrawl_schedule,
+        "html_tag_stats": q_html_tag_stats,
     }
 
 
@@ -5459,6 +5491,34 @@ SELECT url, lambda_per_day,
                   ELSE least(365.0, greatest(0.05, 1.0 / lambda_per_day))
              END, 6) AS revisit_days
 FROM crr ORDER BY lambda_per_day DESC, url LIMIT {RECRAWL_BUDGET}
+"""
+
+    # HTML tag-structure features (functions/extract.py html_tag_stats_df):
+    # closed-form recomputation of the generative TAGPAGE_SQL formula —
+    # tags = script + p + a + n_img + n_li starts; visible text =
+    # 'para text N' + n_li * 'item' + 'anchor N' + 'tail text' chunks
+    # (26 + 2 * digits(doc_id) + 4 * n_li stripped chars)
+    sqls["html_tag_stats"] = f"""
+WITH tp AS ({TAGPAGE_SQL}),
+tc AS (
+  SELECT url, page,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS n_img,
+         CAST(doc_id % 4 AS BIGINT) AS n_li,
+         CAST(length(CAST(doc_id AS STRING)) AS BIGINT) AS digits
+  FROM tp
+)
+SELECT url,
+       3 + n_img + n_li AS n_tags,
+       CAST(1 AS BIGINT) AS n_anchors,
+       CAST(1 AS BIGINT) AS n_scripts,
+       n_img AS n_images,
+       CAST(1 AS BIGINT) AS n_paragraphs,
+       n_li AS n_list_items,
+       26 + 2 * digits + 4 * n_li AS text_chars,
+       CAST(length(page) AS BIGINT) AS html_chars,
+       ROUND(CAST(26 + 2 * digits + 4 * n_li AS DOUBLE)
+             / CAST(length(page) AS DOUBLE), 6) AS text_ratio
+FROM tc
 """
 
     return sqls

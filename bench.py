@@ -742,6 +742,24 @@ def run_suite(spark, sf_dir: str) -> dict:
     recrawl_schedule(change_rate(obs), budget=50).count()
     timings["recrawl_schedule"] = time.monotonic() - t0
 
+    # HTML tag-structure features over synthesized pages (one Arrow pass)
+    from pagerank_spark.functions.extract import html_tag_stats_df
+
+    t0 = time.monotonic()
+    tag_pages = docs.select(
+        F.concat(F.lit("www.s"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<script>var x;</script><p>"),
+                F.col("text"),
+                F.lit('</p><a href="/x">go</a>'),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    html_tag_stats_df(tag_pages).count()
+    timings["html_tag_stats"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -319,3 +319,98 @@ def extract_anchors_df(pages: DataFrame) -> DataFrame:
         F.col("url").alias("src"),
         F.explode(extract_anchors_udf(F.col("html"), F.col("url"))).alias("a"),
     ).select("src", F.col("a.dst").alias("dst"), F.col("a.anchor").alias("anchor"))
+
+
+# -- HTML structure features --------------------------------------------------
+
+class _TagStats(HTMLParser):
+    """Structural counters over a page: start-tag histogram for the
+    boilerplate-signal tags plus visible-text volume. Independent of the
+    frozen _TextAndLinks extractor (its chunk/href outputs are a
+    byte-identity contract with the reference; counting rides its OWN
+    parser so the frozen surface cannot drift). Same CDATA semantics:
+    script/style interiors emit no tag or data events toward the counts.
+
+    ``text_chars`` sums per-chunk STRIPPED lengths — the same chunks the
+    text extractor keeps, so text_chars == len(extracted_text) -
+    (n_chunks - 1) spaces; an exact, generatively-checkable definition.
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.n_tags = 0
+        self.counts = {"a": 0, "script": 0, "img": 0, "p": 0, "li": 0}
+        self.text_chars = 0
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        self.n_tags += 1
+        if tag in self.counts:
+            self.counts[tag] += 1
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            self.text_chars += len(data.strip())
+
+
+def html_tag_stats_py(html: bytes | None) -> tuple:
+    """(n_tags, n_anchors, n_scripts, n_images, n_paragraphs, n_list_items,
+    text_chars, html_chars, text_ratio) for one page."""
+    p = _TagStats()
+    decoded = html.decode("utf-8", errors="replace") if html else ""
+    if decoded:
+        p.feed(decoded)
+        p.close()
+    html_chars = len(decoded)
+    ratio = round(p.text_chars / html_chars, 6) if html_chars else None
+    return (
+        p.n_tags,
+        p.counts["a"],
+        p.counts["script"],
+        p.counts["img"],
+        p.counts["p"],
+        p.counts["li"],
+        p.text_chars,
+        html_chars,
+        ratio,
+    )
+
+
+_TAGSTAT_FIELDS = [
+    "n_tags",
+    "n_anchors",
+    "n_scripts",
+    "n_images",
+    "n_paragraphs",
+    "n_list_items",
+    "text_chars",
+    "html_chars",
+]
+
+_TAGSTAT_TYPE = T.StructType(
+    [T.StructField(f, T.LongType()) for f in _TAGSTAT_FIELDS]
+    + [T.StructField("text_ratio", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_TAGSTAT_TYPE)
+def html_tag_stats_udf(html: pd.Series) -> pd.DataFrame:
+    vals = [html_tag_stats_py(h) for h in html]
+    return pd.DataFrame(vals, columns=_TAGSTAT_FIELDS + ["text_ratio"])
+
+
+def html_tag_stats_df(pages: DataFrame) -> DataFrame:
+    """(url, n_tags, n_anchors, n_scripts, n_images, n_paragraphs,
+    n_list_items, text_chars, html_chars, text_ratio) — the structural
+    quality features template/boilerplate classifiers cut on (link density,
+    script volume, text-to-markup ratio). ONE Arrow crossing per batch of
+    pages, JVM-side flatten; the scan is pruned to (url, html)."""
+    return pages.select(
+        "url", html_tag_stats_udf(F.col("html")).alias("s")
+    ).select("url", "s.*")

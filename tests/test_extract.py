@@ -270,3 +270,27 @@ def test_robots_df_shape(spark):
     got = {r["url"]: (r["noindex"], r["nofollow"])
            for r in extract_robots_df(df).collect()}
     assert got == {"h.test/a": (True, False), "h.test/b": (False, False)}
+
+
+def test_html_tag_stats_counts_and_ratio(spark):
+    from pagerank_spark.functions.extract import html_tag_stats_df
+
+    html = (
+        b'<script>var x = "<a href=1>fake</a>";</script>'
+        b"<p>hello world</p><img src=\"a.png\"><img src=\"b.png\"/>"
+        b"<li>one</li><li>two</li><a href=\"/x\">go</a> end"
+    )
+    df = spark.createDataFrame([("u1", html), ("u2", b""), ("u3", None)], ["url", "html"])
+    got = {r["url"]: r for r in html_tag_stats_df(df).collect()}
+    r = got["u1"]
+    # script interior is CDATA: its fake <a> neither counts nor leaks text
+    assert (r["n_tags"], r["n_anchors"], r["n_scripts"]) == (7, 1, 1)
+    assert (r["n_images"], r["n_paragraphs"], r["n_list_items"]) == (2, 1, 2)
+    # stripped chunks: 'hello world'(11) 'one'(3) 'two'(3) 'go'(2) 'end'(3)
+    assert r["text_chars"] == 22
+    assert r["html_chars"] == len(html)
+    assert r["text_ratio"] == round(22 / len(html), 6)
+    # empty and NULL html: all-zero counts, NULL ratio
+    for u in ("u2", "u3"):
+        assert got[u]["n_tags"] == 0 and got[u]["text_chars"] == 0
+        assert got[u]["text_ratio"] is None

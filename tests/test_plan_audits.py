@@ -815,3 +815,25 @@ def test_change_rate_single_exchange_shared_partitioning(spark):
     # the window sort is within-partition; a global range exchange of the
     # observation log would be a regression
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_html_tag_stats_single_arrow_crossing_pruned_scan(spark, tmp_path):
+    # one ArrowEvalPython over (url, html) only — extra page columns must
+    # be pruned out of the parquet scan
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.functions.extract import html_tag_stats_df
+
+    p = str(tmp_path / "pages.parquet")
+    spark.range(20).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.encode(F.lit("<p>x</p>"), "UTF-8").alias("html"),
+        F.lit("fr").alias("lang"),
+        F.current_timestamp().alias("warc_ts"),
+    ).write.parquet(p)
+    q = html_tag_stats_df(spark.read.parquet(p))
+    assert _physical(q).count("ArrowEvalPython") == 1, _physical(q)
+    plan = _formatted(q)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and "html" in scan[0] and "url" in scan[0], plan
+    assert "lang" not in scan[0] and "warc_ts" not in scan[0], plan
