@@ -2410,6 +2410,62 @@ def q_tfidf_cosine(spark, sf_dir):
 RRF_LIST_K = 25
 RRF_TOP = 30
 
+CURRICULUM_K = 10
+
+
+def q_curriculum_buckets(spark, sf_dir):
+    """Global quantile bucketing WITHOUT a global row sort
+    (operators/sampling.py quantile_buckets): docs binned into 10
+    curriculum buckets by whitespace token count via the value-histogram
+    running sum (distinct values only) + exact-integer ceil division —
+    equal lengths always share a bucket. Family-mate of the in-window
+    stratified_sample/length_quantiles (sampling + distribution stack)."""
+    from pagerank_spark.operators.sampling import quantile_buckets
+
+    docs = _docs(spark, sf_dir)
+    v = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return quantile_buckets(v, "n_tokens", k=CURRICULUM_K)
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Composed corpus report: per length-decile Gopher pass rate —
+    quantile_buckets × gopher_filter joined on doc_id, rolled up per
+    bucket. The calibration view a pipeline uses to check whether a
+    quality rule is just a length proxy (a pass rate cliff at short
+    buckets says yes)."""
+    from pagerank_spark.operators.sampling import quantile_buckets
+    from pagerank_spark.operators.textops import gopher_filter
+
+    docs = _docs(spark, sf_dir)
+    v = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    b = quantile_buckets(v, "n_tokens", k=CURRICULUM_K)
+    g = gopher_filter(
+        docs, min_words=GOPHER_MIN_WORDS, min_stop_hits=GOPHER_MIN_STOPS
+    ).select("doc_id", "gopher_pass")
+    return (
+        b.join(g, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("gopher_pass").cast("long")).cast("long").alias("n_pass"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_pass",
+            F.round(
+                F.col("n_pass").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("pass_rate"),
+        )
+    )
+
+
 # generative page formula for the tag-structure features: every count and
 # the visible-text volume are analytically known per doc_id, so the oracle
 # recomputes them in closed form and any parser deviation hash-mismatches
@@ -2711,6 +2767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": q_change_rate,
         "recrawl_schedule": q_recrawl_schedule,
         "html_tag_stats": q_html_tag_stats,
+        "curriculum_buckets": q_curriculum_buckets,
+        "quality_calibration": q_quality_calibration,
     }
 
 
@@ -5519,6 +5577,38 @@ SELECT url,
        ROUND(CAST(26 + 2 * digits + 4 * n_li AS DOUBLE)
              / CAST(length(page) AS DOUBLE), 6) AS text_ratio
 FROM tc
+"""
+
+    # histogram-based quantile buckets (operators/sampling.py
+    # quantile_buckets): running sum over the DISTINCT-value histogram,
+    # exact-integer ceil division — `//` on positive BIGINTs == Spark DIV
+    _cb_cte = f"""
+cbv AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+cbh AS (SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS c FROM cbv GROUP BY n_tokens),
+cbc AS (SELECT n_tokens,
+               CAST(SUM(c) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM cbh),
+cbn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cbv),
+cbb AS (
+  SELECT v.doc_id, v.n_tokens,
+         CAST((c.cum * {CURRICULUM_K} + n.n - 1) // n.n AS BIGINT) AS bucket
+  FROM cbv v JOIN cbc c USING (n_tokens) CROSS JOIN cbn n
+)"""
+    sqls["curriculum_buckets"] = f"""
+WITH {_cb_cte}
+SELECT doc_id, n_tokens, bucket FROM cbb
+"""
+
+    # per-length-decile Gopher pass rate: curriculum buckets x the
+    # gopher_filter twin, exact-integer counts, one final division
+    sqls["quality_calibration"] = f"""
+WITH {_cb_cte}
+SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(CAST(SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
+FROM cbb b JOIN ({sqls["gopher_filter"]}) g USING (doc_id)
+GROUP BY b.bucket
 """
 
     return sqls

@@ -760,6 +760,16 @@ def run_suite(spark, sf_dir: str) -> dict:
     html_tag_stats_df(tag_pages).count()
     timings["html_tag_stats"] = time.monotonic() - t0
 
+    # histogram-based curriculum bucketing by token count
+    from pagerank_spark.operators.sampling import quantile_buckets
+
+    t0 = time.monotonic()
+    qb_v = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    quantile_buckets(qb_v, "n_tokens", k=10).count()
+    timings["curriculum_buckets"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

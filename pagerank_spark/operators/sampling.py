@@ -442,3 +442,50 @@ def temperature_sample_joined(
     )
     u = uniform01(F.col(id_col), seed)
     return df.join(rates, strata_col).where(u < F.col("_rate")).select(*df.columns)
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row its global quantile bucket 1..k by ``value_col`` —
+    the curriculum/difficulty binning step (bucket 1 = smallest values)
+    that a naive ntile() does with a GLOBAL SORT of the corpus. This
+    computes it from the VALUE HISTOGRAM instead (the spearman_correlation
+    recipe): one distinct-value count, one running-sum window over the
+    histogram (distinct values only, never row-sized), one value-keyed
+    join back. Equal values always land in the same bucket (ntile splits
+    ties across buckets by arbitrary row order — useless as a deterministic
+    curriculum key); bucket boundaries follow
+
+        bucket(v) = ceil(k * cum_count(<= v) / n)   (exact BIGINTs)
+
+    so bucket populations match ntile up to tie blocks. Returns
+    (id_col, value_col, bucket).
+
+    100-TB shape: the histogram shuffle is O(distinct values); the
+    SinglePartition running-sum window is over the histogram too (token
+    counts, quality scores and the like have ~1e3-1e6 distinct values —
+    if the value is continuous with corpus-sized cardinality, quantize it
+    first). The join back is a plain hash equi-join Catalyst broadcasts
+    when the histogram fits. All arithmetic exact integer — bit-identical
+    cross-engine, no float boundary wobble.
+    """
+    v = df.select(F.col(id_col), F.col(value_col))
+    hist = v.groupBy(value_col).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    w = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_total = hist.agg(F.sum("_c").alias("_n"))
+    cum = hist.select(
+        value_col, F.sum("_c").over(w).cast("long").alias("_cum")
+    ).crossJoin(F.broadcast(n_total))
+    # ceil(k * cum / n) in exact integer arithmetic (DIV, not the Column
+    # `/` which is IEEE division — a double wobble at 10^12 counts could
+    # flip a boundary row's bucket)
+    bucket = F.expr(f"CAST((_cum * {int(k)} + _n - 1) DIV _n AS BIGINT)")
+    buckets = cum.select(value_col, bucket.alias("bucket"))
+    return v.join(buckets, value_col).select(id_col, value_col, "bucket")

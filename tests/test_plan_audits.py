@@ -837,3 +837,20 @@ def test_html_tag_stats_single_arrow_crossing_pruned_scan(spark, tmp_path):
     scan = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan and "html" in scan[0] and "url" in scan[0], plan
     assert "lang" not in scan[0] and "warc_ts" not in scan[0], plan
+
+
+def test_quantile_buckets_no_row_sized_global_sort(spark, docs_path):
+    # the running-sum window runs over the distinct-value HISTOGRAM — the
+    # row table itself must never be range-partitioned (that is ntile's
+    # global sort, the thing this operator exists to avoid)
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sampling import quantile_buckets
+
+    v = spark.read.parquet(docs_path).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    plan = _physical(quantile_buckets(v, "n_tokens", k=10))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial" in plan.lower(), plan

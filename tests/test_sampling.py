@@ -318,3 +318,32 @@ def test_weighted_sample_favors_heavy_rows(spark, docs):
     out = weighted_sample(wdf, k=25, weight_col="w", seed="t3").collect()
     heavy = sum(1 for r in out if r["doc_id"] < 20)
     assert heavy >= 18
+
+
+def test_quantile_buckets_ties_and_boundaries(spark):
+    from pagerank_spark.operators.sampling import quantile_buckets
+
+    # 8 distinct values, k=4: two values per bucket, ties never split
+    df = spark.createDataFrame(
+        [(i, (i % 8) * 10) for i in range(64)], ["doc_id", "val"]
+    )
+    rows = quantile_buckets(df, "val", k=4, id_col="doc_id").collect()
+    by_val = {}
+    for r in rows:
+        by_val.setdefault(r["val"], set()).add(r["bucket"])
+    assert all(len(b) == 1 for b in by_val.values())
+    assert {v: b.pop() for v, b in by_val.items()} == {
+        0: 1, 10: 1, 20: 2, 30: 2, 40: 3, 50: 3, 60: 4, 70: 4
+    }
+
+
+def test_quantile_buckets_skewed_tie_block(spark):
+    from pagerank_spark.operators.sampling import quantile_buckets
+
+    # one value holding 90% of rows: its whole tie block lands in the
+    # bucket of its cumulative fraction (ceil semantics), never split
+    rows = [(i, 1) for i in range(90)] + [(90 + j, 2 + j) for j in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "val"])
+    got = {r["doc_id"]: r["bucket"] for r in quantile_buckets(df, "val", k=10).collect()}
+    assert all(got[i] == 9 for i in range(90))  # ceil(10*90/100) = 9
+    assert got[99] == 10
