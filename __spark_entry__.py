@@ -2466,6 +2466,93 @@ def q_quality_calibration(spark, sf_dir):
     )
 
 
+def _canonical_pages(spark, sf_dir):
+    """Generative substrate for the rel=canonical queries: page p_d on
+    site (d % 50) declares, by variant v = d % 5:
+      v=0  an explicit SELF-canonical (identity — must be dropped);
+      v=1  an absolute canonical to its clean twin c_d (1 hop);
+      v=2  a mixed-case-rel canonical to page p_{d-1} — whose v=1
+           canonical chains it to c_{d-1} (2 hops);
+      v=3  a relative first canonical /c_d inside a multi-token rel with
+           href BEFORE rel, then an absolute decoy — first wins;
+      v=4  only a stylesheet <link> — no canonical.
+    Every page opens with a script-embedded canonical (CDATA — never
+    fires) and carries one body link to p_t, t = (11d+3) % 500."""
+    d = F.col("doc_id")
+    site = F.concat(F.lit("www.site"), (d % 50).cast("string"), F.lit(".test"))
+    url = F.concat(site, F.lit("/p"), d.cast("string"))
+    v = d % 5
+    t = (d * 11 + 3) % 500
+    link = (
+        F.when(v == 0, F.concat(
+            F.lit('<link rel="canonical" href="http://'), url, F.lit('">')))
+        .when(v == 1, F.concat(
+            F.lit('<link rel="canonical" href="http://'), site,
+            F.lit("/c"), d.cast("string"), F.lit('">')))
+        .when(v == 2, F.concat(
+            F.lit('<link rel="CANONICAL" href="http://www.site'),
+            ((d - 1) % 50).cast("string"), F.lit(".test/p"),
+            (d - 1).cast("string"), F.lit('">')))
+        .when(v == 3, F.concat(
+            F.lit('<link href="/c'), d.cast("string"),
+            F.lit('" rel="alternate canonical">'),
+            F.lit('<link rel="canonical" href="http://decoy.test/d'),
+            d.cast("string"), F.lit('">')))
+        .otherwise(F.lit('<link rel="stylesheet" href="/s.css">'))
+    )
+    html = F.concat(
+        F.lit('<script>var l = \'<link rel="canonical" '
+              'href="http://evil.test/x">\';</script>'),
+        link,
+        F.concat(
+            F.lit('<a href="http://www.site'), (t % 50).cast("string"),
+            F.lit(".test/p"), t.cast("string"), F.lit('">x</a>'),
+        ),
+    )
+    return _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+def q_canonical_links(spark, sf_dir):
+    """rel=canonical extraction (functions/extract.py
+    extract_canonicals_df) over the generative substrate — witnesses
+    first-wins, relative-href resolution, multi-token mixed-case rel,
+    attr order, self-canonical identity drop, stylesheet links and
+    script CDATA contributing nothing."""
+    from pagerank_spark.functions.extract import extract_canonicals_df
+
+    return extract_canonicals_df(_canonical_pages(spark, sf_dir))
+
+
+def q_canonical_edges(spark, sf_dir):
+    """Alias-collapsed link graph: canonical declarations become an alias
+    table, pointer doubling resolves canonical CHAINS (v=2 -> v=1 ->
+    clean), and the body edge table is rewritten through the resolution
+    (operators/redirects.py resolve_redirects + rewrite_edges) — the
+    dedup-before-ranking step every crawl pipeline runs so authority
+    never splits across url aliases."""
+    from pagerank_spark.functions.extract import (
+        extract_canonicals_df,
+        extract_edges_df,
+    )
+    from pagerank_spark.operators.redirects import (
+        resolve_redirects,
+        rewrite_edges,
+    )
+
+    pages = _canonical_pages(spark, sf_dir)
+    aliases = extract_canonicals_df(pages).select(
+        F.col("url").alias("src"), F.col("canonical").alias("dst")
+    )
+    resolved = resolve_redirects(aliases)
+    return (
+        rewrite_edges(extract_edges_df(pages), resolved)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
 # generative page formula for the tag-structure features: every count and
 # the visible-text volume are analytically known per doc_id, so the oracle
 # recomputes them in closed form and any parser deviation hash-mismatches
@@ -2769,6 +2856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tag_stats": q_html_tag_stats,
         "curriculum_buckets": q_curriculum_buckets,
         "quality_calibration": q_quality_calibration,
+        "canonical_links": q_canonical_links,
+        "canonical_edges": q_canonical_edges,
     }
 
 
@@ -5609,6 +5698,46 @@ SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
              / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate
 FROM cbb b JOIN ({sqls["gopher_filter"]}) g USING (doc_id)
 GROUP BY b.bucket
+"""
+
+    # rel=canonical extraction over the generative substrate: variants
+    # 1/2/3 emit an alias row (first-wins / chain hop / relative+decoy),
+    # 0 (self) and 4 (stylesheet) emit nothing, the script decoy never
+    # fires
+    sqls["canonical_links"] = """
+SELECT 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' || CAST(doc_id AS VARCHAR) AS url,
+       CASE
+         WHEN doc_id % 5 = 2 THEN 'www.site' || CAST((doc_id - 1) % 50 AS VARCHAR)
+              || '.test/p' || CAST(doc_id - 1 AS VARCHAR)
+         ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.test/c' || CAST(doc_id AS VARCHAR)
+       END AS canonical
+FROM documents
+WHERE doc_id % 5 IN (1, 2, 3)
+"""
+
+    # alias-collapsed edge table: final(p_x) = c_x for v in (1,3),
+    # c_{x-1} for v = 2 (the 2-hop chain), p_x otherwise; the one body
+    # edge p_d -> p_t rewrites both endpoints through that closed form
+    sqls["canonical_edges"] = """
+WITH ids AS (SELECT doc_id AS i FROM documents),
+fin AS (
+  SELECT i AS pid,
+         CASE
+           WHEN i % 5 IN (1, 3) THEN 'www.site' || CAST(i % 50 AS VARCHAR)
+                || '.test/c' || CAST(i AS VARCHAR)
+           WHEN i % 5 = 2 THEN 'www.site' || CAST((i - 1) % 50 AS VARCHAR)
+                || '.test/c' || CAST(i - 1 AS VARCHAR)
+           ELSE 'www.site' || CAST(i % 50 AS VARCHAR)
+                || '.test/p' || CAST(i AS VARCHAR)
+         END AS fin
+  FROM ids),
+e AS (SELECT i, (i * 11 + 3) % 500 AS t FROM ids)
+SELECT fs.fin AS src, fd.fin AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+FROM e
+JOIN fin fs ON fs.pid = e.i
+JOIN fin fd ON fd.pid = e.t
+GROUP BY fs.fin, fd.fin
 """
 
     return sqls

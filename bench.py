@@ -770,6 +770,14 @@ def run_suite(spark, sf_dir: str) -> dict:
     quantile_buckets(qb_v, "n_tokens", k=10).count()
     timings["curriculum_buckets"] = time.monotonic() - t0
 
+    # canonical extraction + chain-resolved edge rewrite (parser Arrow
+    # pass + pointer doubling + two anti/left join rewrites)
+    import __spark_entry__ as entry_mod
+
+    t0 = time.monotonic()
+    entry_mod.q_canonical_edges(spark, sf_dir).count()
+    timings["canonical_edges"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

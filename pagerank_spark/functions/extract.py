@@ -54,6 +54,10 @@ class _TextAndLinks(HTMLParser):
         # script/style interiors are CDATA to HTMLParser, so no tag events
         # fire there and fake metas in scripts never land here)
         self.robots: list[str] = []
+        # href values of <link rel="canonical"> tags, document order (any
+        # case, token match within a multi-token rel; same CDATA shielding
+        # as the robots metas)
+        self.canonicals: list[str] = []
         self._skip_depth = 0
         self._open_href: str | None = None
         self._open_chunks: list[str] = []
@@ -93,6 +97,19 @@ class _TextAndLinks(HTMLParser):
                     content = v
             if name is not None and name.lower() == "robots" and content is not None:
                 self.robots.append(content)
+        elif tag == "link":
+            href = rel = None
+            for k, v in attrs:
+                if k == "href" and v is not None and href is None:
+                    href = v
+                elif k == "rel" and v is not None and rel is None:
+                    rel = v
+            if (
+                href is not None
+                and rel is not None
+                and "canonical" in rel.lower().split()
+            ):
+                self.canonicals.append(href)
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip_depth > 0:
@@ -196,6 +213,22 @@ def extract_robots_py(html: bytes | None) -> tuple[bool, bool]:
     )
 
 
+def extract_canonical_py(html: bytes | None, page_url: str) -> str | None:
+    """Reference extractor: the page's declared canonical url from
+    ``<link rel="canonical" href=...>``, or None. The FIRST canonical in
+    document order wins (the same first-wins convention as the href
+    contract; search engines distrust conflicting canonicals — a stable
+    deterministic pick is what a pipeline needs). Token match within a
+    multi-token rel, any case; href normalization identical to
+    ``extract_hrefs_py`` (a fragment/empty canonical is no canonical);
+    script interiors are CDATA — a canonical inside one never fires."""
+    for href in _parse(html).canonicals:
+        n = _normalize_href(href, page_url)
+        if n is not None:
+            return n
+    return None
+
+
 # -- Arrow-vectorized UDFs ----------------------------------------------------
 
 @F.pandas_udf(T.StringType())
@@ -242,6 +275,13 @@ _ROBOTS_TYPE = T.StructType(
 def extract_robots_udf(html: pd.Series) -> pd.DataFrame:
     vals = [extract_robots_py(h) for h in html]
     return pd.DataFrame(vals, columns=["noindex", "nofollow"])
+
+
+@F.pandas_udf(T.StringType())
+def extract_canonical_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_canonical_py(h, u) for h, u in zip(html, url)], dtype="object"
+    )
 
 
 @F.pandas_udf(_ANCHOR_TYPE)
@@ -319,6 +359,41 @@ def extract_anchors_df(pages: DataFrame) -> DataFrame:
         F.col("url").alias("src"),
         F.explode(extract_anchors_udf(F.col("html"), F.col("url"))).alias("a"),
     ).select("src", F.col("a.dst").alias("dst"), F.col("a.anchor").alias("anchor"))
+
+
+def extract_canonicals_df(pages: DataFrame) -> DataFrame:
+    """(url, canonical) — one row per page that declares a NON-self
+    canonical. Self-canonicals (the overwhelmingly common case on real
+    pages) are identity aliases — dropped here so the output is an alias
+    table sized like the alias count, not the crawl, and feeds
+    ``operators/redirects.py resolve_redirects`` / ``rewrite_edges``
+    directly as (src=url, dst=canonical) rows:
+
+        aliases = extract_canonicals_df(pages)
+        resolved = resolve_redirects(
+            aliases.select(F.col("url").alias("src"),
+                           F.col("canonical").alias("dst")))
+        clean_edges = rewrite_edges(extract_edges_df(pages), resolved)
+
+    — canonical chains (A canonicalizes to B which canonicalizes to C)
+    and canonical/redirect mixtures collapse in the same pointer-doubling
+    pass. Same Arrow shape as the other extractors: one nullable string
+    per page crosses the Python boundary, the null/self filter runs
+    JVM-side. The singleton explode() is an optimizer barrier: filtering
+    the UDF column directly lets CollapseProject inline the expression
+    into the Filter and parse every page TWICE (two ArrowEvalPython
+    nodes — plan-audited); conditions on a Generate's output cannot be
+    pushed below it, so the parser runs once.
+    """
+    return (
+        pages.select(
+            "url",
+            F.explode(
+                F.array(extract_canonical_udf(F.col("html"), F.col("url")))
+            ).alias("canonical"),
+        )
+        .where(F.col("canonical").isNotNull() & (F.col("canonical") != F.col("url")))
+    )
 
 
 # -- HTML structure features --------------------------------------------------

@@ -294,3 +294,114 @@ def test_html_tag_stats_counts_and_ratio(spark):
     for u in ("u2", "u3"):
         assert got[u]["n_tags"] == 0 and got[u]["text_chars"] == 0
         assert got[u]["text_ratio"] is None
+
+
+def test_canonical_extractor_spec_cases():
+    """rel=canonical spec: first canonical in document order wins, token
+    match within a multi-token rel (case insensitive), relative hrefs
+    resolve against the page domain, fragment/empty hrefs are no
+    canonical, non-canonical <link>s contribute nothing, script
+    interiors are CDATA."""
+    from pagerank_spark.functions.extract import extract_canonical_py
+
+    # first wins over a later decoy
+    html = (
+        b'<link rel="canonical" href="http://t.test/clean">'
+        b'<link rel="canonical" href="http://t.test/decoy">'
+    )
+    assert extract_canonical_py(html, "page.test/p?q=1") == "t.test/clean"
+    # multi-token mixed-case rel; href before rel in the attr list
+    html = b'<link href="/clean" ReL="Alternate CANONICAL">'
+    assert extract_canonical_py(html, "page.test/p") == "page.test/clean"
+    # stylesheet link and script-embedded canonical never count
+    html = (
+        b'<link rel="stylesheet" href="/s.css">'
+        b'<script>var l = \'<link rel="canonical" href="http://x.test/y">\';'
+        b"</script>"
+    )
+    assert extract_canonical_py(html, "page.test/p") is None
+    # fragment canonical is dropped by normalization -> the NEXT one wins
+    html = (
+        b'<link rel="canonical" href="#frag">'
+        b'<link rel="canonical" href="http://t.test/real">'
+    )
+    assert extract_canonical_py(html, "page.test/p") == "t.test/real"
+    # rel without href / href without rel / None html
+    assert extract_canonical_py(b'<link rel="canonical">', "p.test/x") is None
+    assert extract_canonical_py(b'<link href="/y">', "p.test/x") is None
+    assert extract_canonical_py(None, "p.test/x") is None
+
+
+def test_canonical_rides_along_without_changing_frozen_contract():
+    """The <link> capture must not perturb the frozen text/href/anchor/
+    robots outputs."""
+    from pagerank_spark.functions.extract import (
+        extract_anchors_py,
+        extract_canonical_py,
+        extract_hrefs_py,
+        extract_robots_py,
+        extract_text_py,
+    )
+
+    html = (
+        b'<link rel="canonical" href="http://c.test/clean">'
+        b'pre <a href="http://x.test/1">one</a> mid '
+        b'<meta name="robots" content="noindex">'
+        b'<a href="/two">two</a> post'
+    )
+    assert extract_text_py(html) == "pre one mid two post"
+    assert extract_hrefs_py(html, "h.test/p") == ["x.test/1", "h.test/two"]
+    assert [a["anchor"] for a in extract_anchors_py(html, "h.test/p")] == [
+        "one", "two",
+    ]
+    assert extract_robots_py(html) == (True, False)
+    assert extract_canonical_py(html, "h.test/p") == "c.test/clean"
+
+
+def test_canonicals_df_drops_self_and_null(spark):
+    from pagerank_spark.functions.extract import extract_canonicals_df
+
+    df = spark.createDataFrame(
+        [
+            ("h.test/a", b'<link rel="canonical" href="http://h.test/clean">'),
+            ("h.test/b", b'<link rel="canonical" href="http://h.test/b">'),
+            ("h.test/c", b"<p>no canonical</p>"),
+        ],
+        ["url", "html"],
+    )
+    got = {(r["url"], r["canonical"]) for r in extract_canonicals_df(df).collect()}
+    assert got == {("h.test/a", "h.test/clean")}
+
+
+def test_canonicals_feed_redirect_resolution(spark):
+    """Canonical chains collapse through resolve_redirects/rewrite_edges:
+    A -> B -> C (B declares its own canonical) and the body edge into A
+    lands on C."""
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.functions.extract import (
+        extract_canonicals_df,
+        extract_edges_df,
+    )
+    from pagerank_spark.operators.redirects import (
+        resolve_redirects,
+        rewrite_edges,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("h.test/a", b'<link rel="canonical" href="http://h.test/b">'),
+            ("h.test/b", b'<link rel="canonical" href="http://h.test/c">'),
+            ("h.test/d", b'<a href="http://h.test/a">in</a>'),
+        ],
+        ["url", "html"],
+    )
+    aliases = extract_canonicals_df(pages).select(
+        F.col("url").alias("src"), F.col("canonical").alias("dst")
+    )
+    resolved = resolve_redirects(aliases)
+    fin = {r["url"]: (r["final"], r["hops"]) for r in resolved.collect()}
+    assert fin == {"h.test/a": ("h.test/c", 2), "h.test/b": ("h.test/c", 1)}
+    edges = {(r["src"], r["dst"])
+             for r in rewrite_edges(extract_edges_df(pages), resolved).collect()}
+    assert edges == {("h.test/d", "h.test/c")}

@@ -854,3 +854,18 @@ def test_quantile_buckets_no_row_sized_global_sort(spark, docs_path):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Python" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_extract_canonicals_single_arrow_crossing_jvm_filter(spark):
+    # one ArrowEvalPython carrying one nullable string per page; the
+    # null/self filter runs JVM-side after the crossing
+    from pagerank_spark.functions.extract import extract_canonicals_df
+
+    pages = spark.createDataFrame(
+        [("h.test/p", b'<link rel="canonical" href="http://h.test/c">')],
+        ["url", "html"],
+    )
+    plan = _physical(extract_canonicals_df(pages))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Filter" in plan, plan
