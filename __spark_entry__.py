@@ -1870,6 +1870,21 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(spark.table("documents"), BM25_TERMS, k=BM25_K)
 
 
+QL_MU_Q = 150.0
+
+
+def q_ql_topk(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) — the language-model scoring family next to BM25's tf-idf one,
+    same broadcast-query / DECIMAL-sum / TakeOrderedAndProject shapes
+    (operators/textsearch.py ql_topk). mu=150 keeps the doc-length prior
+    visible on the short synthetic docs."""
+    from pagerank_spark.operators.textsearch import ql_topk
+
+    _views(spark, sf_dir, ("documents",))
+    return ql_topk(spark.table("documents"), BM25_TERMS, k=BM25_K, mu=QL_MU_Q)
+
+
 def q_c4_filter(spark, sf_dir):
     """C4-style line/document heuristic cleaning over synthesized
     line-structured text — one codegen'd scan (operators/textsearch.py)."""
@@ -2858,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "canonical_links": q_canonical_links,
         "canonical_edges": q_canonical_edges,
+        "ql_topk": q_ql_topk,
     }
 
 
@@ -4701,6 +4717,43 @@ contrib AS (
               + {BM25_B} * dl.dl / (SELECT avgdl FROM stats))), 9)
          AS DECIMAL(28,9)) AS s
   FROM post JOIN q USING (term) JOIN dfq ON dfq.term = post.term
+  JOIN dl ON dl.doc_id = post.doc_id
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+    # Dirichlet query likelihood: per matched term
+    # ln(1 + tf/(mu p_c)) + ln(mu/(dl+mu)), p_c = cf/total_tokens —
+    # 9dp-quantized DECIMAL sums like the BM25 twin
+    sqls["ql_topk"] = f"""
+WITH q(term) AS (VALUES {_terms_values}),
+post AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) t
+  GROUP BY term, doc_id
+),
+dl AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+cfq AS (
+  SELECT post.term, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM post JOIN q USING (term) GROUP BY post.term
+),
+contrib AS (
+  SELECT post.doc_id,
+         CAST(ROUND(
+           ln(1.0 + CAST(tf AS DOUBLE)
+              / ({QL_MU_Q} * (CAST(cf AS DOUBLE)
+                 / CAST((SELECT total_tokens FROM tot) AS DOUBLE))))
+           + ln({QL_MU_Q} / (CAST(dl.dl AS DOUBLE) + {QL_MU_Q})), 9)
+         AS DECIMAL(28,9)) AS s
+  FROM post JOIN q USING (term) JOIN cfq ON cfq.term = post.term
   JOIN dl ON dl.doc_id = post.doc_id
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,

@@ -376,6 +376,12 @@ def run_suite(spark, sf_dir: str) -> dict:
     bm25_topk(docs, ["query", "spark", "window"], k=25).count()
     timings["bm25_topk"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.textsearch import ql_topk
+
+    t0 = time.monotonic()
+    ql_topk(docs, ["query", "spark", "window"], k=25, mu=150.0).count()
+    timings["ql_topk"] = time.monotonic() - t0
+
     from pagerank_spark.operators.dedup import paragraph_dedup
 
     para_docs = docs.selectExpr(

@@ -194,6 +194,78 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
 
 
+QL_MU = 2000.0
+
+
+def ql_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    mu: float = QL_MU,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001; the Lucene ``LMDirichletSimilarity`` scoring): top-``k``
+    (doc_id, n_matched, score) over docs matching >= 1 query term,
+    score descending then doc_id ascending. Per matched term t:
+
+        s(d,t) = ln(1 + tf / (mu * p(t|C))) + ln(mu / (dl + mu))
+        p(t|C) = cf(t) / total_tokens
+
+    — the language-model alternative to BM25's tf-idf saturation, and
+    the second opinion ``rank_fusion`` wants from an independent scoring
+    family. Same scale shape as ``bm25_topk``: broadcast query-term
+    table (corpus postings never move for the match), collection stats
+    ride one-row broadcast crossJoins, per-(doc,term) contributions are
+    9dp-quantized and DECIMAL-summed (order-independent — Spark's
+    partial-agg tree and the oracle's fold agree bit-for-bit), final
+    top-k is TakeOrderedAndProject, never a full sort.
+    """
+    spark = docs.sparkSession
+    terms = sorted(set(query_terms))
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    post = postings(docs, text_col=text_col, id_col=id_col)
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+    )
+    total = dl.agg(F.sum("dl").cast("long").alias("total_tokens"))
+    cf = (
+        post.join(F.broadcast(qdf), "term")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cf"))
+    )
+
+    matched = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(cf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(total))
+    )
+    # p(t|C) as one exact-int division; both log terms in a fixed tree
+    p_c = F.col("cf").cast("double") / F.col("total_tokens").cast("double")
+    s = F.log(1.0 + F.col("tf").cast("double") / (mu * p_c)) + F.log(
+        F.lit(mu) / (F.col("dl").cast("double") + mu)
+    )
+    contrib = F.round(s, 9).cast("decimal(28,9)")
+    scored = (
+        matched.select("doc_id", contrib.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("s").alias("s_dec"),
+        )
+        .select(
+            "doc_id",
+            "n_matched",
+            F.round(F.col("s_dec").cast("double"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
+
+
 def ranked_retrieval(
     bm25: DataFrame, ranks: DataFrame, rank_weight: float = 1.0
 ) -> DataFrame:

@@ -869,3 +869,16 @@ def test_extract_canonicals_single_arrow_crossing_jvm_filter(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Filter" in plan, plan
+
+
+def test_ql_query_side_broadcasts_corpus_never_moves(spark, docs_path):
+    # same contract as the BM25 audit: broadcast query/cf/stats tables,
+    # TakeOrderedAndProject top-k, no global sort, no Python crossing
+    from pagerank_spark.operators.textsearch import ql_topk
+
+    q = ql_topk(spark.read.parquet(docs_path), ["doc", "words"], k=5)
+    plan = _physical(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

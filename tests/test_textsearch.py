@@ -189,3 +189,58 @@ def test_reciprocal_rank_fusion_in_list_tie_and_topk(spark):
     assert len(rows) == 1
     assert rows[0]["doc_id"] == "x"
     assert rows[0]["rrf"] == pytest.approx(1 / 61, abs=1e-6)
+
+
+def test_ql_matches_python_replay(spark):
+    """Pure-Python replay of the Dirichlet query-likelihood formula:
+    per matched term ln(1 + tf/(mu p_c)) + ln(mu/(dl+mu))."""
+    from pagerank_spark.operators.textsearch import ql_topk
+
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    terms = ["quick", "dog"]
+    mu = 50.0
+    got = {r["doc_id"]: r for r in ql_topk(docs, terms, k=10, mu=mu).collect()}
+
+    toks = {d: _tok(t) for d, t in CORPUS}
+    total = sum(len(v) for v in toks.values())
+    cf = {t: sum(v.count(t) for v in toks.values()) for t in terms}
+    expected = {}
+    for d, v in toks.items():
+        s, m = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            m += 1
+            p_c = cf[t] / total
+            s += round(
+                math.log(1.0 + tf / (mu * p_c))
+                + math.log(mu / (len(v) + mu)),
+                9,
+            )
+        if m:
+            expected[d] = (m, round(s, 6))
+
+    assert set(got) == set(expected)
+    for d, (m, s) in expected.items():
+        assert got[d]["n_matched"] == m
+        assert abs(got[d]["score"] - s) < 1e-9
+    order = [r["doc_id"] for r in ql_topk(docs, terms, k=10, mu=mu).collect()]
+    assert order == sorted(expected, key=lambda d: (-expected[d][1], d))
+
+
+def test_ql_length_prior_prefers_short_doc_on_equal_tf(spark):
+    """Equal tf for the query term: the shorter doc scores strictly
+    higher (the dl penalty is QL's analogue of BM25's b-normalization)."""
+    from pagerank_spark.operators.textsearch import ql_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cats sleep"),
+            (2, "cats sleep on the very long comfortable sofa all day"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ql_topk(docs, ["cats"], k=2, mu=10.0).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["score"] > out[1]["score"]
