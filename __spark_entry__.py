@@ -2248,6 +2248,29 @@ def q_weighted_walks(spark, sf_dir):
     )
 
 
+N2V_P = 4.0    # 1/p = 0.25 — exact binary double, no cross-engine wobble
+N2V_Q = 0.25   # 1/q = 4.0
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Deterministic node2vec second-order biased walks over the ingested
+    U graph's 1/outdeg weights (operators/walks.py node2vec_walks):
+    return edges race at weight/p, distance-1 neighbors of the
+    predecessor at weight, distance-2 at weight/q — p=4/q=0.25 is the
+    outward 'structural' regime. The twin unrolls the same biased
+    exponential-race argmin with a LEFT adjacency probe per step."""
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    g = _graph_u(spark, sf_dir)
+    return node2vec_walks(
+        g.edges,
+        walk_length=WWALK_LEN,
+        p=N2V_P,
+        q=N2V_Q,
+        walks_per_vertex=WWALK_WPV,
+    )
+
+
 # Host-conditioned line-structured text for the boilerplate scrubber: every
 # doc of host srcK opens with the SAME banner (removed: 25/25 per host),
 # carries a unique content slice (kept), a ~4/7-frequency host promo (sits
@@ -2874,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_links": q_canonical_links,
         "canonical_edges": q_canonical_edges,
         "ql_topk": q_ql_topk,
+        "node2vec_walks": q_node2vec_walks,
     }
 
 
@@ -5258,6 +5282,50 @@ WITH {INGEST_CTE},
 {",".join(_wwparts)},
 allww AS ({_wwunion})
 SELECT walk_id, CAST(step AS INT) AS step, url FROM allww
+"""
+
+    # node2vec biased walks: step 1 is the weighted draw; steps 2+ carry
+    # prev and scale the race weight by 1/p (return), 1 (prev-adjacent)
+    # or 1/q — see operators/walks.py node2vec_walks
+    _nvparts = [
+        "nvst AS (SELECT DISTINCT src AS url FROM uedges)",
+        "nv0 AS (SELECT url || '#' || CAST(r AS STRING) AS walk_id, 0 AS step, url "
+        f"FROM nvst CROSS JOIN generate_series(0, {WWALK_WPV - 1}) t(r))",
+    ]
+    for _t in range(1, WWALK_LEN + 1):
+        _h = HEX15.format(x=f"w.walk_id || '|{_t}|' || e.dst")
+        _u = f"CAST(({_h}) + 1 AS DOUBLE) / 1152921504606846976.0"
+        if _t == 1:
+            _nvparts.append(
+                f"nv1 AS (SELECT w.walk_id, arg_min(e.dst, -ln({_u}) / e.weight) "
+                "AS url, w.url AS prev "
+                "FROM nv0 w JOIN uedges e ON e.src = w.url GROUP BY w.walk_id, w.url)"
+            )
+        else:
+            _bias = (
+                f"CASE WHEN e.dst = w.prev THEN {1.0 / N2V_P!r} "
+                f"WHEN a.src IS NOT NULL THEN 1.0 ELSE {1.0 / N2V_Q!r} END"
+            )
+            _nvparts.append(
+                f"nv{_t} AS (SELECT w.walk_id, "
+                f"arg_min(e.dst, -ln({_u}) / (e.weight * ({_bias}))) AS url, "
+                "w.url AS prev "
+                f"FROM nv{_t - 1} w JOIN uedges e ON e.src = w.url "
+                "LEFT JOIN uedges a ON a.src = w.prev AND a.dst = e.dst "
+                "GROUP BY w.walk_id, w.url)"
+            )
+    _nvunion = " UNION ALL ".join(
+        ["SELECT walk_id, step, url FROM nv0"]
+        + [
+            f"SELECT walk_id, {_t} AS step, url FROM nv{_t}"
+            for _t in range(1, WWALK_LEN + 1)
+        ]
+    )
+    sqls["node2vec_walks"] = f"""
+WITH {INGEST_CTE},
+{",".join(_nvparts)},
+allnv AS ({_nvunion})
+SELECT walk_id, CAST(step AS INT) AS step, url FROM allnv
 """
 
     # per-host link locality: one src-host groupBy over the page edges,

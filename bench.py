@@ -622,6 +622,14 @@ def run_suite(spark, sf_dir: str) -> dict:
     weighted_random_walks(graph.edges, walk_length=4, walks_per_vertex=1).count()
     timings["weighted_walks4"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    t0 = time.monotonic()
+    node2vec_walks(
+        graph.edges, walk_length=4, p=4.0, q=0.25, walks_per_vertex=1
+    ).count()
+    timings["node2vec_walks4"] = time.monotonic() - t0
+
     # host-conditional boilerplate line removal over documents
     from pagerank_spark.operators.dedup import host_boilerplate
 

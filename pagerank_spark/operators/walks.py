@@ -157,6 +157,118 @@ def weighted_random_walks(
     return out.select("walk_id", "step", "url")
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    starts: DataFrame | None = None,
+    weight_col: str = "weight",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(walk_id, step, url) — deterministic node2vec second-order biased
+    walks (Grover & Leskovec, KDD'16). Step 1 is the plain weighted draw
+    (no predecessor yet); from step 2 on, a candidate edge (cur, dst, wt)
+    with predecessor ``prev`` races with effective weight
+
+        wt * 1/p   if dst == prev             (return)
+        wt * 1     if (prev, dst) is an edge  (stay near)
+        wt * 1/q   otherwise                  (explore outward)
+
+    via the same exponential-race argmin as
+    :func:`weighted_random_walks` — deterministic, seed-free,
+    engine-reproducible. Low p → BFS-like homophily walks, low q →
+    DFS-like structural walks; the resulting corpus feeds the word2vec
+    contract exactly like the uniform DeepWalk one.
+
+    Spark shape: the walk state carries (walk_id, cur, prev) — still one
+    row per live walk. Per step, candidates = state ⋈ edges on cur == src
+    (the cached src partitioning; only the walk state shuffles), then the
+    SECOND-ORDER cost every distributed node2vec pays: a LEFT probe of
+    the candidate rows against the distinct edge set on (prev, dst) to
+    classify distance-1 neighbors — O(#walks x outdeg(cur)) rows shuffled
+    on the prev key, vs the first-order walk's O(#walks). That factor is
+    intrinsic to the bias (the alternative, materializing alias tables
+    per vertex pair, is O(sum d^2) preprocessing); hub fan-out stays
+    map-side for the draw itself via the min_by partial aggregate.
+
+    Same preconditions as the weighted variant: parallel edges must be
+    pre-summed, weight <= 0 dropped.
+    """
+    if walk_length < 0:
+        raise ValueError("walk_length must be >= 0")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    e = edges.select(
+        F.col("src").cast("string"),
+        F.col("dst").cast("string"),
+        F.col(weight_col).cast("double").alias("_w"),
+    ).where(F.col("_w") > 0)
+    adj = e.select(F.col("src").alias("_asrc"), F.col("dst").alias("_adst"))
+    if starts is None:
+        starts = e.select(F.col("src").alias("url")).distinct()
+    state = starts.select(
+        F.col("url").cast("string").alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("_r"),
+    ).select(
+        F.concat(F.col("url"), F.lit("#"), F.col("_r").cast("string")).alias("walk_id"),
+        "url",
+    )
+    two60 = float(1 << 60)
+    steps = [state.withColumn("step", F.lit(0).cast("int"))]
+    for t in range(1, walk_length + 1):
+        h = hexint15(F.concat(F.col("walk_id"), F.lit(f"|{t}|"), F.col("dst")))
+        u01 = (h + F.lit(1)).cast("double") / F.lit(two60)
+        if t == 1:
+            cand = state.join(e, state["url"] == e["src"]).select(
+                "walk_id",
+                state["url"].alias("_cur"),
+                F.col("dst"),
+                (-F.log(u01) / F.col("_w")).alias("_k"),
+            )
+        else:
+            # flatten to unique names before the adjacency probe — adj
+            # shares lineage with e, so qualified refs would be ambiguous
+            flat = state.join(e, state["url"] == e["src"]).select(
+                "walk_id",
+                state["url"].alias("_cur"),
+                "prev",
+                "dst",
+                "_w",
+            )
+            joined = flat.join(
+                adj,
+                (flat["prev"] == adj["_asrc"]) & (flat["dst"] == adj["_adst"]),
+                "left",
+            )
+            bias = (
+                F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("_asrc").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            )
+            cand = joined.select(
+                "walk_id",
+                "_cur",
+                F.col("dst"),
+                (-F.log(u01) / (F.col("_w") * bias)).alias("_k"),
+            )
+        state = (
+            cand.groupBy("walk_id", "_cur")
+            .agg(F.min_by("dst", "_k").alias("url"))
+            .select("walk_id", "url", F.col("_cur").alias("prev"))
+        )
+        if t % checkpoint_every == 0 and t < walk_length:
+            state = state.localCheckpoint(eager=True)
+        steps.append(
+            state.select("walk_id", "url").withColumn("step", F.lit(t).cast("int"))
+        )
+    out = reduce(DataFrame.unionByName, steps)
+    return out.select("walk_id", "step", "url")
+
+
 def walk_sentences(walks: DataFrame) -> DataFrame:
     """(walk_id, sentence) — each walk's vertices space-joined in step order,
     the exact line format word2vec-style trainers consume (and that

@@ -220,3 +220,84 @@ def test_inlink_diversity_hand(spark):
     by = got["http://b.com/y"]
     assert (by["n_inlinks"], by["n_hosts"], by["n_ext_hosts"]) == (1, 1, 1)
     assert by["diversity"] == 1.0
+
+
+def test_node2vec_p1_q1_equals_weighted_walks(spark):
+    """p=q=1: every bias factor is 1.0, so the race keys are bit-identical
+    to the first-order weighted walk — the outputs must match exactly."""
+    from pagerank_spark.operators.walks import (
+        node2vec_walks,
+        weighted_random_walks,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 0.5), ("a", "c", 0.5), ("b", "a", 0.3), ("b", "c", 0.7),
+         ("c", "a", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    w1 = {(r["walk_id"], r["step"]): r["url"]
+          for r in weighted_random_walks(e, walk_length=4,
+                                         walks_per_vertex=3).collect()}
+    n2 = {(r["walk_id"], r["step"]): r["url"]
+          for r in node2vec_walks(e, walk_length=4, p=1.0, q=1.0,
+                                  walks_per_vertex=3).collect()}
+    assert w1 == n2
+
+
+def test_node2vec_return_bias(spark):
+    """a→b, b→a, b→c with equal weights: at step 2 (prev=a) the return
+    edge b→a races with weight/p. p=100 suppresses returns, p=0.01 forces
+    them ((1/p)/(1/p + 1/q) = 0.01/1.01 vs 100/101 with q=1)."""
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    starts = spark.createDataFrame([("a",)], ["url"])
+    for p, lo, hi in [(100.0, 0.0, 0.05), (0.01, 0.95, 1.0)]:
+        out = node2vec_walks(
+            e, walk_length=2, p=p, q=1.0, walks_per_vertex=1000, starts=starts
+        )
+        picks = [r["url"] for r in out.where("step = 2").collect()]
+        assert len(picks) == 1000
+        frac_ret = picks.count("a") / 1000
+        assert lo <= frac_ret <= hi, (p, frac_ret)
+
+
+def test_node2vec_distance_one_vs_two_bias(spark):
+    """a→b, b→c, b→d, a→c: at step 2 (prev=a), c is distance-1 from a
+    (bias 1) and d distance-2 (bias 1/q); b→a is absent so no return arm.
+    q=0.01 pushes the walk outward to d, q=100 pins it to c."""
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("b", "d", 1.0), ("a", "c", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    starts = spark.createDataFrame([("a",)], ["url"])
+    for q, lo, hi in [(0.01, 0.95, 1.0), (100.0, 0.0, 0.05)]:
+        out = node2vec_walks(
+            e, walk_length=2, p=1.0, q=q, walks_per_vertex=1000, starts=starts
+        )
+        step2 = [r["url"] for r in out.where("step = 2").collect()]
+        # walks whose step-1 draw went a→c have no outgoing edge (c is
+        # dangling) and truncate; only the a→b walks reach step 2
+        assert step2, "no walk reached step 2"
+        frac_d = step2.count("d") / len(step2)
+        assert lo <= frac_d <= hi, (q, frac_d)
+        assert set(step2) <= {"c", "d"}
+
+
+def test_node2vec_truncation_and_validation(spark):
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    e = spark.createDataFrame([("a", "b", 1.0)], ["src", "dst", "weight"])
+    out = node2vec_walks(e, walk_length=3, walks_per_vertex=1).collect()
+    # a#0: steps 0,1 then truncates at dangling b
+    assert {(r["step"], r["url"]) for r in out} == {(0, "a"), (1, "b")}
+    import pytest as _pytest
+
+    for bad in ({"p": 0.0}, {"q": -1.0}):
+        with _pytest.raises(ValueError):
+            node2vec_walks(e, walk_length=1, **bad)

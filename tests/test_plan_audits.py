@@ -882,3 +882,21 @@ def test_ql_query_side_broadcasts_corpus_never_moves(spark, docs_path):
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_node2vec_partial_aggregated_no_python(spark):
+    # the per-step draw must partially aggregate (map-side min_by combine
+    # — the O(#walks) shuffle claim) and stay JVM-side; joins are hash
+    # equi-joins, never a cartesian classification of (prev, dst)
+    from pagerank_spark.operators.walks import node2vec_walks
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    plan = _physical(node2vec_walks(e, walk_length=2, p=4.0, q=0.25))
+    assert "partial_min_by" in plan or "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
