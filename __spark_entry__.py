@@ -2252,6 +2252,47 @@ N2V_P = 4.0    # 1/p = 0.25 — exact binary double, no cross-engine wobble
 N2V_Q = 0.25   # 1/q = 4.0
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap XML parsing (operators/crawl.py sitemap_entries): bodies
+    are synthesized generatively — every 10th doc a sitemapindex (two
+    <sitemap> entries, is_index witnessed), the rest urlsets with an
+    entity-escaped whitespace-padded loc + lastmod + priority, a clean
+    loc with a MALFORMED priority (try_cast NULL), and a loc-less entry
+    that must be dropped. The oracle emits the expected flat rows in
+    closed form — any parser deviation hash-mismatches."""
+    from pagerank_spark.operators.crawl import sitemap_entries
+
+    d = F.col("doc_id")
+    site = F.concat(F.lit("www.site"), (d % 50).cast("string"), F.lit(".test"))
+    smurl = F.concat(site, F.lit("/sitemap"), d.cast("string"), F.lit(".xml"))
+    lastmod = F.concat(
+        F.lit("2026-01-"), F.lpad(((d % 28) + 1).cast("string"), 2, "0")
+    )
+    urlset = F.concat(
+        F.lit("<?xml version='1.0'?><urlset><url><loc>  http://"), site,
+        F.lit("/p"), d.cast("string"), F.lit("?a=1&amp;b=2  </loc><lastmod>"),
+        lastmod,
+        F.lit("</lastmod><priority>0.5</priority></url>"
+              "<url><loc>http://"), site,
+        F.lit("/q"), d.cast("string"),
+        F.lit("</loc><priority>high</priority></url>"
+              "<url><lastmod>2026-01-01</lastmod></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>http://"), site,
+        F.lit("/sm/"), d.cast("string"),
+        F.lit("/1.xml</loc><lastmod>2026-03-15</lastmod></sitemap>"
+              "<sitemap><loc>http://"), site,
+        F.lit("/sm/"), d.cast("string"),
+        F.lit("/2.xml</loc></sitemap></sitemapindex>"),
+    )
+    sitemaps = _docs(spark, sf_dir).select(
+        smurl.alias("sitemap_url"),
+        F.when(d % 10 == 0, index).otherwise(urlset).alias("body"),
+    )
+    return sitemap_entries(sitemaps)
+
+
 def q_node2vec_walks(spark, sf_dir):
     """Deterministic node2vec second-order biased walks over the ingested
     U graph's 1/outdeg weights (operators/walks.py node2vec_walks):
@@ -2898,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_edges": q_canonical_edges,
         "ql_topk": q_ql_topk,
         "node2vec_walks": q_node2vec_walks,
+        "sitemap_entries": q_sitemap_entries,
     }
 
 
@@ -5326,6 +5368,35 @@ WITH {INGEST_CTE},
 {",".join(_nvparts)},
 allnv AS ({_nvunion})
 SELECT walk_id, CAST(step AS INT) AS step, url FROM allnv
+"""
+
+    # sitemap parsing: the generative formula behind q_sitemap_entries —
+    # expected flat rows in closed form (urlset: decoded+trimmed loc with
+    # lastmod+0.5, clean loc with malformed-priority NULL, loc-less entry
+    # absent; every 10th doc a 2-entry sitemapindex)
+    _sm_site = "'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test'"
+    _sm_url = f"{_sm_site} || '/sitemap' || CAST(doc_id AS VARCHAR) || '.xml'"
+    sqls["sitemap_entries"] = f"""
+SELECT {_sm_url} AS sitemap_url,
+       'http://' || {_sm_site} || '/p' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+       CAST(0.5 AS DOUBLE) AS priority, FALSE AS is_index
+FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT {_sm_url},
+       'http://' || {_sm_site} || '/q' || CAST(doc_id AS VARCHAR),
+       NULL, NULL, FALSE
+FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT {_sm_url},
+       'http://' || {_sm_site} || '/sm/' || CAST(doc_id AS VARCHAR) || '/1.xml',
+       '2026-03-15', NULL, TRUE
+FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT {_sm_url},
+       'http://' || {_sm_site} || '/sm/' || CAST(doc_id AS VARCHAR) || '/2.xml',
+       NULL, NULL, TRUE
+FROM documents WHERE doc_id % 10 = 0
 """
 
     # per-host link locality: one src-host groupBy over the page edges,

@@ -792,6 +792,11 @@ def run_suite(spark, sf_dir: str) -> dict:
     entry_mod.q_canonical_edges(spark, sf_dir).count()
     timings["canonical_edges"] = time.monotonic() - t0
 
+    # sitemap XML parse (pure JVM regex, zero shuffle)
+    t0 = time.monotonic()
+    entry_mod.q_sitemap_entries(spark, sf_dir).count()
+    timings["sitemap_entries"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -328,3 +328,76 @@ def recrawl_schedule(
         "lambda_per_day",
         F.round(interval, 6).alias("revisit_days"),
     )
+
+
+# sitemap XML field patterns: non-greedy DOTALL blocks, whitespace-trimmed
+# loc text (Java regex and DuckDB RE2 agree on all of these)
+_SM_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_SM_IDX_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
+_SM_LOC_RE = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_SM_LASTMOD_RE = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+_SM_PRIORITY_RE = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+
+def _sm_decode(c):
+    """Decode the five predefined XML entities (sitemap locs must escape
+    & as &amp; etc. — sitemaps.org protocol). &amp; is decoded LAST so
+    double-escaped text cannot cascade."""
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def sitemap_entries(
+    sitemaps: DataFrame,
+    url_col: str = "sitemap_url",
+    text_col: str = "body",
+) -> DataFrame:
+    """Parse sitemap XML bodies (sitemaps.org protocol) into the flat
+    entry table (sitemap_url, loc, lastmod, priority, is_index) — one row
+    per ``<url>`` entry of a urlset, or per ``<sitemap>`` entry of a
+    sitemapindex (``is_index = true``; a crawler fetches those
+    recursively). ``loc`` is entity-decoded and whitespace-trimmed;
+    ``lastmod`` stays a string (W3C datetime, caller parses);
+    ``priority`` try_casts to double (malformed -> NULL); entries without a non-empty ``<loc>`` are dropped.
+
+    This closes the crawl-discovery loop next to robots_rules /
+    meta_robots / canonical / redirects: sitemap locs minus already-
+    crawled urls IS the seeded frontier, and ``priority``/``lastmod``
+    feed recrawl_schedule's interval model.
+
+    Scale shape: pure Column regexes — one codegen'd scan of the sitemap
+    table, two JVM-side explodes (url-blocks, sitemap-blocks), zero
+    Python, zero shuffle; sitemap files are capped at 50k entries by the
+    protocol, so a block array is at most ~50k short strings.
+    """
+    base = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"), F.col(text_col).alias("_b")
+    )
+    out = []
+    for block_re, is_index in ((_SM_URL_BLOCK_RE, False), (_SM_IDX_BLOCK_RE, True)):
+        blocks = base.select(
+            "sitemap_url",
+            F.explode(
+                F.regexp_extract_all(F.col("_b"), F.lit(block_re), 1)
+            ).alias("_blk"),
+        )
+        out.append(
+            blocks.select(
+                "sitemap_url",
+                _sm_decode(
+                    F.regexp_extract(F.col("_blk"), _SM_LOC_RE, 1)
+                ).alias("loc"),
+                F.nullif(
+                    F.regexp_extract(F.col("_blk"), _SM_LASTMOD_RE, 1), F.lit("")
+                ).alias("lastmod"),
+                F.nullif(
+                    F.regexp_extract(F.col("_blk"), _SM_PRIORITY_RE, 1), F.lit("")
+                ).try_cast("double").alias("priority"),
+                F.lit(is_index).alias("is_index"),
+            ).where(F.col("loc") != "")
+        )
+    return out[0].unionByName(out[1])

@@ -198,3 +198,50 @@ def test_recrawl_schedule_budget_and_clamps(spark):
     # never-changing pages clamp to the max when they make the budget
     rows2 = recrawl_schedule(rates, budget=4).collect()
     assert {r["url"]: r["revisit_days"] for r in rows2}["cold"] == pytest.approx(365.0)
+
+
+def test_sitemap_entries_urlset_and_index(spark):
+    """urlset entries (loc trim + entity decode, optional lastmod and
+    priority, malformed priority -> NULL, loc-less entry dropped) and
+    sitemapindex entries (is_index=true)."""
+    from pagerank_spark.operators.crawl import sitemap_entries
+
+    urlset = (
+        "<?xml version='1.0'?><urlset>"
+        "<url><loc> http://a.test/p?x=1&amp;y=2 </loc>"
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
+        "<url><loc>http://a.test/q</loc><priority>high</priority></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://b.test/sitemap1.xml</loc>"
+        "<lastmod>2026-02-03</lastmod></sitemap>"
+        "<sitemap><loc>http://b.test/sitemap2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.test/sitemap.xml", urlset), ("b.test/sitemap.xml", index)],
+        ["sitemap_url", "body"],
+    )
+    rows = {(r["sitemap_url"], r["loc"]): r
+            for r in sitemap_entries(df).collect()}
+    assert len(rows) == 4
+    r1 = rows[("a.test/sitemap.xml", "http://a.test/p?x=1&y=2")]
+    assert (r1["lastmod"], r1["priority"], r1["is_index"]) == (
+        "2026-01-02", 0.8, False)
+    r2 = rows[("a.test/sitemap.xml", "http://a.test/q")]
+    assert r2["priority"] is None and r2["lastmod"] is None
+    r3 = rows[("b.test/sitemap.xml", "http://b.test/sitemap1.xml")]
+    assert r3["is_index"] and r3["lastmod"] == "2026-02-03"
+    assert ("b.test/sitemap.xml", "http://b.test/sitemap2.xml") in rows
+
+
+def test_sitemap_entity_decode_order(spark):
+    """&amp;lt; decodes to &lt; (one level), never cascades to <."""
+    from pagerank_spark.operators.crawl import sitemap_entries
+
+    body = "<urlset><url><loc>http://a.test/p?v=&amp;lt;x</loc></url></urlset>"
+    df = spark.createDataFrame([("s", body)], ["sitemap_url", "body"])
+    assert sitemap_entries(df).collect()[0]["loc"] == "http://a.test/p?v=&lt;x"

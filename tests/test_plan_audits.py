@@ -900,3 +900,18 @@ def test_node2vec_partial_aggregated_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_sitemap_entries_zero_python_zero_shuffle(spark):
+    # pure Column regex parse: one scan per arm, JVM Generate explodes,
+    # no Python crossing, no Exchange anywhere
+    from pagerank_spark.operators.crawl import sitemap_entries
+
+    df = spark.createDataFrame(
+        [("s", "<urlset><url><loc>http://a.test/p</loc></url></urlset>")],
+        ["sitemap_url", "body"],
+    )
+    plan = _physical(sitemap_entries(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
