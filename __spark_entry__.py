@@ -1871,6 +1871,22 @@ def q_bm25_topk(spark, sf_dir):
 
 
 QL_MU_Q = 150.0
+PHRASE_TERMS = ["a", "a"]
+PHRASE_K = 25
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact-phrase retrieval over the positional index
+    (operators/textsearch.py phrase_topk): m-1 (doc_id, start) equi-joins
+    of shifted postings. The repeated-term phrase 'a a' forces the
+    shifted SELF-intersection and overlapping starts ('a a a' counts 2);
+    the twin is a CLOSED-FORM token-array scan (list_filter over
+    candidate starts) — two entirely different computations that must
+    agree. The 3-term chain is pinned by unit test."""
+    from pagerank_spark.operators.textsearch import phrase_topk
+
+    _views(spark, sf_dir, ("documents",))
+    return phrase_topk(spark.table("documents"), PHRASE_TERMS, k=PHRASE_K)
 
 
 def q_ql_topk(spark, sf_dir):
@@ -2940,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_topk": q_ql_topk,
         "node2vec_walks": q_node2vec_walks,
         "sitemap_entries": q_sitemap_entries,
+        "phrase_topk": q_phrase_topk,
     }
 
 
@@ -4789,6 +4806,27 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
        ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+    # exact phrase: CLOSED-FORM token-array scan — candidate start i
+    # (1-based) survives iff every phrase term matches at its offset;
+    # the Spark side intersects shifted postings instead
+    _ph_conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(PHRASE_TERMS)
+    )
+    sqls["phrase_topk"] = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(toks) - {len(PHRASE_TERMS)} + 2),
+                              i -> {_ph_conds})) AS BIGINT) AS tf
+  FROM tk
+)
+SELECT doc_id, tf FROM cnt WHERE tf > 0
+ORDER BY tf DESC, doc_id LIMIT {PHRASE_K}
 """
 
     # Dirichlet query likelihood: per matched term

@@ -382,6 +382,12 @@ def run_suite(spark, sf_dir: str) -> dict:
     ql_topk(docs, ["query", "spark", "window"], k=25, mu=150.0).count()
     timings["ql_topk"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.textsearch import phrase_topk
+
+    t0 = time.monotonic()
+    phrase_topk(docs, ["a", "a"], k=25).count()
+    timings["phrase_topk"] = time.monotonic() - t0
+
     from pagerank_spark.operators.dedup import paragraph_dedup
 
     para_docs = docs.selectExpr(

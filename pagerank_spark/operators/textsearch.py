@@ -194,6 +194,57 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
 
 
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional posting entries (doc_id, term, pos) — 0-based token
+    positions, one row per token occurrence. The position-aware index
+    phrase and proximity queries need (Lucene's positions stream); same
+    tokenizer as :func:`postings` so the vocabularies align. One
+    posexplode — shuffle only happens when a consumer aggregates."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term"),
+    ).select("doc_id", "term", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrase: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over the positional index: top-``k``
+    (doc_id, tf) where tf counts the phrase's start positions (overlapping
+    matches each count — ["a","a"] in "a a a" has tf 2), tf descending
+    then doc_id ascending.
+
+    The classic positional-index intersection (Manning/IR ch. 2): term j
+    of the phrase contributes its postings shifted to the candidate START
+    s = pos - j, and a start survives iff every term produced it — m-1
+    hash equi-joins on (doc_id, s). Each term's filter pushes into the
+    posting scan, so only the phrase terms' postings ever shuffle
+    (stopword-in-phrase skew lands on AQE like the index builds); the
+    final count is one partial agg and the cut TakeOrderedAndProject.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    terms = [str(t) for t in phrase]
+    post = positional_postings(docs, text_col=text_col, id_col=id_col)
+    cur = (
+        post.where(F.col("term") == terms[0])
+        .select("doc_id", F.col("pos").alias("s"))
+    )
+    for j, t in enumerate(terms[1:], start=1):
+        pj = post.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - j).alias("s")
+        )
+        cur = cur.join(pj, ["doc_id", "s"])
+    scored = cur.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    return scored.orderBy(F.desc("tf"), F.col("doc_id")).limit(k)
+
+
 QL_MU = 2000.0
 
 

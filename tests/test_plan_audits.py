@@ -915,3 +915,16 @@ def test_sitemap_entries_zero_python_zero_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
     assert "Generate" in plan, plan
+
+
+def test_phrase_topk_pushed_filters_no_global_sort(spark, docs_path):
+    # each phrase term's equality filter must reach the scan side (only
+    # matching postings shuffle), joins are hash equi-joins, the cut is
+    # TakeOrderedAndProject, everything JVM-side
+    from pagerank_spark.operators.textsearch import phrase_topk
+
+    plan = _physical(phrase_topk(spark.read.parquet(docs_path), ["doc", "words"], k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

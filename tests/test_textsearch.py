@@ -244,3 +244,44 @@ def test_ql_length_prior_prefers_short_doc_on_equal_tf(spark):
     out = ql_topk(docs, ["cats"], k=2, mu=10.0).collect()
     assert [r["doc_id"] for r in out] == [1, 2]
     assert out[0]["score"] > out[1]["score"]
+
+
+def test_phrase_topk_chain_overlap_and_cut(spark):
+    """3-term chain, overlapping repeated-term matches, tf ordering and
+    the k cut with doc_id tie-break."""
+    from pagerank_spark.operators.textsearch import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the quick brown hare"),
+            (2, "quick brown quick brown fox"),
+            (3, "a a a a"),
+            (4, "brown quick nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["tf"]
+           for r in phrase_topk(docs, ["quick", "brown"], k=10).collect()}
+    assert got == {1: 2, 2: 2}
+    got3 = {r["doc_id"]: r["tf"]
+            for r in phrase_topk(docs, ["quick", "brown", "fox"], k=10).collect()}
+    assert got3 == {1: 1, 2: 1}
+    # overlapping starts: 'a a a a' has three 'a a' starts
+    gota = {r["doc_id"]: r["tf"]
+            for r in phrase_topk(docs, ["a", "a"], k=10).collect()}
+    assert gota == {3: 3}
+    # cut + tie-break: equal tf -> lowest doc_id survives
+    top1 = phrase_topk(docs, ["quick", "brown"], k=1).collect()
+    assert [(r["doc_id"], r["tf"]) for r in top1] == [(1, 2)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_topk(docs, [])
+
+
+def test_positional_postings_shape(spark):
+    from pagerank_spark.operators.textsearch import positional_postings
+
+    docs = spark.createDataFrame([(7, "b a b")], ["doc_id", "text"])
+    rows = {(r["term"], r["pos"]) for r in positional_postings(docs).collect()}
+    assert rows == {("b", 0), ("a", 1), ("b", 2)}
