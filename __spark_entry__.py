@@ -2268,6 +2268,24 @@ N2V_P = 4.0    # 1/p = 0.25 — exact binary double, no cross-engine wobble
 N2V_Q = 0.25   # 1/q = 4.0
 
 
+CHUNK_SIZE = 40
+CHUNK_STRIDE = 30
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window context-length chunking with a full-size ragged
+    tail (operators/sampling.py chunk_documents) — size 40 / stride 30
+    over the documents table; the twin recomputes chunk_id from the
+    closed form start DIV stride (+1 for the tail) instead of the
+    explode ordinal."""
+    from pagerank_spark.operators.sampling import chunk_documents
+
+    _views(spark, sf_dir, ("documents",))
+    return chunk_documents(
+        spark.table("documents"), size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
 def q_sitemap_entries(spark, sf_dir):
     """Sitemap XML parsing (operators/crawl.py sitemap_entries): bodies
     are synthesized generatively — every 10th doc a sitemapindex (two
@@ -2957,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "sitemap_entries": q_sitemap_entries,
         "phrase_topk": q_phrase_topk,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -4827,6 +4846,33 @@ cnt AS (
 )
 SELECT doc_id, tf FROM cnt WHERE tf > 0
 ORDER BY tf DESC, doc_id LIMIT {PHRASE_K}
+"""
+
+    # sliding-window chunking: closed-form chunk_id (start DIV stride,
+    # +1 for the ragged tail) — independent of the Spark explode ordinal
+    sqls["chunk_documents"] = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+st AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= {CHUNK_SIZE} THEN [0]
+              WHEN (n - {CHUNK_SIZE}) % {CHUNK_STRIDE} <> 0
+                THEN list_append(range(0, n - {CHUNK_SIZE} + 1, {CHUNK_STRIDE}),
+                                 n - {CHUNK_SIZE})
+              ELSE range(0, n - {CHUNK_SIZE} + 1, {CHUNK_STRIDE}) END AS starts
+  FROM tk
+),
+ex AS (SELECT doc_id, t, n, unnest(starts) AS s FROM st)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE}
+            + CASE WHEN s % {CHUNK_STRIDE} <> 0 THEN 1 ELSE 0 END AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start,
+       CAST(least({CHUNK_SIZE}, n - s) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[s + 1 : s + least({CHUNK_SIZE}, n - s)], ' ') AS chunk_text
+FROM ex
 """
 
     # Dirichlet query likelihood: per matched term

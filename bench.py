@@ -790,6 +790,13 @@ def run_suite(spark, sf_dir: str) -> dict:
     quantile_buckets(qb_v, "n_tokens", k=10).count()
     timings["curriculum_buckets"] = time.monotonic() - t0
 
+    # sliding-window chunking (zero-shuffle scan)
+    from pagerank_spark.operators.sampling import chunk_documents
+
+    t0 = time.monotonic()
+    chunk_documents(docs, size=40, stride=30).count()
+    timings["chunk_documents"] = time.monotonic() - t0
+
     # canonical extraction + chain-resolved edge rewrite (parser Arrow
     # pass + pointer doubling + two anti/left join rewrites)
     import __spark_entry__ as entry_mod

@@ -489,3 +489,70 @@ def quantile_buckets(
     bucket = F.expr(f"CAST((_cum * {int(k)} + _n - 1) DIV _n AS BIGINT)")
     buckets = cum.select(value_col, bucket.alias("bucket"))
     return v.join(buckets, value_col).select(id_col, value_col, "bucket")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, start, n_chunk_tokens, chunk_text) — sliding-
+    window document chunking, the context-length prep step between
+    cleaning and ``pack_sequences``: whitespace-token windows of ``size``
+    starting every ``stride`` tokens (default non-overlapping), with a
+    FULL-SIZE tail window anchored at ``n - size`` when the last step
+    would otherwise leave a ragged remainder (the HF
+    return_overflowing_tokens convention — every token is covered, every
+    chunk except a short-doc's single one is exactly ``size`` tokens).
+    A doc with ``n <= size`` yields one chunk of all its tokens.
+
+    Scale shape: starts are built with ``sequence()`` and fanned out by
+    one JVM posexplode — pure Column expressions, one codegen'd scan,
+    ZERO shuffle (chunking is embarrassingly parallel); the slice/join
+    of chunk text never re-tokenizes (one split per doc). chunk_id is
+    the 0-based window ordinal (== start DIV stride, +1 for the ragged
+    tail — the closed form the DuckDB twin recomputes independently of
+    the explode ordinal).
+    """
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    step = size if stride is None else stride
+    if step < 1:
+        raise ValueError("stride must be >= 1")
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t"), F.size(toks).alias("_n")
+    )
+    seq = F.sequence(F.lit(0), F.col("_n") - size, F.lit(step))
+    ragged = (F.col("_n") > size) & (((F.col("_n") - size) % step) != 0)
+    starts = (
+        F.when(F.col("_n") <= size, F.array(F.lit(0)))
+        .when(ragged, F.concat(seq, F.array(F.col("_n") - size)))
+        .otherwise(seq)
+    )
+    return (
+        base.select(
+            "doc_id",
+            "_t",
+            "_n",
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start"),
+            F.least(F.lit(size), F.col("_n") - F.col("start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("_t"),
+                    F.col("start") + 1,
+                    F.least(F.lit(size), F.col("_n") - F.col("start")),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -928,3 +928,14 @@ def test_phrase_topk_pushed_filters_no_global_sort(spark, docs_path):
     assert "rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_chunk_documents_zero_shuffle_single_generate(spark, docs_path):
+    # chunking is embarrassingly parallel: one scan, one JVM posexplode,
+    # no Exchange, no Python
+    from pagerank_spark.operators.sampling import chunk_documents
+
+    plan = _physical(chunk_documents(spark.read.parquet(docs_path), size=40, stride=30))
+    assert "Exchange" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

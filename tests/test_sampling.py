@@ -347,3 +347,50 @@ def test_quantile_buckets_skewed_tie_block(spark):
     got = {r["doc_id"]: r["bucket"] for r in quantile_buckets(df, "val", k=10).collect()}
     assert all(got[i] == 9 for i in range(90))  # ceil(10*90/100) = 9
     assert got[99] == 10
+
+
+def test_chunk_documents_windows_and_ragged_tail(spark):
+    from pagerank_spark.operators.sampling import chunk_documents
+
+    # 10 tokens, size 4, stride 3: starts 0,3,6 then ragged tail at 6?
+    # (10-4)=6, 6%3==0 -> no tail; starts 0,3,6 cover tokens 0..9
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r["chunk_id"], r["start"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, size=4, stride=3).collect()
+    )
+    assert rows == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 4, "t3 t4 t5 t6"),
+        (2, 6, 4, "t6 t7 t8 t9"),
+    ]
+    # 11 tokens: (11-4)=7, 7%3=1 -> full-size tail anchored at 7
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11)))], ["doc_id", "text"]
+    )
+    rows2 = sorted(
+        (r["chunk_id"], r["start"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs2, size=4, stride=3).collect()
+    )
+    assert rows2 == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 7, 4)]
+
+
+def test_chunk_documents_short_and_empty_doc(spark):
+    from pagerank_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: (r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+           for r in chunk_documents(docs, size=8).collect()}
+    assert got[1] == (0, 3, "only three tokens")
+    # empty text splits to [''] — one 1-token chunk of the empty string
+    assert got[2] == (0, 1, "")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=4, stride=0)
