@@ -2268,6 +2268,20 @@ N2V_P = 4.0    # 1/p = 0.25 — exact binary double, no cross-engine wobble
 N2V_Q = 0.25   # 1/q = 4.0
 
 
+WL_ROUNDS = 2
+
+
+def q_wl_labels(spark, sf_dir):
+    """Directed 1-WL color refinement over the ingested U graph
+    (operators/wl.py wl_refinement): 2 rounds of the hub-safe
+    commutative multiset hash (per-side md5_60 sums in DECIMAL +
+    counts) — the twin unrolls the same folds per round."""
+    from pagerank_spark.operators.wl import wl_refinement
+
+    g = _graph_u(spark, sf_dir)
+    return wl_refinement(g.edges, rounds=WL_ROUNDS)
+
+
 CHUNK_SIZE = 40
 CHUNK_STRIDE = 30
 
@@ -2976,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "phrase_topk": q_phrase_topk,
         "chunk_documents": q_chunk_documents,
+        "wl_labels": q_wl_labels,
     }
 
 
@@ -5452,6 +5467,46 @@ WITH {INGEST_CTE},
 {",".join(_nvparts)},
 allnv AS ({_nvunion})
 SELECT walk_id, CAST(step AS INT) AS step, url FROM allnv
+"""
+
+    # directed 1-WL refinement: per round an out-fold (keyed src) and an
+    # in-fold (keyed dst) of md5_60(label) DECIMAL sums + counts, combined
+    # with the vertex's own label — see operators/wl.py wl_refinement
+    _wl_parts = [
+        "wlv AS (SELECT DISTINCT url FROM ("
+        "SELECT src AS url FROM uedges UNION ALL SELECT dst FROM uedges))",
+        "wl0 AS (SELECT url, CAST(0 AS BIGINT) AS lab FROM wlv)",
+    ]
+    _wl_h = HEX15.format(x="CAST(l.lab AS VARCHAR)")
+    for _r in range(1, WL_ROUNDS + 1):
+        _wl_parts.append(
+            f"wlo{_r} AS (SELECT e.src AS url, "
+            f"SUM(CAST(({_wl_h}) AS DECIMAL(38,0))) AS s, "
+            f"CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM uedges e JOIN wl{_r - 1} l ON l.url = e.dst GROUP BY e.src)"
+        )
+        _wl_parts.append(
+            f"wli{_r} AS (SELECT e.dst AS url, "
+            f"SUM(CAST(({_wl_h}) AS DECIMAL(38,0))) AS s, "
+            f"CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM uedges e JOIN wl{_r - 1} l ON l.url = e.src GROUP BY e.dst)"
+        )
+        _wl_cat = (
+            "CAST(w.lab AS VARCHAR) || '|' || "
+            "CAST(COALESCE(o.s, 0) AS VARCHAR) || '|' || "
+            "CAST(COALESCE(o.c, 0) AS VARCHAR) || '|' || "
+            "CAST(COALESCE(i.s, 0) AS VARCHAR) || '|' || "
+            "CAST(COALESCE(i.c, 0) AS VARCHAR)"
+        )
+        _wl_parts.append(
+            f"wl{_r} AS (SELECT w.url, {HEX15.format(x=_wl_cat)} AS lab "
+            f"FROM wl{_r - 1} w LEFT JOIN wlo{_r} o USING (url) "
+            f"LEFT JOIN wli{_r} i USING (url))"
+        )
+    sqls["wl_labels"] = f"""
+WITH {INGEST_CTE},
+{",".join(_wl_parts)}
+SELECT url, lab AS wl_label FROM wl{WL_ROUNDS}
 """
 
     # sitemap parsing: the generative formula behind q_sitemap_entries —

@@ -636,6 +636,12 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["node2vec_walks4"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.wl import wl_refinement
+
+    t0 = time.monotonic()
+    wl_refinement(graph.edges, rounds=2).count()
+    timings["wl_labels2"] = time.monotonic() - t0
+
     # host-conditional boilerplate line removal over documents
     from pagerank_spark.operators.dedup import host_boilerplate
 

@@ -939,3 +939,18 @@ def test_chunk_documents_zero_shuffle_single_generate(spark, docs_path):
     assert "Exchange" not in plan, plan
     assert plan.count("Generate") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_wl_partial_aggregated_folds_no_python(spark):
+    # the per-side multiset folds must map-side combine (hub fan-in
+    # collapses before the wire) and stay JVM-side; no global sort
+    from pagerank_spark.operators.wl import wl_refinement
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    plan = _physical(wl_refinement(e, rounds=1, materialize=False))
+    assert "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
