@@ -1574,6 +1574,24 @@ def q_graph_diff(spark, sf_dir):
     return edge_diff(spark.sql(SNAP_OLD_SQL), spark.sql(SNAP_NEW_SQL))
 
 
+def q_incremental_components(spark, sf_dir):
+    """Incremental connected components on the re-crawl append
+    (operators/components.py incremental_components): base labels from
+    the old snapshot + the added-edge delta contracted through them —
+    BIT-IDENTICAL to a from-scratch run on the union, which is exactly
+    what the twin computes (full min-label closure on old ∪ new)."""
+    from pagerank_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    _views(spark, sf_dir, ("events",))
+    base = spark.sql(SNAP_OLD_SQL)
+    new = spark.sql(SNAP_NEW_SQL)
+    added = new.distinct().join(base, ["src", "dst"], "left_anti")
+    return incremental_components(connected_components(base), added)
+
+
 def q_degree_delta(spark, sf_dir):
     """Per-vertex connectivity change between re-crawl snapshots
     (operators/graphdiff.py degree_delta): distinct-edge out/in degrees
@@ -2991,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "chunk_documents": q_chunk_documents,
         "wl_labels": q_wl_labels,
+        "incremental_components": q_incremental_components,
     }
 
 
@@ -5467,6 +5486,24 @@ WITH {INGEST_CTE},
 {",".join(_nvparts)},
 allnv AS ({_nvunion})
 SELECT walk_id, CAST(step AS INT) AS step, url FROM allnv
+"""
+
+    # incremental CC twin: the ground truth is simply the full min-label
+    # closure on the UNION feed (old ∪ new = base ∪ added)
+    sqls["incremental_components"] = f"""
+WITH RECURSIVE ue AS (({SNAP_OLD_SQL}) UNION ({SNAP_NEW_SQL})),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM ue UNION ALL SELECT dst AS u, src AS v FROM ue)
+  WHERE u <> v
+),
+verts AS (SELECT DISTINCT url FROM (SELECT src AS url FROM ue UNION ALL SELECT dst FROM ue)),
+reach(url, r) AS (
+  SELECT url, url FROM verts
+  UNION
+  SELECT und.u, reach.r FROM reach JOIN und ON und.v = reach.url
+)
+SELECT url, MIN(r) AS component FROM reach GROUP BY url
 """
 
     # directed 1-WL refinement: per round an out-fold (keyed src) and an

@@ -93,8 +93,20 @@ def run_suite(spark, sf_dir: str) -> dict:
     timings["pagerank_csr"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    graph.connected_components().count()
+    base_labels = graph.connected_components()
+    base_labels.count()
     timings["components"] = time.monotonic() - t0
+
+    # incremental CC: time ONLY the delta path (labels given) — append 1%
+    # synthetic edges bridging existing vertices
+    from pagerank_spark.operators.components import incremental_components
+
+    delta = graph.edges.select("src", "dst").limit(
+        max(1, graph.edges.count() // 100)
+    ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    t0 = time.monotonic()
+    incremental_components(base_labels, delta).count()
+    timings["incremental_components"] = time.monotonic() - t0
 
     t0 = time.monotonic()
     graph.label_propagation(max_iterations=3, stop_when_stable=False).count()

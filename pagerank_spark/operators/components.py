@@ -182,3 +182,70 @@ def bipartite_check(
             (F.sum(F.coalesce(F.col("odd"), F.lit(0))) == 0).alias("is_bipartite"),
         )
     )
+
+
+def incremental_components(
+    labels: DataFrame, delta: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """(url, component) for the GROWN graph base ∪ delta, given the base
+    run's ``labels`` (url, component) and only the ``delta`` (src, dst)
+    edge additions — the re-crawl fast path: never touches the base edge
+    table again.
+
+    Contract-then-solve: each delta endpoint maps to its base component
+    (vertices unseen in the base map to themselves), full star-contraction
+    CC runs on that CONTRACTED delta graph — sized by the delta's touched
+    components, not the corpus — and the result composes back over the
+    vertex-sized label table. Correctness: contracting a component to one
+    supervertex preserves the union graph's connectivity quotient, and
+    min-composition preserves the min-member label convention (the
+    contracted ids ARE the base minima, so a min over them is the global
+    min; a brand-new vertex's url never collides with a base component id
+    because ids are urls). The output is therefore BIT-IDENTICAL to a
+    from-scratch ``connected_components`` on base ∪ delta — pinned by
+    test and by the contract twin (a full min-label closure on the union).
+
+    Scale shape: two vertex-sized LEFT joins to translate endpoints, the
+    star-contraction loop on |delta| edges, one label-keyed join back.
+    Edge additions only — a removal can SPLIT a component, which needs
+    the base edges again (run the full operator on the new snapshot; see
+    graphdiff.edge_diff for isolating what changed).
+    """
+    lab = labels.select(
+        F.col("url").cast("string").alias("url"),
+        F.col("component").cast("string").alias("component"),
+    )
+    d = delta.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    mapped = d
+    for col in ("src", "dst"):
+        mapped = (
+            mapped.join(
+                lab.select(
+                    F.col("url").alias(col), F.col("component").alias("_c")
+                ),
+                col,
+                "left",
+            )
+            .withColumn(col, F.coalesce(F.col("_c"), F.col(col)))
+            .drop("_c")
+        )
+    contracted = connected_components(mapped, max_iterations=max_iterations)
+    remap = contracted.select(
+        F.col("url").alias("component"), F.col("component").alias("_new")
+    )
+    base_final = lab.join(remap, "component", "left").select(
+        "url", F.coalesce(F.col("_new"), F.col("component")).alias("component")
+    )
+    delta_verts = (
+        d.select(F.col("src").alias("url"))
+        .union(d.select(F.col("dst").alias("url")))
+        .distinct()
+        .join(lab.select("url"), "url", "left_anti")
+    )
+    new_final = delta_verts.join(
+        contracted.withColumnRenamed("url", "url"), "url"
+    ).select("url", "component")
+    return base_final.unionByName(new_final)

@@ -115,3 +115,51 @@ def test_closeness_depth_cap(spark):
     srcs = spark.createDataFrame([("a",)], ["url"])
     row = closeness_sample(e, srcs, max_depth=2).collect()[0]
     assert row["n_reached"] == 2 and row["total_dist"] == 3
+
+
+def test_incremental_components_matches_full_recompute(spark):
+    """Edge appends: merge two base components, attach a brand-new
+    vertex, add a wholly new component, leave one component untouched —
+    the incremental result must equal a from-scratch run on the union,
+    exactly."""
+    from pagerank_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")], ["src", "dst"]
+    )
+    delta = spark.createDataFrame(
+        [("b", "c"),            # merges {a,b} with {c,d}
+         ("f", "n1"),           # new vertex joins {e,f}
+         ("n2", "n3")],         # wholly new component
+        ["src", "dst"],
+    )
+    base_labels = connected_components(base)
+    inc = {(r["url"], r["component"])
+           for r in incremental_components(base_labels, delta).collect()}
+    full = {(r["url"], r["component"])
+            for r in connected_components(base.union(delta)).collect()}
+    assert inc == full
+    # spot the semantics: merged component labels to global min 'a',
+    # untouched {g,h} keeps 'g', new component labels to 'n2'
+    d = dict(inc)
+    assert d["d"] == "a" and d["g"] == "g" and d["n3"] == "n2" and d["n1"] == "e"
+
+
+def test_incremental_components_new_vertex_becomes_min_label(spark):
+    """A delta vertex lexicographically below the base minimum takes over
+    the merged component's label (the min-member convention survives
+    contraction)."""
+    from pagerank_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame([("m", "z")], ["src", "dst"])
+    delta = spark.createDataFrame([("A", "z")], ["src", "dst"])
+    base_labels = connected_components(base)
+    got = {r["url"]: r["component"]
+           for r in incremental_components(base_labels, delta).collect()}
+    assert got == {"m": "A", "z": "A", "A": "A"}
