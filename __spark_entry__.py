@@ -2286,6 +2286,26 @@ N2V_P = 4.0    # 1/p = 0.25 — exact binary double, no cross-engine wobble
 N2V_Q = 0.25   # 1/q = 4.0
 
 
+def q_cheirank(spark, sf_dir):
+    """CheiRank (Chepelianskii 2010; Zhirov & Shepelyansky): the converged
+    PageRank of the TRANSPOSED graph — ranks pages by how broadly they
+    LINK OUT (communicator/hub score, the directed complement of
+    PageRank's authority score; spam link farms light up here). Pure
+    composition: reverse (src, dst) before LinkGraph ingestion so the
+    1/outdeg weights are the reversed graph's own; the twin runs the
+    shared recursive power-method template over the reversed-edge CTE."""
+    from pagerank_spark.operators.graph_build import LinkGraph
+
+    _views(spark, sf_dir, ("events",))
+    raw = spark.sql(G_SQL).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    g = LinkGraph.from_edges(raw, apply_regex_filter=False)
+    return g.pagerank(alpha=0.85, epsilon=1e-6).select(
+        "url", F.round("rank", 6).alias("rank")
+    )
+
+
 WL_ROUNDS = 2
 
 
@@ -3010,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "wl_labels": q_wl_labels,
         "incremental_components": q_incremental_components,
+        "cheirank": q_cheirank,
     }
 
 
@@ -3050,6 +3071,21 @@ SELECT url, rank FROM pr1
 """
 
     # identical math for both engine paths (join-agg v1 and CSR/Arrow v2)
+    # CheiRank: the SAME recursive power-method template over the
+    # reversed-edge graph CTE (weights = 1/outdeg of the reversal)
+    _rgedge_cte = f"""
+g AS ({G_SQL}),
+rverts AS (
+  SELECT DISTINCT url FROM (SELECT src AS url FROM g UNION ALL SELECT dst FROM g)
+),
+rpc AS (SELECT dst AS src, src AS dst, COUNT(*) AS k FROM g GROUP BY dst, src),
+rod AS (SELECT src, CAST(SUM(k) AS BIGINT) AS outdeg FROM rpc GROUP BY src),
+redges AS (
+  SELECT rpc.src, rpc.dst, CAST(rpc.k AS DOUBLE) / rod.outdeg AS weight
+  FROM rpc JOIN rod USING (src)
+)"""
+    sqls["cheirank"] = _pr_conv_sql(_rgedge_cte, "redges", "rverts")
+
     sqls["pagerank_converged"] = PR_CONV_SQL
     sqls["pagerank_csr"] = PR_CONV_SQL
 
