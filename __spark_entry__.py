@@ -2286,6 +2286,17 @@ N2V_P = 4.0    # 1/p = 0.25 — exact binary double, no cross-engine wobble
 N2V_Q = 0.25   # 1/q = 4.0
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve in ingestion order (operators/textsearch.py
+    vocab_growth) — Heaps'-law diagnostic: per 50-doc bucket, distinct
+    terms first seen there + the running vocabulary size. Exact integers
+    end to end."""
+    from pagerank_spark.operators.textsearch import vocab_growth
+
+    _views(spark, sf_dir, ("documents",))
+    return vocab_growth(spark.table("documents"), bucket_size=50)
+
+
 def q_cheirank(spark, sf_dir):
     """CheiRank (Chepelianskii 2010; Zhirov & Shepelyansky): the converged
     PageRank of the TRANSPOSED graph — ranks pages by how broadly they
@@ -3031,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_labels": q_wl_labels,
         "incremental_components": q_incremental_components,
         "cheirank": q_cheirank,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -4895,6 +4907,24 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
        ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+    # vocabulary growth: term-level MIN(doc_id) first-sight, 50-doc
+    # buckets, running sum over the tiny bucket table
+    sqls["vocab_growth"] = """
+WITH fs AS (
+  SELECT term, CAST(MIN(doc_id) AS BIGINT) AS f FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents) t
+  GROUP BY term
+),
+nt AS (SELECT f // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS new_terms FROM fs GROUP BY 1),
+nd AS (SELECT doc_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+SELECT nd.bucket, nd.n_docs,
+       CAST(COALESCE(nt.new_terms, 0) AS BIGINT) AS new_terms,
+       CAST(SUM(COALESCE(nt.new_terms, 0))
+            OVER (ORDER BY nd.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms
+FROM nd LEFT JOIN nt USING (bucket)
 """
 
     # exact phrase: CLOSED-FORM token-array scan — candidate start i

@@ -669,3 +669,60 @@ def blocklist_filter(
     return docs.join(
         F.broadcast(blocked.select(key_col).distinct()), key_col, "left_anti"
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket_size: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_docs, new_terms, cum_terms) — the corpus's vocabulary
+    growth curve in ingestion order: bucket = doc_id DIV ``bucket_size``,
+    ``new_terms`` = distinct terms whose FIRST occurrence falls in the
+    bucket, ``cum_terms`` the running vocabulary size. Plotting cum_terms
+    against cumulative tokens on log-log axes is the classic Heaps'-law
+    diagnostic (V ~ k·Nᵝ) — the dedup/quality planners read it to see
+    whether a crawl is still finding new language or re-crawling the
+    same pages (the curve flattens).
+
+    Scale shape: one token explode → a term-keyed partial-aggregated
+    MIN(doc_id) (the only corpus-sized shuffle, map-side combined on the
+    term key like the inverted index) → a bucket histogram (tiny) whose
+    running sum is a window over #buckets rows, never row-sized. All
+    exact integers — bit-identical cross-engine.
+    """
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
+    from pyspark.sql import Window
+
+    first = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("doc_id").cast("long").alias("_fs"))
+    )
+    newt = (
+        first.groupBy((F.col("_fs") / bucket_size).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    ndocs = docs.groupBy(
+        (F.col(id_col) / bucket_size).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ndocs.join(newt, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("cum_terms"),
+        )
+    )

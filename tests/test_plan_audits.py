@@ -954,3 +954,14 @@ def test_wl_partial_aggregated_folds_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_growth_partial_min_no_row_sized_window(spark, docs_path):
+    # the only corpus-sized shuffle is the term-keyed partial MIN; the
+    # running-sum window runs over the bucket histogram (no row-sized
+    # rangepartitioning), everything JVM-side
+    from pagerank_spark.operators.textsearch import vocab_growth
+
+    plan = _physical(vocab_growth(spark.read.parquet(docs_path), bucket_size=50))
+    assert "partial_min" in plan or "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

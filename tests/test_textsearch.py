@@ -285,3 +285,21 @@ def test_positional_postings_shape(spark):
     docs = spark.createDataFrame([(7, "b a b")], ["doc_id", "text"])
     rows = {(r["term"], r["pos"]) for r in positional_postings(docs).collect()}
     assert rows == {("b", 0), ("a", 1), ("b", 2)}
+
+
+def test_vocab_growth_hand(spark):
+    from pagerank_spark.operators.textsearch import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (2, "a d e"), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = {r["bucket"]: (r["n_docs"], r["new_terms"], r["cum_terms"])
+            for r in vocab_growth(docs, bucket_size=2).collect()}
+    # bucket 0 (docs 0,1): first-seen a,b,c = 3 new; bucket 1 (docs 2,3):
+    # d,e new — cum 5
+    assert rows == {0: (2, 3, 3), 1: (2, 2, 5)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_growth(docs, bucket_size=0)
