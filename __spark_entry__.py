@@ -2286,6 +2286,19 @@ N2V_P = 4.0    # 1/p = 0.25 — exact binary double, no cross-engine wobble
 N2V_Q = 0.25   # 1/q = 4.0
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 min-max scalar quantization of the embedding corpus
+    (operators/similarity.py quantize_embeddings), exploded to scalar
+    (vec_id, dim, code, dequantized) rows for value hashing. Spark
+    embeds the 64-row dim stats as literal arrays (one zero-join encode
+    scan); the twin recomputes them with a join — different plans, same
+    math, floor(+0.5) so no rounding-mode divergence."""
+    from pagerank_spark.operators.similarity import quantize_embeddings
+
+    _views(spark, sf_dir, ("embeddings",))
+    return quantize_embeddings(spark.table("embeddings"), exploded=True)
+
+
 def q_vocab_growth(spark, sf_dir):
     """Vocabulary growth curve in ingestion order (operators/textsearch.py
     vocab_growth) — Heaps'-law diagnostic: per 50-doc bucket, distinct
@@ -3043,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_components": q_incremental_components,
         "cheirank": q_cheirank,
         "vocab_growth": q_vocab_growth,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -4907,6 +4921,27 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
        ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+    # int8 scalar quantization: per-dim MIN/MAX join (vs Spark's literal
+    # arrays), floor(+0.5) code, dequantized reconstruction
+    sqls["quantize_embeddings"] = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+st AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM el GROUP BY dim),
+co AS (
+  SELECT el.vec_id, el.dim, st.lo, st.hi,
+         CASE WHEN st.hi = st.lo THEN 0
+              ELSE CAST(floor((el.x - st.lo) / (st.hi - st.lo) * 255 + 0.5) AS BIGINT)
+         END AS code
+  FROM el JOIN st USING (dim)
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(code AS BIGINT) AS code,
+       ROUND(lo + code * (hi - lo) / 255, 6) AS dequantized
+FROM co
 """
 
     # vocabulary growth: term-level MIN(doc_id) first-sight, 50-doc

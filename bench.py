@@ -255,6 +255,12 @@ def run_suite(spark, sf_dir: str) -> dict:
     ann_ivf_topk(emb, [0, 1, 2, 3, 4], k=10, n_lists=8, nprobe=2).count()
     timings["ann_ivf"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.similarity import quantize_embeddings
+
+    t0 = time.monotonic()
+    quantize_embeddings(emb).count()
+    timings["quantize_embeddings"] = time.monotonic() - t0
+
     from pagerank_spark.operators.textops import repetition_stats
 
     t0 = time.monotonic()

@@ -228,3 +228,30 @@ def test_lloyd_empty_cell_keeps_previous_centroid(spark):
 
     with __import__("pytest").raises(ValueError):
         ivf_refine(df, cents, rounds=0)
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    """Codes hit 0/255 at the corpus extremes, a constant dimension codes
+    to 0, and dequantization reconstructs within half a step."""
+    from pagerank_spark.operators.similarity import quantize_embeddings
+
+    embs = spark.createDataFrame(
+        [(1, [0.0, 5.0, -2.0]), (2, [10.0, 5.0, 2.0]), (3, [2.5, 5.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {(r["vec_id"], r["dim"]): (r["code"], r["dequantized"])
+            for r in quantize_embeddings(embs, exploded=True).collect()}
+    # dim 0 spans [0,10]: extremes 0 and 255; 2.5 -> floor(63.75+0.5)=64
+    assert rows[(1, 0)][0] == 0 and rows[(2, 0)][0] == 255
+    assert rows[(3, 0)][0] == 64
+    # constant dim 1 -> code 0
+    assert all(rows[(i, 1)][0] == 0 for i in (1, 2, 3))
+    # reconstruction error <= half a quantization step per dim
+    for (vid, dim), (code, deq) in rows.items():
+        orig = {1: [0.0, 5.0, -2.0], 2: [10.0, 5.0, 2.0], 3: [2.5, 5.0, 0.0]}[vid][dim]
+        span = {0: 10.0, 1: 0.0, 2: 4.0}[dim]
+        if span:
+            assert abs(deq - orig) <= span / 255 / 2 + 1e-9
+    # packed form: one codes array per vector
+    packed = quantize_embeddings(embs).collect()
+    assert {r["vec_id"]: list(r["codes"]) for r in packed}[2] == [255, 0, 255]

@@ -965,3 +965,17 @@ def test_vocab_growth_partial_min_no_row_sized_window(spark, docs_path):
     plan = _physical(vocab_growth(spark.read.parquet(docs_path), bucket_size=50))
     assert "partial_min" in plan or "partial" in plan.lower(), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_quantize_encode_pass_zero_join_zero_shuffle(spark):
+    # after the tiny stats collect, the packed encode is ONE codegen'd
+    # scan: literal stat arrays, no join, no Exchange, no Python
+    from pagerank_spark.operators.similarity import quantize_embeddings
+
+    embs = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    plan = _physical(quantize_embeddings(embs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
