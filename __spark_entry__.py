@@ -2286,6 +2286,21 @@ N2V_P = 4.0    # 1/p = 0.25 — exact binary double, no cross-engine wobble
 N2V_Q = 0.25   # 1/q = 4.0
 
 
+ATTACK_KS = (0, 10, 50)
+
+
+def q_attack_robustness(spark, sf_dir):
+    """Targeted hub-removal robustness curve on the G graph
+    (operators/graphstats.py attack_robustness): per k in (0, 10, 50),
+    drop the top-k total-degree vertices (multiplicity-counted, ties by
+    url) and report the largest remaining component's size and fraction.
+    The twin replays each k with the recursive min-label closure."""
+    from pagerank_spark.operators.graphstats import attack_robustness
+
+    _views(spark, sf_dir, ("events",))
+    return attack_robustness(spark.sql(G_SQL), ks=ATTACK_KS)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 min-max scalar quantization of the embedding corpus
     (operators/similarity.py quantize_embeddings), exploded to scalar
@@ -3057,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheirank": q_cheirank,
         "vocab_growth": q_vocab_growth,
         "quantize_embeddings": q_quantize_embeddings,
+        "attack_robustness": q_attack_robustness,
     }
 
 
@@ -4921,6 +4937,37 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
        ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
 FROM contrib GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+    # targeted-attack robustness: per k, hub cut + recursive min-label
+    # closure + one size aggregate
+    sqls["attack_robustness"] = f"""
+WITH RECURSIVE g AS ({G_SQL}),
+abe0 AS (SELECT src, dst FROM g),
+abu0 AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM abe0 UNION ALL SELECT dst AS u, src AS v FROM abe0) WHERE u <> v),
+abv0 AS (SELECT DISTINCT url FROM (SELECT src AS url FROM abe0 UNION ALL SELECT dst FROM abe0)),
+abr0(url, r) AS (SELECT url, url FROM abv0 UNION SELECT abu0.u, abr0.r FROM abr0 JOIN abu0 ON abu0.v = abr0.url),
+abc0 AS (SELECT url, MIN(r) AS comp FROM abr0 GROUP BY url),
+abs0 AS (SELECT comp, COUNT(*) AS s FROM abc0 GROUP BY comp),
+abh10 AS (SELECT url FROM (SELECT url, COUNT(*) AS deg FROM (SELECT src AS url FROM g UNION ALL SELECT dst FROM g) GROUP BY url ORDER BY deg DESC, url LIMIT 10)),
+abe10 AS (SELECT src, dst FROM g WHERE src NOT IN (SELECT url FROM abh10) AND dst NOT IN (SELECT url FROM abh10)),
+abu10 AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM abe10 UNION ALL SELECT dst AS u, src AS v FROM abe10) WHERE u <> v),
+abv10 AS (SELECT DISTINCT url FROM (SELECT src AS url FROM abe10 UNION ALL SELECT dst FROM abe10)),
+abr10(url, r) AS (SELECT url, url FROM abv10 UNION SELECT abu10.u, abr10.r FROM abr10 JOIN abu10 ON abu10.v = abr10.url),
+abc10 AS (SELECT url, MIN(r) AS comp FROM abr10 GROUP BY url),
+abs10 AS (SELECT comp, COUNT(*) AS s FROM abc10 GROUP BY comp),
+abh50 AS (SELECT url FROM (SELECT url, COUNT(*) AS deg FROM (SELECT src AS url FROM g UNION ALL SELECT dst FROM g) GROUP BY url ORDER BY deg DESC, url LIMIT 50)),
+abe50 AS (SELECT src, dst FROM g WHERE src NOT IN (SELECT url FROM abh50) AND dst NOT IN (SELECT url FROM abh50)),
+abu50 AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM abe50 UNION ALL SELECT dst AS u, src AS v FROM abe50) WHERE u <> v),
+abv50 AS (SELECT DISTINCT url FROM (SELECT src AS url FROM abe50 UNION ALL SELECT dst FROM abe50)),
+abr50(url, r) AS (SELECT url, url FROM abv50 UNION SELECT abu50.u, abr50.r FROM abr50 JOIN abu50 ON abu50.v = abr50.url),
+abc50 AS (SELECT url, MIN(r) AS comp FROM abr50 GROUP BY url),
+abs50 AS (SELECT comp, COUNT(*) AS s FROM abc50 GROUP BY comp)
+SELECT CAST(0 AS BIGINT) AS k, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS frac FROM abs0
+UNION ALL
+SELECT CAST(10 AS BIGINT) AS k, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS frac FROM abs10
+UNION ALL
+SELECT CAST(50 AS BIGINT) AS k, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS frac FROM abs50
 """
 
     # int8 scalar quantization: per-dim MIN/MAX join (vs Spark's literal

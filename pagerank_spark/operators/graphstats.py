@@ -522,3 +522,70 @@ def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
             1.0 + F.col("n_tail").cast("double") / F.col("slog").cast("double"), 6
         ).alias("alpha"),
     )
+
+
+def attack_robustness(
+    edges: DataFrame, ks: list[int] | tuple[int, ...] = (0, 10, 50)
+) -> DataFrame:
+    """(k, n_vertices, largest_cc, frac) — the targeted-attack robustness
+    curve (Albert, Jeong & Barabási 2000): remove the top-``k`` vertices
+    by total degree (ties broken by url ascending — deterministic hub
+    sets), and measure the largest connected component of what remains as
+    a fraction of the REMAINING vertices. Scale-free graphs collapse fast
+    under hub removal while staying robust to random failure — the
+    diagnostic a crawl/CDN planner reads off this curve. k=0 rows give
+    the baseline.
+
+    Scale shape per k: one map-side-combined degree aggregate, a top-k
+    hub cut (TakeOrderedAndProject — k is small), two vertex-keyed LEFT
+    ANTI joins against the broadcast hub set, then the star-contraction
+    components run and ONE tiny aggregate; the per-k outputs are one row
+    each, union'd driver-free. The edge table is scanned per k (ks is a
+    handful of thresholds by design).
+    """
+    from pagerank_spark.operators.components import connected_components
+
+    spark = edges.sparkSession
+    e = edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    deg = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    outs = []
+    for k in ks:
+        if k < 0:
+            raise ValueError("k must be >= 0")
+        if k == 0:
+            cut = e
+        else:
+            hubs = deg.orderBy(F.desc("deg"), F.col("url")).limit(int(k)).select("url")
+            cut = e
+            for col in ("src", "dst"):
+                cut = cut.join(
+                    F.broadcast(hubs.withColumnRenamed("url", col)), col, "left_anti"
+                )
+        comp = connected_components(cut)
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_s"))
+        row = sizes.agg(
+            F.sum("_s").cast("long").alias("n_vertices"),
+            F.max("_s").cast("long").alias("largest_cc"),
+        ).select(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.coalesce("n_vertices", F.lit(0)).cast("long").alias("n_vertices"),
+            F.coalesce("largest_cc", F.lit(0)).cast("long").alias("largest_cc"),
+            F.when(
+                F.coalesce("n_vertices", F.lit(0)) > 0,
+                F.round(
+                    F.col("largest_cc").cast("double")
+                    / F.col("n_vertices").cast("double"),
+                    6,
+                ),
+            ).alias("frac"),
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -288,3 +288,24 @@ def test_avg_neighbor_degree_hand(spark):
     assert got[3]["knn"] == pytest.approx(4 / 3, abs=1e-6)
     assert got[1]["n_vertices"] == 1  # just a (a->b)
     assert got[1]["knn"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_attack_robustness_star_collapse(spark):
+    """A hub star plus a 3-cycle: removing the single top-degree hub
+    collapses the giant component to the cycle."""
+    from pagerank_spark.operators.graphstats import attack_robustness
+
+    star = [("h", f"leaf{i}") for i in range(6)]
+    cyc = [("x", "y"), ("y", "z"), ("z", "x")]
+    e = spark.createDataFrame(star + cyc, ["src", "dst"])
+    got = {r["k"]: (r["n_vertices"], r["largest_cc"], r["frac"])
+           for r in attack_robustness(e, ks=(0, 1)).collect()}
+    # baseline: 10 vertices, giant star component of 7
+    assert got[0] == (10, 7, 0.7)
+    # hub removed: leaves become isolated — they vanish with their only
+    # edges; remaining graph is the 3-cycle
+    assert got[1] == (3, 3, 1.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        attack_robustness(e, ks=(-1,))
