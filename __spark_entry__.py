@@ -2301,6 +2301,22 @@ def q_attack_robustness(spark, sf_dir):
     return attack_robustness(spark.sql(G_SQL), ks=ATTACK_KS)
 
 
+FAIL_FRACS = (0.0, 0.1, 0.3)
+FAIL_SEED = "fail"
+
+
+def q_random_failure(spark, sf_dir):
+    """Random-failure robustness curve on the G graph
+    (operators/graphstats.py random_failure): per frac, vertices die by
+    the deterministic md5 coin and the largest remaining component is
+    measured — read against attack_robustness for the AJB scale-free
+    contrast. The twin replays the same coin + min-label closure."""
+    from pagerank_spark.operators.graphstats import random_failure
+
+    _views(spark, sf_dir, ("events",))
+    return random_failure(spark.sql(G_SQL), fracs=FAIL_FRACS, seed=FAIL_SEED)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 min-max scalar quantization of the embedding corpus
     (operators/similarity.py quantize_embeddings), exploded to scalar
@@ -3073,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "quantize_embeddings": q_quantize_embeddings,
         "attack_robustness": q_attack_robustness,
+        "random_failure": q_random_failure,
     }
 
 
@@ -4968,6 +4985,37 @@ UNION ALL
 SELECT CAST(10 AS BIGINT) AS k, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS frac FROM abs10
 UNION ALL
 SELECT CAST(50 AS BIGINT) AS k, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS frac FROM abs50
+"""
+
+    # random-failure robustness: same md5 coin as the Spark side, per
+    # frac a filtered min-label closure + one size aggregate
+    _rf_us = U01.format(x=f"'{FAIL_SEED},' || src")
+    _rf_ud = U01.format(x=f"'{FAIL_SEED},' || dst")
+    sqls["random_failure"] = f"""
+WITH RECURSIVE g AS ({G_SQL}),
+rfe0 AS (SELECT src, dst FROM g WHERE ({_rf_us}) >= 0.0 AND ({_rf_ud}) >= 0.0),
+rfu0 AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM rfe0 UNION ALL SELECT dst AS u, src AS v FROM rfe0) WHERE u <> v),
+rfv0 AS (SELECT DISTINCT url FROM (SELECT src AS url FROM rfe0 UNION ALL SELECT dst FROM rfe0)),
+rfr0(url, r) AS (SELECT url, url FROM rfv0 UNION SELECT rfu0.u, rfr0.r FROM rfr0 JOIN rfu0 ON rfu0.v = rfr0.url),
+rfc0 AS (SELECT url, MIN(r) AS comp FROM rfr0 GROUP BY url),
+rfs0 AS (SELECT comp, COUNT(*) AS s FROM rfc0 GROUP BY comp),
+rfe1 AS (SELECT src, dst FROM g WHERE ({_rf_us}) >= 0.1 AND ({_rf_ud}) >= 0.1),
+rfu1 AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM rfe1 UNION ALL SELECT dst AS u, src AS v FROM rfe1) WHERE u <> v),
+rfv1 AS (SELECT DISTINCT url FROM (SELECT src AS url FROM rfe1 UNION ALL SELECT dst FROM rfe1)),
+rfr1(url, r) AS (SELECT url, url FROM rfv1 UNION SELECT rfu1.u, rfr1.r FROM rfr1 JOIN rfu1 ON rfu1.v = rfr1.url),
+rfc1 AS (SELECT url, MIN(r) AS comp FROM rfr1 GROUP BY url),
+rfs1 AS (SELECT comp, COUNT(*) AS s FROM rfc1 GROUP BY comp),
+rfe2 AS (SELECT src, dst FROM g WHERE ({_rf_us}) >= 0.3 AND ({_rf_ud}) >= 0.3),
+rfu2 AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM rfe2 UNION ALL SELECT dst AS u, src AS v FROM rfe2) WHERE u <> v),
+rfv2 AS (SELECT DISTINCT url FROM (SELECT src AS url FROM rfe2 UNION ALL SELECT dst FROM rfe2)),
+rfr2(url, r) AS (SELECT url, url FROM rfv2 UNION SELECT rfu2.u, rfr2.r FROM rfr2 JOIN rfu2 ON rfu2.v = rfr2.url),
+rfc2 AS (SELECT url, MIN(r) AS comp FROM rfr2 GROUP BY url),
+rfs2 AS (SELECT comp, COUNT(*) AS s FROM rfc2 GROUP BY comp)
+SELECT CAST(0.0 AS DOUBLE) AS frac, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS cc_frac FROM rfs0
+UNION ALL
+SELECT CAST(0.1 AS DOUBLE) AS frac, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS cc_frac FROM rfs1
+UNION ALL
+SELECT CAST(0.3 AS DOUBLE) AS frac, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS cc_frac FROM rfs2
 """
 
     # int8 scalar quantization: per-dim MIN/MAX join (vs Spark's literal

@@ -589,3 +589,59 @@ def attack_robustness(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def random_failure(
+    edges: DataFrame,
+    fracs: list[float] | tuple[float, ...] = (0.0, 0.1, 0.3),
+    seed: str = "fail",
+) -> DataFrame:
+    """(frac, n_vertices, largest_cc, cc_frac) — the RANDOM-failure
+    complement of :func:`attack_robustness` (Albert, Jeong & Barabási
+    2000's second curve): independently remove each VERTEX with
+    probability ``frac`` via the engine's deterministic md5 coin
+    (uniform01(url, seed) < frac — the stratified_sample filter, so
+    re-runs and the twin pick identical victims), drop its incident
+    edges, and measure the largest remaining component. Scale-free
+    graphs barely notice random failure at rates that would be fatal as
+    targeted attacks — reading the two curves together is the point.
+
+    Same per-threshold shape as attack_robustness: a pure-Column filter
+    (no hub table needed at all), the components run, one aggregate.
+    """
+    from pagerank_spark.operators.components import connected_components
+    from pagerank_spark.operators.sampling import uniform01
+
+    e = edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    outs = []
+    for frac in fracs:
+        if not (0.0 <= frac < 1.0):
+            raise ValueError("frac must be in [0, 1)")
+        cut = e.where(
+            (uniform01(F.col("src"), seed) >= frac)
+            & (uniform01(F.col("dst"), seed) >= frac)
+        )
+        comp = connected_components(cut)
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_s"))
+        outs.append(
+            sizes.agg(
+                F.sum("_s").cast("long").alias("n_vertices"),
+                F.max("_s").cast("long").alias("largest_cc"),
+            ).select(
+                F.lit(float(frac)).alias("frac"),
+                F.coalesce("n_vertices", F.lit(0)).cast("long").alias("n_vertices"),
+                F.coalesce("largest_cc", F.lit(0)).cast("long").alias("largest_cc"),
+                F.when(
+                    F.coalesce("n_vertices", F.lit(0)) > 0,
+                    F.round(
+                        F.col("largest_cc").cast("double")
+                        / F.col("n_vertices").cast("double"),
+                        6,
+                    ),
+                ).alias("cc_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -309,3 +309,27 @@ def test_attack_robustness_star_collapse(spark):
 
     with _pytest.raises(ValueError):
         attack_robustness(e, ks=(-1,))
+
+
+def test_random_failure_baseline_and_monotone(spark):
+    from pagerank_spark.operators.graphstats import random_failure
+
+    e = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(40)], ["src", "dst"]
+    )
+    got = {r["frac"]: (r["n_vertices"], r["largest_cc"])
+           for r in random_failure(e, fracs=(0.0, 0.5)).collect()}
+    # frac 0: untouched 41-vertex chain, one component
+    assert got[0.0] == (41, 41)
+    # frac 0.5 on a chain: surviving vertex count drops and the chain
+    # fragments (largest piece strictly smaller)
+    n, big = got[0.5]
+    assert n < 41 and big < 41
+    # determinism: same seed -> identical result
+    again = {r["frac"]: (r["n_vertices"], r["largest_cc"])
+             for r in random_failure(e, fracs=(0.5,)).collect()}
+    assert again[0.5] == got[0.5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        random_failure(e, fracs=(1.0,))
