@@ -2305,6 +2305,40 @@ FAIL_FRACS = (0.0, 0.1, 0.3)
 FAIL_SEED = "fail"
 
 
+def q_page_titles(spark, sf_dir):
+    """<title> extraction (functions/extract.py extract_titles_df) over a
+    generative substrate: markup nested in the title contributes its
+    text, first-of-two wins, an empty title is '' (not NULL), a missing
+    title is NULL, and a script-embedded title never fires. Title text
+    stays inside the frozen extracted-text contract (regression-pinned);
+    the oracle emits the expected strings in closed form."""
+    from pagerank_spark.functions.extract import extract_titles_df
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("www.site"), (d % 50).cast("string"),
+                   F.lit(".test/p"), d.cast("string"))
+    v = d % 4
+    title = (
+        F.when(v == 0, F.concat(
+            F.lit("<title>Page <b>"), d.cast("string"),
+            F.lit("</b> news</title>")))
+        .when(v == 1, F.concat(
+            F.lit("<title>First "), d.cast("string"),
+            F.lit("</title><title>decoy</title>")))
+        .when(v == 2, F.lit("<title></title>"))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<script>var t='<title>fake</title>';</script>"),
+        title,
+        F.lit("<p>body</p>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return extract_titles_df(pages)
+
+
 def q_random_failure(spark, sf_dir):
     """Random-failure robustness curve on the G graph
     (operators/graphstats.py random_failure): per frac, vertices die by
@@ -3090,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "attack_robustness": q_attack_robustness,
         "random_failure": q_random_failure,
+        "page_titles": q_page_titles,
     }
 
 
@@ -5016,6 +5051,18 @@ UNION ALL
 SELECT CAST(0.1 AS DOUBLE) AS frac, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS cc_frac FROM rfs1
 UNION ALL
 SELECT CAST(0.3 AS DOUBLE) AS frac, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS cc_frac FROM rfs2
+"""
+
+    # title extraction: closed-form expected strings per variant
+    sqls["page_titles"] = """
+SELECT 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p' || CAST(doc_id AS VARCHAR) AS url,
+       CASE doc_id % 4
+         WHEN 0 THEN 'Page ' || CAST(doc_id AS VARCHAR) || ' news'
+         WHEN 1 THEN 'First ' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN ''
+         ELSE NULL
+       END AS title
+FROM documents
 """
 
     # int8 scalar quantization: per-dim MIN/MAX join (vs Spark's literal

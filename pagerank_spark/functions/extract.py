@@ -58,6 +58,12 @@ class _TextAndLinks(HTMLParser):
         # case, token match within a multi-token rel; same CDATA shielding
         # as the robots metas)
         self.canonicals: list[str] = []
+        # text of each <title> element, document order; title text ALSO
+        # stays in chunks (the frozen text contract) — this is a parallel
+        # capture, not a reroute
+        self.titles: list[str] = []
+        self._title_depth = 0
+        self._title_chunks: list[str] = []
         self._skip_depth = 0
         self._open_href: str | None = None
         self._open_chunks: list[str] = []
@@ -110,12 +116,20 @@ class _TextAndLinks(HTMLParser):
                 and "canonical" in rel.lower().split()
             ):
                 self.canonicals.append(href)
+        elif tag == "title":
+            if self._title_depth == 0:
+                self._title_chunks = []
+            self._title_depth += 1
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip_depth > 0:
             self._skip_depth -= 1
         elif tag == "a":
             self._finalize_anchor()
+        elif tag == "title" and self._title_depth > 0:
+            self._title_depth -= 1
+            if self._title_depth == 0:
+                self.titles.append(" ".join(self._title_chunks))
 
     def handle_data(self, data):
         if self._skip_depth == 0:
@@ -124,6 +138,8 @@ class _TextAndLinks(HTMLParser):
                 self.chunks.append(s)
                 if self._open_href is not None:
                     self._open_chunks.append(s)
+                if self._title_depth > 0:
+                    self._title_chunks.append(s)
 
     def close(self):
         super().close()
@@ -229,6 +245,17 @@ def extract_canonical_py(html: bytes | None, page_url: str) -> str | None:
     return None
 
 
+def extract_title_py(html: bytes | None) -> str | None:
+    """Reference extractor: the FIRST <title> element's stripped text
+    (chunks joined with one space — identical treatment to body text),
+    or None when no title element exists. Title text remains part of the
+    frozen extracted-text contract; this is a parallel capture. A title
+    inside <script> is CDATA and never fires; an empty <title></title>
+    is the empty string, not None."""
+    titles = _parse(html).titles
+    return titles[0] if titles else None
+
+
 # -- Arrow-vectorized UDFs ----------------------------------------------------
 
 @F.pandas_udf(T.StringType())
@@ -282,6 +309,11 @@ def extract_canonical_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_canonical_py(h, u) for h, u in zip(html, url)], dtype="object"
     )
+
+
+@F.pandas_udf(T.StringType())
+def extract_title_udf(html: pd.Series) -> pd.Series:
+    return pd.Series([extract_title_py(h) for h in html], dtype="object")
 
 
 @F.pandas_udf(_ANCHOR_TYPE)
@@ -393,6 +425,19 @@ def extract_canonicals_df(pages: DataFrame) -> DataFrame:
             ).alias("canonical"),
         )
         .where(F.col("canonical").isNotNull() & (F.col("canonical") != F.col("url")))
+    )
+
+
+def extract_titles_df(pages: DataFrame) -> DataFrame:
+    """(url, title) — one nullable title string per page (NULL = no
+    <title> element). Titles are THE second-ranked on-page relevance
+    field (Lucene-era boosting: title >> body); feed them to
+    :func:`pagerank_spark.operators.textsearch.postings` for a
+    title-field index, or to quality filters (missing/templated titles
+    are a boilerplate signal). One Arrow crossing, null filter stays
+    with the consumer."""
+    return pages.select(
+        "url", extract_title_udf(F.col("html")).alias("title")
     )
 
 

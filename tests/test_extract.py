@@ -405,3 +405,48 @@ def test_canonicals_feed_redirect_resolution(spark):
     edges = {(r["src"], r["dst"])
              for r in rewrite_edges(extract_edges_df(pages), resolved).collect()}
     assert edges == {("h.test/d", "h.test/c")}
+
+
+def test_title_extractor_spec_cases():
+    from pagerank_spark.functions.extract import extract_title_py
+
+    # first title wins; markup inside the title contributes its text
+    html = (
+        b"<title> My <b>Great</b> Page </title>"
+        b"<title>decoy</title><p>body</p>"
+    )
+    assert extract_title_py(html) == "My Great Page"
+    # script-embedded title never fires; empty title is '' not None
+    assert extract_title_py(
+        b"<script>var t='<title>fake</title>';</script><title></title>"
+    ) == ""
+    assert extract_title_py(b"<p>no title</p>") is None
+    assert extract_title_py(None) is None
+
+
+def test_title_rides_along_without_changing_frozen_contract():
+    from pagerank_spark.functions.extract import (
+        extract_hrefs_py,
+        extract_text_py,
+        extract_title_py,
+    )
+
+    html = (
+        b"<title>The Title</title>"
+        b'pre <a href="http://x.test/1">one</a> post'
+    )
+    # title text stays IN the frozen text stream (parallel capture)
+    assert extract_text_py(html) == "The Title pre one post"
+    assert extract_hrefs_py(html, "h.test/p") == ["x.test/1"]
+    assert extract_title_py(html) == "The Title"
+
+
+def test_titles_df_shape(spark):
+    from pagerank_spark.functions.extract import extract_titles_df
+
+    df = spark.createDataFrame(
+        [("h.test/a", b"<title>A</title>"), ("h.test/b", b"<p>x</p>")],
+        ["url", "html"],
+    )
+    got = {r["url"]: r["title"] for r in extract_titles_df(df).collect()}
+    assert got == {"h.test/a": "A", "h.test/b": None}
