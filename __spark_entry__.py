@@ -2305,6 +2305,27 @@ FAIL_FRACS = (0.0, 0.1, 0.3)
 FAIL_SEED = "fail"
 
 
+CRAWL_BUDGET = 1000
+
+
+def q_budget_allocation(spark, sf_dir):
+    """Largest-remainder crawl-budget apportionment over converged host
+    PageRank (operators/crawl.py allocate_budget): 1000 fetches split
+    proportionally, floors + remainder-ranked seats, sum exactly 1000.
+    Ranks enter 6dp-pinned so both engines apportion identical quotas;
+    the twin composes the host-PR recursive template with the same
+    DECIMAL-total / floor / remainder-rank arithmetic."""
+    from pagerank_spark.operators.crawl import allocate_budget
+    from pagerank_spark.operators.hostgraph import host_linkgraph
+
+    _views(spark, sf_dir, ("events",))
+    g = host_linkgraph(spark.sql(HOSTG_SQL))
+    ranks = g.pagerank(alpha=0.85, epsilon=1e-6).select(
+        F.col("url").alias("host"), F.round("rank", 6).alias("score")
+    )
+    return allocate_budget(ranks, budget=CRAWL_BUDGET)
+
+
 def q_page_titles(spark, sf_dir):
     """<title> extraction (functions/extract.py extract_titles_df) over a
     generative substrate: markup nested in the title contributes its
@@ -3125,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_robustness": q_attack_robustness,
         "random_failure": q_random_failure,
         "page_titles": q_page_titles,
+        "budget_allocation": q_budget_allocation,
     }
 
 
@@ -4139,6 +4161,31 @@ SELECT src, dst, CAST(k AS BIGINT) AS n_links FROM hg
 """
 
     sqls["host_pagerank"] = _pr_conv_sql(HEDGE_CTE, "hedges", "hverts")
+
+    # largest-remainder budget apportionment over the host-PR twin:
+    # DECIMAL-exact total, floor quotas, 9dp remainders ranked desc/host
+    sqls["budget_allocation"] = f"""
+WITH hp AS ({sqls["host_pagerank"]}),
+sc AS (SELECT url AS host, rank AS s FROM hp),
+tt AS (SELECT CAST(SUM(CAST(s AS DECIMAL(38,9))) AS DOUBLE) AS tot FROM sc),
+bq AS (
+  SELECT host, s * {CRAWL_BUDGET}.0 / (SELECT tot FROM tt) AS q FROM sc
+),
+bb AS (
+  SELECT host, q, CAST(floor(q) AS BIGINT) AS base,
+         ROUND(q - floor(q), 9) AS rem
+  FROM bq
+),
+lf AS (SELECT {CRAWL_BUDGET} - SUM(base) AS r FROM bb),
+rk AS (
+  SELECT host, q, base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rn
+  FROM bb
+)
+SELECT host, ROUND(q, 6) AS quota,
+       CAST(base + CASE WHEN rn <= (SELECT r FROM lf) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk
+"""
 
     sqls["random_walks"] = f"""
 WITH {BEDGE_CTE},

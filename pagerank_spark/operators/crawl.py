@@ -401,3 +401,60 @@ def sitemap_entries(
             ).where(F.col("loc") != "")
         )
     return out[0].unionByName(out[1])
+
+
+def allocate_budget(
+    scores: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    score_col: str = "score",
+) -> DataFrame:
+    """(host, quota, alloc) — apportion an integer crawl ``budget`` across
+    hosts proportionally to ``score`` by LARGEST-REMAINDER (Hamilton)
+    rounding: quota = score/total*budget, every host gets floor(quota),
+    and the leftover seats go to the largest fractional remainders
+    (ties by host ascending). Σ alloc == budget exactly — the invariant
+    a fetch scheduler needs (floor-only under-spends, naive rounding
+    over/under-spends).
+
+    Cross-engine determinism: scores are summed in DECIMAL (exact,
+    order-independent — a double Σ would make `total` depend on partial-
+    agg order), the quota double is then one fixed expression, and the
+    remainder is 9dp-rounded before ranking so the seat cut can't
+    straddle an ulp. The remainder rank is a global row_number over the
+    HOST-sized table — hosts are ~100x fewer than pages (the hostgraph
+    rollup ratio); this is the one operator in the crawl stack where a
+    host-sized sort is the honest cost of an exact apportionment.
+    Scores must be non-negative with a positive total.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    sc = scores.select(
+        F.col(host_col).alias("host"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    tot = sc.agg(
+        F.sum(F.col("_s").cast("decimal(38,9)")).cast("double").alias("_tot")
+    )
+    quota = F.col("_s") * F.lit(float(budget)) / F.col("_tot")
+    based = sc.crossJoin(F.broadcast(tot)).select(
+        "host",
+        quota.alias("_q"),
+        F.floor(quota).cast("long").alias("_base"),
+        F.round(quota - F.floor(quota), 9).alias("_rem"),
+    )
+    leftover = based.agg(
+        (F.lit(int(budget)) - F.sum("_base")).cast("long").alias("_r")
+    )
+    w = Window.orderBy(F.desc("_rem"), F.col("host"))
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .select(
+            "host",
+            F.round("_q", 6).alias("quota"),
+            (
+                F.col("_base")
+                + (F.row_number().over(w) <= F.col("_r")).cast("long")
+            ).alias("alloc"),
+        )
+    )

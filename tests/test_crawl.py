@@ -245,3 +245,26 @@ def test_sitemap_entity_decode_order(spark):
     body = "<urlset><url><loc>http://a.test/p?v=&amp;lt;x</loc></url></urlset>"
     df = spark.createDataFrame([("s", body)], ["sitemap_url", "body"])
     assert sitemap_entries(df).collect()[0]["loc"] == "http://a.test/p?v=&lt;x"
+
+
+def test_allocate_budget_sums_exactly_and_ranks_remainders(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.crawl import allocate_budget
+
+    scores = spark.createDataFrame(
+        [("a", 5.0), ("b", 3.0), ("c", 2.0), ("d", 1.0)], ["host", "score"]
+    )
+    # budget 10 over total 11: quotas 4.545..,2.727..,1.818..,0.909..;
+    # bases 4,2,1,0 (sum 7), 3 seats by remainder: d(.909), b(.727), c(.818)
+    got = {r["host"]: r["alloc"] for r in allocate_budget(scores, 10).collect()}
+    assert got == {"a": 4, "b": 3, "c": 2, "d": 1}
+    assert sum(got.values()) == 10
+    # remainder tie broken by host ascending: equal scores, budget 3 over 2
+    tie = spark.createDataFrame([("x", 1.0), ("y", 1.0)], ["host", "score"])
+    got2 = {r["host"]: r["alloc"] for r in allocate_budget(tie, 3).collect()}
+    assert got2 == {"x": 2, "y": 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        allocate_budget(scores, -1)
