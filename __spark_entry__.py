@@ -2308,6 +2308,61 @@ FAIL_SEED = "fail"
 CRAWL_BUDGET = 1000
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC record parsing (functions/warc.py parse_warc_records) over
+    generatively synthesized records: response payload split (inner
+    CRLF-CRLF kept), case-insensitive header names with padded values,
+    request records (NULL payload), malformed WARC-Date -> NULL ts.
+    Output is scalar-safe (payload md5 + length instead of raw binary);
+    the oracle emits the expected rows in closed form."""
+    from pagerank_spark.functions.warc import parse_warc_records
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("http://www.site"), (d % 50).cast("string"),
+                   F.lit(".test/p"), d.cast("string"))
+    body = F.concat(F.lit('<a href="http://t.test/x'), d.cast("string"),
+                    F.lit('">go</a>\r\n\r\ntail'), d.cast("string"))
+    date_ok = F.concat(F.lit("2026-01-"),
+                       F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+                       F.lit("T03:04:05Z"))
+    crlf = "\r\n"
+    resp = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: "), url, F.lit(crlf + "WARC-Date: "),
+        date_ok,
+        F.lit(crlf + crlf + "HTTP/1.1 200 OK" + crlf
+              + "Content-Type: text/html" + crlf + crlf),
+        body,
+    )
+    req = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: request" + crlf
+              + "WARC-Target-URI: "), url,
+        F.lit(crlf + "WARC-Date: "), date_ok,
+        F.lit(crlf + crlf + "GET / HTTP/1.1" + crlf + crlf),
+    )
+    resp_messy = F.concat(
+        F.lit("WARC/1.0" + crlf + "warc-type: RESPONSE" + crlf
+              + "warc-target-uri:  "), url,
+        F.lit(" " + crlf + "WARC-Date: nope" + crlf + crlf
+              + "HTTP/1.1 200 OK" + crlf + crlf),
+        body,
+    )
+    recs = _docs(spark, sf_dir).select(
+        F.when(d % 3 == 0, resp)
+        .when(d % 3 == 1, req)
+        .otherwise(resp_messy)
+        .alias("record")
+    )
+    out = parse_warc_records(recs)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "warc_type",
+        F.md5("html").alias("payload_md5"),
+        F.length("html").cast("long").alias("payload_len"),
+    )
+
+
 def q_budget_allocation(spark, sf_dir):
     """Largest-remainder crawl-budget apportionment over converged host
     PageRank (operators/crawl.py allocate_budget): 1000 fetches split
@@ -3147,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_failure": q_random_failure,
         "page_titles": q_page_titles,
         "budget_allocation": q_budget_allocation,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -5098,6 +5154,29 @@ UNION ALL
 SELECT CAST(0.1 AS DOUBLE) AS frac, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS cc_frac FROM rfs1
 UNION ALL
 SELECT CAST(0.3 AS DOUBLE) AS frac, CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_vertices, CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cc, CASE WHEN COALESCE(SUM(s), 0) > 0 THEN ROUND(CAST(MAX(s) AS DOUBLE) / SUM(s), 6) END AS cc_frac FROM rfs2
+"""
+
+    # WARC parsing: closed-form expected rows — the payload string is
+    # reconstructed and md5'd in SQL (chr(13)||chr(10) = CRLF)
+    sqls["warc_ingest"] = """
+WITH b AS (
+  SELECT doc_id,
+         'http://www.site' || CAST(doc_id % 50 AS VARCHAR) || '.test/p'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<a href="http://t.test/x' || CAST(doc_id AS VARCHAR)
+           || '">go</a>' || chr(13) || chr(10) || chr(13) || chr(10)
+           || 'tail' || CAST(doc_id AS VARCHAR) AS body,
+         '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || ' 03:04:05' AS ts_ok
+  FROM documents
+)
+SELECT url,
+       CASE WHEN doc_id % 3 = 2 THEN NULL ELSE ts_ok END AS ts_str,
+       CASE doc_id % 3 WHEN 1 THEN 'request' ELSE 'response' END AS warc_type,
+       CASE WHEN doc_id % 3 = 1 THEN NULL ELSE md5(body) END AS payload_md5,
+       CASE WHEN doc_id % 3 = 1 THEN NULL
+            ELSE CAST(length(body) AS BIGINT) END AS payload_len
+FROM b
 """
 
     # title extraction: closed-form expected strings per variant

@@ -979,3 +979,15 @@ def test_quantize_encode_pass_zero_join_zero_shuffle(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_warc_parse_zero_python_zero_shuffle(spark):
+    from pagerank_spark.functions.warc import parse_warc_records
+
+    df = spark.createDataFrame(
+        [("WARC/1.0\r\nWARC-Type: response\r\n\r\nHTTP/1.1 200\r\n\r\nx",)],
+        ["record"],
+    )
+    plan = _physical(parse_warc_records(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
