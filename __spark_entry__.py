@@ -2358,6 +2358,8 @@ def q_warc_ingest(spark, sf_dir):
         "url",
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "warc_type",
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_type",
         F.md5("html").alias("payload_md5"),
         F.length("html").cast("long").alias("payload_len"),
     )
@@ -5173,6 +5175,8 @@ WITH b AS (
 SELECT url,
        CASE WHEN doc_id % 3 = 2 THEN NULL ELSE ts_ok END AS ts_str,
        CASE doc_id % 3 WHEN 1 THEN 'request' ELSE 'response' END AS warc_type,
+       CASE WHEN doc_id % 3 = 1 THEN NULL ELSE CAST(200 AS BIGINT) END AS http_status,
+       CASE WHEN doc_id % 3 = 0 THEN 'text/html' END AS content_type,
        CASE WHEN doc_id % 3 = 1 THEN NULL ELSE md5(body) END AS payload_md5,
        CASE WHEN doc_id % 3 = 1 THEN NULL
             ELSE CAST(length(body) AS BIGINT) END AS payload_len

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _WARC_FIELD = r"(?mi)^{name}:[ \t]*([^\r\n]*?)[ \t]*$"
+# media type only — parameters (";charset=...") stripped
+_HTTP_CTYPE = r"(?mi)^Content-Type:[ \t]*([^;\r\n]*?)[ \t]*(?:;[^\r\n]*)?$"
 
 
 def _warc_header(headers: Column, name: str) -> Column:
@@ -44,13 +46,17 @@ def _warc_header(headers: Column, name: str) -> Column:
 def parse_warc_records(
     records: DataFrame, record_col: str = "record"
 ) -> DataFrame:
-    """(url, warc_ts, warc_type, html) from one WARC record string per
-    row. ``url`` = WARC-Target-URI, ``warc_ts`` = WARC-Date parsed to a
-    timestamp (W3C/ISO-8601 Zulu, NULL when absent/malformed via
-    try_to_timestamp), ``html`` = the response payload as binary (the
-    bytes after the HTTP header block), NULL for non-response records.
-    Rows that do not start with a WARC version line are dropped (a
-    mis-split member is data corruption, not a record).
+    """(url, warc_ts, warc_type, http_status, content_type, html) from
+    one WARC record string per row. ``url`` = WARC-Target-URI,
+    ``warc_ts`` = WARC-Date parsed to a timestamp (W3C/ISO-8601 Zulu,
+    NULL when absent/malformed via try_to_timestamp); for response
+    records ``http_status`` is the status-line code, ``content_type``
+    the lowercased media type with parameters stripped (the
+    ``status = 200 AND content_type = 'text/html'`` cut is the first
+    filter every crawl ingest applies), and ``html`` the payload bytes
+    after the HTTP header block; all three are NULL for non-response
+    records. Rows that do not start with a WARC version line are
+    dropped (a mis-split member is data corruption, not a record).
     """
     def after_first_blank(col: str) -> Column:
         # everything after the FIRST \r\n\r\n of `col` ('' when absent)
@@ -67,6 +73,17 @@ def parse_warc_records(
         after_first_blank("_rec").alias("_rest"),
     )
     wtype = F.lower(_warc_header(F.col("_wh"), "WARC-Type"))
+    http_headers = F.substring_index(F.col("_rest"), "\r\n\r\n", 1)
+    status = F.nullif(
+        F.regexp_extract(http_headers, r"(?m)\AHTTP/[0-9.]+ ([0-9]{3})", 1),
+        F.lit(""),
+    ).try_cast("int")
+    ctype = F.lower(
+        F.nullif(
+            F.regexp_extract(http_headers, _HTTP_CTYPE, 1), F.lit("")
+        )
+    )
+    is_resp = wtype == "response"
     return split1.select(
         _warc_header(F.col("_wh"), "WARC-Target-URI").alias("url"),
         F.try_to_timestamp(
@@ -74,7 +91,9 @@ def parse_warc_records(
             F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"),
         ).alias("warc_ts"),
         wtype.alias("warc_type"),
-        F.when(
-            wtype == "response", F.encode(after_first_blank("_rest"), "UTF-8")
-        ).alias("html"),
+        F.when(is_resp, status).alias("http_status"),
+        F.when(is_resp, ctype).alias("content_type"),
+        F.when(is_resp, F.encode(after_first_blank("_rest"), "UTF-8")).alias(
+            "html"
+        ),
     )

@@ -65,3 +65,27 @@ def test_warc_feeds_extractor_end_to_end(spark):
     ).where("warc_type = 'response'").select("url", "html")
     edges = {(r["src"], r["dst"]) for r in extract_edges_df(pages).collect()}
     assert edges == {("www.a.test/p", "www.b.test/q")}
+
+
+def test_warc_http_status_and_content_type(spark):
+    from pagerank_spark.functions.warc import parse_warc_records
+
+    recs = [
+        (_resp("http://a.test/ok", "2026-01-01T00:00:00Z", "<p>x</p>"),),
+        # charset parameter stripped, mixed-case header name, 404 status
+        ("WARC/1.0\r\nWARC-Type: response\r\n"
+         "WARC-Target-URI: http://a.test/gone\r\n\r\n"
+         "HTTP/1.1 404 Not Found\r\n"
+         "content-type: TEXT/HTML; charset=UTF-8\r\n\r\nmissing",),
+        # no http status line at all
+        ("WARC/1.0\r\nWARC-Type: response\r\n"
+         "WARC-Target-URI: http://a.test/raw\r\n\r\nnot-http\r\n\r\nbody",),
+    ]
+    df = spark.createDataFrame(recs, ["record"])
+    rows = {r["url"]: r for r in parse_warc_records(df).collect()}
+    assert rows["http://a.test/ok"]["http_status"] == 200
+    assert rows["http://a.test/ok"]["content_type"] == "text/html"
+    g = rows["http://a.test/gone"]
+    assert (g["http_status"], g["content_type"]) == (404, "text/html")
+    r = rows["http://a.test/raw"]
+    assert r["http_status"] is None and r["content_type"] is None
