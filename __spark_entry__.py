@@ -2661,6 +2661,29 @@ ROBOTS_SQL = (
 ROBOTS_AGENT = "gruftbot"
 
 
+RSM_SQL = (
+    "SELECT 'www.h' || CAST(k AS STRING) || '.example' AS host, "
+    "'User-agent: *' || chr(10) || 'Disallow: /p1' || chr(10) "
+    "|| CASE WHEN k % 2 = 0 THEN 'Sitemap: https://www.h' || CAST(k AS STRING) "
+    "|| '.example/sitemap.xml' || chr(10) ELSE '' END "
+    "|| CASE WHEN k % 5 = 0 THEN 'sitemap:  https://www.h' || CAST(k AS STRING) "
+    "|| '.example/news.xml  ' || chr(10) ELSE '' END "
+    "|| '# Sitemap: https://decoy.example/x.xml' AS robots_txt "
+    "FROM (SELECT DISTINCT user_id % 37 AS k FROM events) t"
+)
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (operators/crawl.py
+    robots_sitemaps): group-independent line-anchored directives, any
+    case, trimmed, commented-out lines contributing nothing — the
+    robots -> sitemap handoff of the crawl-discovery stack."""
+    from pagerank_spark.operators.crawl import robots_sitemaps
+
+    _views(spark, sf_dir, ("events",))
+    return robots_sitemaps(spark.sql(RSM_SQL))
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsed to the flat per-host rule table
     (operators/crawl.py robots_rules): RFC 9309 group semantics —
@@ -3205,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_titles": q_page_titles,
         "budget_allocation": q_budget_allocation,
         "warc_ingest": q_warc_ingest,
+        "robots_sitemaps": q_robots_sitemaps,
     }
 
 
@@ -5181,6 +5205,18 @@ SELECT url,
        CASE WHEN doc_id % 3 = 1 THEN NULL
             ELSE CAST(length(body) AS BIGINT) END AS payload_len
 FROM b
+"""
+
+    # robots Sitemap directives: closed-form expected rows per k
+    sqls["robots_sitemaps"] = """
+WITH ks AS (SELECT DISTINCT user_id % 37 AS k FROM events)
+SELECT 'www.h' || CAST(k AS VARCHAR) || '.example' AS host,
+       'https://www.h' || CAST(k AS VARCHAR) || '.example/sitemap.xml' AS sitemap_url
+FROM ks WHERE k % 2 = 0
+UNION ALL
+SELECT 'www.h' || CAST(k AS VARCHAR) || '.example',
+       'https://www.h' || CAST(k AS VARCHAR) || '.example/news.xml'
+FROM ks WHERE k % 5 = 0
 """
 
     # title extraction: closed-form expected strings per variant

@@ -458,3 +458,31 @@ def allocate_budget(
             ).alias("alloc"),
         )
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, sitemap_url) — the ``Sitemap:`` directives of each host's
+    robots.txt (RFC 9309 §2.3 / sitemaps.org discovery: the directive is
+    group-independent, so it parses line-anchored regardless of
+    User-agent blocks). Directive name case-insensitive, value trimmed,
+    comments stripped first (a '# Sitemap: ...' line contributes
+    nothing), one row per directive in document order kept as a set.
+    Pure Column regex + one JVM explode — zero Python, zero shuffle;
+    composes with :func:`sitemap_entries` to seed the frontier.
+    """
+    clean = F.regexp_replace(F.col(text_col), r"(?m)#.*$", "")
+    urls = F.expr(
+        f"regexp_extract_all(regexp_replace({text_col}, '(?m)#.*$', ''), "
+        "'(?mi)^[ \\\\t]*sitemap[ \\\\t]*:[ \\\\t]*([^ \\\\t\\\\r\\\\n]+)', 1)"
+    )
+    _ = clean
+    return (
+        robots.select(
+            F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+        )
+        .where(F.col("sitemap_url") != "")
+    )

@@ -268,3 +268,20 @@ def test_allocate_budget_sums_exactly_and_ranks_remainders(spark):
 
     with _pytest.raises(ValueError):
         allocate_budget(scores, -1)
+
+
+def test_robots_sitemaps_directives(spark):
+    from pagerank_spark.operators.crawl import robots_sitemaps
+
+    df = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /x\n"
+                "Sitemap: https://h1.test/s.xml\n"
+                "sitemap:   https://h1.test/s2.xml  \n"
+                "# Sitemap: https://no.test/x.xml"),
+         ("h2", "User-agent: *\nDisallow: /")],
+        ["host", "robots_txt"],
+    )
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in robots_sitemaps(df).collect())
+    assert got == [("h1", "https://h1.test/s.xml"),
+                   ("h1", "https://h1.test/s2.xml")]
