@@ -2417,6 +2417,16 @@ def q_page_titles(spark, sf_dir):
     return extract_titles_df(pages)
 
 
+def q_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity of the G graph (operators/graphstats.py
+    reciprocity): fraction of distinct non-loop edges whose reverse
+    exists — the host-level link-exchange (nepotism) signal."""
+    from pagerank_spark.operators.graphstats import reciprocity
+
+    _views(spark, sf_dir, ("events",))
+    return reciprocity(spark.sql(G_SQL))
+
+
 def q_random_failure(spark, sf_dir):
     """Random-failure robustness curve on the G graph
     (operators/graphstats.py random_failure): per frac, vertices die by
@@ -3229,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_allocation": q_budget_allocation,
         "warc_ingest": q_warc_ingest,
         "robots_sitemaps": q_robots_sitemaps,
+        "reciprocity": q_reciprocity,
     }
 
 
@@ -5217,6 +5228,19 @@ UNION ALL
 SELECT 'www.h' || CAST(k AS VARCHAR) || '.example',
        'https://www.h' || CAST(k AS VARCHAR) || '.example/news.xml'
 FROM ks WHERE k % 5 = 0
+"""
+
+    # reciprocity: distinct non-loop edges semi-joined to their reverse
+    sqls["reciprocity"] = f"""
+WITH g AS ({G_SQL}),
+e AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocated FROM e
+      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
+SELECT n.n_edges, r.n_reciprocated,
+       CASE WHEN n.n_edges > 0 THEN
+         ROUND(CAST(r.n_reciprocated AS DOUBLE) / n.n_edges, 6) END AS reciprocity
+FROM n CROSS JOIN r
 """
 
     # title extraction: closed-form expected strings per variant

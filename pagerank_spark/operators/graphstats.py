@@ -645,3 +645,36 @@ def random_failure(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, n_reciprocated, reciprocity) over the DISTINCT
+    directed edge set (self-loops dropped): the fraction of edges whose
+    reverse also exists — Garlaschelli & Loffredo's r, and at host level
+    the classic nepotistic link-exchange signal (Davison 2000): organic
+    web linking is strongly asymmetric, so a high-reciprocity host
+    neighborhood is a trade ring. One distinct pass + one self-equi-join
+    on the reversed key (LEFT SEMI — the match list never materializes)
+    + one tiny aggregate.
+    """
+    e = (
+        edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    r = recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocated"))
+    return n.crossJoin(r).select(
+        "n_edges",
+        "n_reciprocated",
+        F.when(
+            F.col("n_edges") > 0,
+            F.round(
+                F.col("n_reciprocated").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ),
+        ).alias("reciprocity"),
+    )

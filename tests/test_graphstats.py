@@ -333,3 +333,18 @@ def test_random_failure_baseline_and_monotone(spark):
 
     with _pytest.raises(ValueError):
         random_failure(e, fracs=(1.0,))
+
+
+def test_reciprocity_hand(spark):
+    from pagerank_spark.operators.graphstats import reciprocity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("d", "c"),
+         ("x", "x"),            # self-loop dropped
+         ("a", "b")],           # duplicate collapsed
+        ["src", "dst"],
+    )
+    row = reciprocity(e).collect()[0]
+    # distinct non-loop edges: ab, ba, ac, cd, dc -> 4 reciprocated
+    assert (row["n_edges"], row["n_reciprocated"]) == (5, 4)
+    assert row["reciprocity"] == 0.8
