@@ -2417,6 +2417,22 @@ def q_page_titles(spark, sf_dir):
     return extract_titles_df(pages)
 
 
+RMAT_SCALE = 8
+
+
+def q_rmat_graph(spark, sf_dir):
+    """Deterministic R-MAT generation (operators/gengraph.py rmat_edges):
+    one Graph500-parameter edge per event index over 2^8 vertices — every
+    edge a pure function of its index, so a 10^12-edge benchmark graph
+    needs no stored input. The twin replays the per-level quadrant CASE
+    on the same md5 uniforms."""
+    from pagerank_spark.operators.gengraph import rmat_edges
+
+    _views(spark, sf_dir, ("events",))
+    idx = spark.sql("SELECT event_id AS edge_id FROM events")
+    return rmat_edges(idx, scale=RMAT_SCALE)
+
+
 def q_reciprocity(spark, sf_dir):
     """Directed-edge reciprocity of the G graph (operators/graphstats.py
     reciprocity): fraction of distinct non-loop edges whose reverse
@@ -3240,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "robots_sitemaps": q_robots_sitemaps,
         "reciprocity": q_reciprocity,
+        "rmat_graph": q_rmat_graph,
     }
 
 
@@ -5241,6 +5258,20 @@ SELECT n.n_edges, r.n_reciprocated,
        CASE WHEN n.n_edges > 0 THEN
          ROUND(CAST(r.n_reciprocated AS DOUBLE) / n.n_edges, 6) END AS reciprocity
 FROM n CROSS JOIN r
+"""
+
+    # R-MAT twin: the same quadrant CASE per level on the same
+    # md5 uniforms (cuts written at full double precision)
+    _rmu0 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|0'")
+    _rmu1 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|1'")
+    _rmu2 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|2'")
+    _rmu3 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|3'")
+    _rmu4 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|4'")
+    _rmu5 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|5'")
+    _rmu6 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|6'")
+    _rmu7 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|7'")
+    sqls["rmat_graph"] = f"""
+SELECT 'v' || CAST((CASE WHEN (CASE WHEN ({_rmu0}) < 0.57 THEN 0 WHEN ({_rmu0}) < 0.76 THEN 1 WHEN ({_rmu0}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 128 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu1}) < 0.57 THEN 0 WHEN ({_rmu1}) < 0.76 THEN 1 WHEN ({_rmu1}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 64 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu2}) < 0.57 THEN 0 WHEN ({_rmu2}) < 0.76 THEN 1 WHEN ({_rmu2}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 32 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu3}) < 0.57 THEN 0 WHEN ({_rmu3}) < 0.76 THEN 1 WHEN ({_rmu3}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 16 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu4}) < 0.57 THEN 0 WHEN ({_rmu4}) < 0.76 THEN 1 WHEN ({_rmu4}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 8 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu5}) < 0.57 THEN 0 WHEN ({_rmu5}) < 0.76 THEN 1 WHEN ({_rmu5}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 4 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu6}) < 0.57 THEN 0 WHEN ({_rmu6}) < 0.76 THEN 1 WHEN ({_rmu6}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 2 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu7}) < 0.57 THEN 0 WHEN ({_rmu7}) < 0.76 THEN 1 WHEN ({_rmu7}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 1 ELSE 0 END) AS VARCHAR) AS src, 'v' || CAST((CASE WHEN (CASE WHEN ({_rmu0}) < 0.57 THEN 0 WHEN ({_rmu0}) < 0.76 THEN 1 WHEN ({_rmu0}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 128 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu1}) < 0.57 THEN 0 WHEN ({_rmu1}) < 0.76 THEN 1 WHEN ({_rmu1}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 64 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu2}) < 0.57 THEN 0 WHEN ({_rmu2}) < 0.76 THEN 1 WHEN ({_rmu2}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 32 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu3}) < 0.57 THEN 0 WHEN ({_rmu3}) < 0.76 THEN 1 WHEN ({_rmu3}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 16 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu4}) < 0.57 THEN 0 WHEN ({_rmu4}) < 0.76 THEN 1 WHEN ({_rmu4}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 8 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu5}) < 0.57 THEN 0 WHEN ({_rmu5}) < 0.76 THEN 1 WHEN ({_rmu5}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 4 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu6}) < 0.57 THEN 0 WHEN ({_rmu6}) < 0.76 THEN 1 WHEN ({_rmu6}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 2 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu7}) < 0.57 THEN 0 WHEN ({_rmu7}) < 0.76 THEN 1 WHEN ({_rmu7}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 1 ELSE 0 END) AS VARCHAR) AS dst FROM events
 """
 
     # title extraction: closed-form expected strings per variant

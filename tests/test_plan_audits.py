@@ -991,3 +991,14 @@ def test_warc_parse_zero_python_zero_shuffle(spark):
     plan = _physical(parse_warc_records(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_rmat_zero_shuffle_zero_python(spark):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.gengraph import rmat_edges
+
+    idx = spark.range(0, 10).select(F.col("id").alias("edge_id"))
+    plan = _physical(rmat_edges(idx, scale=8))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
