@@ -2710,6 +2710,28 @@ def q_robots_sitemaps(spark, sf_dir):
     return robots_sitemaps(spark.sql(RSM_SQL))
 
 
+RCD_SQL = (
+    "SELECT 'www.h' || CAST(k AS STRING) || '.example' AS host, "
+    "'User-agent: *' || chr(10) || 'Crawl-delay: ' || CAST(k % 7 + 1 AS STRING) "
+    "|| chr(10) || 'Disallow: /p1' || chr(10) "
+    "|| CASE WHEN k % 5 = 0 THEN 'Crawl-delay: bogus' || chr(10) ELSE '' END "
+    "|| CASE WHEN k % 4 = 0 THEN 'User-agent: gruftbot' || chr(10) "
+    "|| 'Crawl-delay: 0.5' || chr(10) ELSE '' END AS robots_txt "
+    "FROM (SELECT DISTINCT user_id % 37 AS k FROM events) t"
+)
+
+
+def q_crawl_delay(spark, sf_dir):
+    """Crawl-delay resolution for an exact agent (operators/crawl.py
+    robots_crawl_delay): gruftbot's group delay (0.5) beats the '*'
+    group where defined, bogus values are ignored, else the '*' delay
+    applies — group semantics shared with robots_rules."""
+    from pagerank_spark.operators.crawl import robots_crawl_delay
+
+    _views(spark, sf_dir, ("events",))
+    return robots_crawl_delay(spark.sql(RCD_SQL), agent=ROBOTS_AGENT)
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsed to the flat per-host rule table
     (operators/crawl.py robots_rules): RFC 9309 group semantics —
@@ -3257,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "reciprocity": q_reciprocity,
         "rmat_graph": q_rmat_graph,
+        "crawl_delay": q_crawl_delay,
     }
 
 
@@ -5272,6 +5295,15 @@ FROM n CROSS JOIN r
     _rmu7 = U01.format(x="'rmat,' || CAST(event_id AS VARCHAR) || '|7'")
     sqls["rmat_graph"] = f"""
 SELECT 'v' || CAST((CASE WHEN (CASE WHEN ({_rmu0}) < 0.57 THEN 0 WHEN ({_rmu0}) < 0.76 THEN 1 WHEN ({_rmu0}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 128 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu1}) < 0.57 THEN 0 WHEN ({_rmu1}) < 0.76 THEN 1 WHEN ({_rmu1}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 64 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu2}) < 0.57 THEN 0 WHEN ({_rmu2}) < 0.76 THEN 1 WHEN ({_rmu2}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 32 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu3}) < 0.57 THEN 0 WHEN ({_rmu3}) < 0.76 THEN 1 WHEN ({_rmu3}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 16 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu4}) < 0.57 THEN 0 WHEN ({_rmu4}) < 0.76 THEN 1 WHEN ({_rmu4}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 8 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu5}) < 0.57 THEN 0 WHEN ({_rmu5}) < 0.76 THEN 1 WHEN ({_rmu5}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 4 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu6}) < 0.57 THEN 0 WHEN ({_rmu6}) < 0.76 THEN 1 WHEN ({_rmu6}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 2 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu7}) < 0.57 THEN 0 WHEN ({_rmu7}) < 0.76 THEN 1 WHEN ({_rmu7}) < 0.95 THEN 2 ELSE 3 END) >= 2 THEN 1 ELSE 0 END) AS VARCHAR) AS src, 'v' || CAST((CASE WHEN (CASE WHEN ({_rmu0}) < 0.57 THEN 0 WHEN ({_rmu0}) < 0.76 THEN 1 WHEN ({_rmu0}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 128 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu1}) < 0.57 THEN 0 WHEN ({_rmu1}) < 0.76 THEN 1 WHEN ({_rmu1}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 64 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu2}) < 0.57 THEN 0 WHEN ({_rmu2}) < 0.76 THEN 1 WHEN ({_rmu2}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 32 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu3}) < 0.57 THEN 0 WHEN ({_rmu3}) < 0.76 THEN 1 WHEN ({_rmu3}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 16 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu4}) < 0.57 THEN 0 WHEN ({_rmu4}) < 0.76 THEN 1 WHEN ({_rmu4}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 8 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu5}) < 0.57 THEN 0 WHEN ({_rmu5}) < 0.76 THEN 1 WHEN ({_rmu5}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 4 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu6}) < 0.57 THEN 0 WHEN ({_rmu6}) < 0.76 THEN 1 WHEN ({_rmu6}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 2 ELSE 0 END) + (CASE WHEN (CASE WHEN ({_rmu7}) < 0.57 THEN 0 WHEN ({_rmu7}) < 0.76 THEN 1 WHEN ({_rmu7}) < 0.95 THEN 2 ELSE 3 END) IN (1, 3) THEN 1 ELSE 0 END) AS VARCHAR) AS dst FROM events
+"""
+
+    # crawl-delay: closed-form expected delay per host
+    sqls["crawl_delay"] = """
+WITH ks AS (SELECT DISTINCT user_id % 37 AS k FROM events)
+SELECT 'www.h' || CAST(k AS VARCHAR) || '.example' AS host,
+       CASE WHEN k % 4 = 0 THEN 0.5
+            ELSE CAST(k % 7 + 1 AS DOUBLE) END AS crawl_delay
+FROM ks
 """
 
     # title extraction: closed-form expected strings per variant

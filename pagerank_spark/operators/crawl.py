@@ -486,3 +486,83 @@ def robots_sitemaps(
         )
         .where(F.col("sitemap_url") != "")
     )
+
+
+_DELAY_DIRECTIVE_RE = r"^(?i)(user-agent|crawl-delay)\s*:\s*(.*?)\s*$"
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay) — the de-facto ``Crawl-delay:`` politeness
+    directive (not in RFC 9309 but honored by Bing/Yandex-class
+    crawlers), resolved for ``agent`` with the same group semantics as
+    :func:`robots_rules`: consecutive User-agent lines share the group,
+    the exact (lowercased) agent's groups win over the ``*`` groups when
+    the host defines any, multiple applicable delays collapse to the
+    MINIMUM (the conservative schedule), non-numeric or negative values
+    are ignored, hosts with no applicable delay are absent (caller
+    defaults). Feeds :func:`frontier_schedule` / :func:`allocate_budget`
+    as the per-host rate limit.
+
+    Same shape as robots_rules: per-host-file line explode + one
+    per-host Window for the group ids, then tiny group-keyed joins.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace(F.col("ln"), r"#.*$", "")).alias("ln"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            F.regexp_extract(F.col("ln"), _DELAY_DIRECTIVE_RE, 1)
+        ).alias("kind"),
+        F.regexp_extract(F.col("ln"), _DELAY_DIRECTIVE_RE, 2).alias("value"),
+    ).where(F.col("kind") != "")
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.select(
+        "host",
+        "kind",
+        "value",
+        F.sum(
+            F.when(
+                (F.col("kind") == "user-agent")
+                & (
+                    F.coalesce(F.lag("kind").over(w), F.lit(""))
+                    != "user-agent"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("gid"),
+    )
+    agents = (
+        grouped.where(F.col("kind") == "user-agent")
+        .select("host", "gid", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    delays = grouped.where(F.col("kind") == "crawl-delay").select(
+        "host", "gid", F.col("value").try_cast("double").alias("delay")
+    ).where(F.col("delay") >= 0)
+    req = str(agent).lower()
+    cand = agents.where(
+        (F.col("agent") == req) | (F.col("agent") == "*")
+    ).withColumn("spec", (F.col("agent") == req).cast("int"))
+    has_spec = cand.groupBy("host").agg(F.max("spec").alias("_hs"))
+    eff = cand.join(has_spec, "host").where(
+        (F.col("spec") == 1) | (F.col("_hs") == 0)
+    )
+    return (
+        eff.join(delays, ["host", "gid"])
+        .groupBy("host")
+        .agg(F.min("delay").alias("crawl_delay"))
+    )

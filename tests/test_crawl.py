@@ -285,3 +285,28 @@ def test_robots_sitemaps_directives(spark):
                  for r in robots_sitemaps(df).collect())
     assert got == [("h1", "https://h1.test/s.xml"),
                    ("h1", "https://h1.test/s2.xml")]
+
+
+def test_robots_crawl_delay_groups_and_precedence(spark):
+    from pagerank_spark.operators.crawl import robots_crawl_delay
+
+    df = spark.createDataFrame(
+        [
+            # '*' group delay 2; gruftbot group delay 0.5 (wins for bot)
+            ("h1", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+                   "User-agent: gruftbot\ncrawl-delay: 0.5"),
+            # only '*' delay
+            ("h2", "User-agent: *\nCrawl-delay: 10"),
+            # invalid + negative ignored; no applicable delay -> absent
+            ("h3", "User-agent: *\nCrawl-delay: fast\nCrawl-delay: -1"),
+            # two applicable values -> min
+            ("h4", "User-agent: *\nCrawl-delay: 7\nCrawl-delay: 3"),
+        ],
+        ["host", "robots_txt"],
+    )
+    star = {r["host"]: r["crawl_delay"]
+            for r in robots_crawl_delay(df, agent="*").collect()}
+    assert star == {"h1": 2.0, "h2": 10.0, "h4": 3.0}
+    bot = {r["host"]: r["crawl_delay"]
+           for r in robots_crawl_delay(df, agent="GruftBot").collect()}
+    assert bot["h1"] == 0.5 and bot["h2"] == 10.0
