@@ -2433,6 +2433,42 @@ def q_rmat_graph(spark, sf_dir):
     return rmat_edges(idx, scale=RMAT_SCALE)
 
 
+def q_dedup_agreement(spark, sf_dir):
+    """LSH-vs-exact dedup calibration (the evaluation every pipeline
+    should run before trusting a banding config): MinHash-LSH pairs at
+    est_jaccard >= 0.25 scored against EXACT n-gram Jaccard pairs at the
+    same threshold — pair counts, intersection, precision, recall. The
+    twin composes the two pair CTEs and the same quotients."""
+    from pagerank_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lsh = minhash_near_duplicates(
+        docs, threshold=MINHASH_THRESHOLD, k=MINHASH_K, n=SHINGLE_N
+    ).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=MINHASH_THRESHOLD,
+        max_shingle_df=NGRAM_MAX_DF,
+    ).select("id_a", "id_b")
+    both = lsh.join(exact, ["id_a", "id_b"], "left_semi")
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    nx = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nb = both.agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    return (
+        nl.crossJoin(nx).crossJoin(nb).select(
+            "n_lsh", "n_exact", "n_both",
+            F.when(F.col("n_lsh") > 0, F.round(
+                F.col("n_both").cast("double") / F.col("n_lsh"), 6
+            )).alias("precision"),
+            F.when(F.col("n_exact") > 0, F.round(
+                F.col("n_both").cast("double") / F.col("n_exact"), 6
+            )).alias("recall"),
+        )
+    )
+
+
 def q_reciprocity(spark, sf_dir):
     """Directed-edge reciprocity of the G graph (operators/graphstats.py
     reciprocity): fraction of distinct non-loop edges whose reverse
@@ -3280,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "rmat_graph": q_rmat_graph,
         "crawl_delay": q_crawl_delay,
+        "dedup_agreement": q_dedup_agreement,
     }
 
 
@@ -3925,6 +3962,43 @@ FROM cand
 JOIN sigs sa ON sa.doc_id = id_a
 JOIN sigs sb ON sb.doc_id = id_b
 WHERE ROUND(CAST({matches} AS DOUBLE) / {MINHASH_K}, 6) >= {MINHASH_THRESHOLD}
+"""
+
+    # LSH-vs-exact calibration: the two pair sets above at one threshold
+    sqls["dedup_agreement"] = f"""
+WITH {SIG_CTE},
+dg_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+dg_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dg_exact AS (
+  SELECT id_a, id_b FROM dg_inter
+  JOIN dg_sizes sa ON sa.doc_id = id_a
+  JOIN dg_sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+        >= {MINHASH_THRESHOLD}
+),
+dg_bk AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+dg_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dg_bk a JOIN dg_bk b USING (band_key) WHERE a.doc_id < b.doc_id
+),
+dg_lsh AS (
+  SELECT id_a, id_b FROM dg_cand
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+  WHERE ROUND(CAST({matches} AS DOUBLE) / {MINHASH_K}, 6) >= {MINHASH_THRESHOLD}
+),
+dg_b AS (SELECT id_a, id_b FROM dg_lsh INTERSECT SELECT id_a, id_b FROM dg_exact),
+dg_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM dg_lsh),
+dg_x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM dg_exact),
+dg_c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM dg_b)
+SELECT n_lsh, n_exact, n_both,
+       CASE WHEN n_lsh > 0 THEN ROUND(CAST(n_both AS DOUBLE) / n_lsh, 6) END AS precision,
+       CASE WHEN n_exact > 0 THEN ROUND(CAST(n_both AS DOUBLE) / n_exact, 6) END AS recall
+FROM dg_n CROSS JOIN dg_x CROSS JOIN dg_c
 """
 
     sqls["simhash_sigs"] = f"""
