@@ -1180,6 +1180,18 @@ def q_katz(spark, sf_dir):
     return x.select("url", F.round("katz", 6).alias("katz"))
 
 
+def q_mean_distance(spark, sf_dir):
+    """Boldi-Vigna average-distance estimate from the HyperBall counters
+    (operators/hyperball.py mean_distance): the NF lag rollup
+    sum r*(NF(r)-NF(r-1)) / (NF(R)-NF(0)) — one row over the tiny NF
+    table, terms 6dp-quantized + DECIMAL-summed."""
+    from pagerank_spark.operators.hyperball import hyperball, mean_distance
+
+    _views(spark, sf_dir, ("events",))
+    balls = hyperball(spark.sql(B_SQL), rounds=HB_ROUNDS)
+    return mean_distance(balls)
+
+
 def q_neighborhood_function(spark, sf_dir):
     """HyperBall global neighborhood function N(r) over the branching B
     graph — sum of per-vertex HLL ball estimates at radii 0..HB_ROUNDS."""
@@ -3317,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_graph": q_rmat_graph,
         "crawl_delay": q_crawl_delay,
         "dedup_agreement": q_dedup_agreement,
+        "mean_distance": q_mean_distance,
     }
 
 
@@ -4700,6 +4713,21 @@ FROM documents
     sqls["neighborhood_function"] = f"""{hb_ctes}
 SELECT round, CAST(SUM(CAST(ROUND(ball, 4) AS DECIMAL(28,4))) AS DOUBLE) AS nf
 FROM allb GROUP BY round
+"""
+
+    # Boldi-Vigna mean distance: lag rollup over the same NF rows
+    sqls["mean_distance"] = f"""{hb_ctes},
+mdnf AS (
+  SELECT round, CAST(SUM(CAST(ROUND(ball, 4) AS DECIMAL(28,4))) AS DOUBLE) AS nf
+  FROM allb GROUP BY round
+),
+mds AS (SELECT round, nf, nf - LAG(nf) OVER (ORDER BY round) AS d FROM mdnf)
+SELECT ROUND(min_by(nf, round), 4) AS n_vertices,
+       ROUND(max_by(nf, round) - min_by(nf, round), 4) AS reachable_pairs,
+       CASE WHEN max_by(nf, round) - min_by(nf, round) > 0 THEN
+         ROUND(CAST(SUM(CAST(ROUND(round * d, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / (max_by(nf, round) - min_by(nf, round)), 6) END AS mean_distance
+FROM mds
 """
 
     # ordered SUM = the Spark side's round-ascending array fold

@@ -218,3 +218,42 @@ def harmonic_centrality(balls: DataFrame) -> DataFrame:
         lambda acc, x: acc + x["d"] / x["r"].cast("double"),
     )
     return w.select("url", total.alias("harmonic"))
+
+
+def mean_distance(balls: DataFrame) -> DataFrame:
+    """One row (n_vertices, reachable_pairs, mean_distance) — the
+    Boldi-Vigna average-distance estimate from the HyperBall counters:
+
+        mean = Σ_{r>=1} r * (NF(r) - NF(r-1)) / (NF(R) - NF(0))
+
+    where NF is the global neighborhood function, NF(0) = |V| and
+    NF(R) - NF(0) estimates the reachable ordered pairs. All the work
+    happens on the (rounds+1)-row NF table — the lag window and the
+    final quotient touch a handful of rows; per-radius terms are
+    6dp-quantized and DECIMAL-summed so the tiny fold is still
+    order-independent. NULL mean when nothing is reachable."""
+    from pyspark.sql import Window
+
+    nf = neighborhood_function(balls)
+    w = Window.orderBy("round")
+    shells = nf.select(
+        "round",
+        "nf",
+        (F.col("nf") - F.lag("nf").over(w)).alias("_d"),
+    )
+    agg = shells.agg(
+        F.min_by("nf", "round").alias("_nf0"),
+        F.max_by("nf", "round").alias("_nfR"),
+        F.sum(
+            F.round(F.col("round") * F.col("_d"), 6).cast("decimal(28,6)")
+        ).alias("_num"),
+    )
+    reachable = F.col("_nfR") - F.col("_nf0")
+    return agg.select(
+        F.round("_nf0", 4).alias("n_vertices"),
+        F.round(reachable, 4).alias("reachable_pairs"),
+        F.when(
+            reachable > 0,
+            F.round(F.col("_num").cast("double") / reachable, 6),
+        ).alias("mean_distance"),
+    )

@@ -144,3 +144,26 @@ def test_harmonic_matches_definition(balls_df):
             (est[(u, t)] - est[(u, t - 1)]) / t for t in range(1, ROUNDS + 1)
         )
         assert got[u] == pytest.approx(want, rel=1e-9), u
+
+
+def test_mean_distance_rollup_consistent_and_in_range(spark):
+    """mean_distance must equal the closed-form rollup of the SAME NF
+    rows (self-consistency), and on the path a->b->c land near the true
+    mean 4/3 (HLL register estimates carry a small constant bias)."""
+    from pagerank_spark.operators.hyperball import (
+        hyperball,
+        mean_distance,
+        neighborhood_function,
+    )
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    hb = hyperball(e, rounds=3)
+    nf = {r["round"]: r["nf"]
+          for r in neighborhood_function(hb).collect()}
+    num = sum(r * round(nf[r] - nf[r - 1], 6) for r in range(1, 4))
+    denom = nf[3] - nf[0]
+    row = mean_distance(hb).collect()[0]
+    assert abs(row["mean_distance"] - num / denom) < 1e-5
+    assert abs(row["n_vertices"] - 3.0) < 0.5
+    assert abs(row["reachable_pairs"] - 3.0) < 0.5
+    assert abs(row["mean_distance"] - 4 / 3) < 0.2
