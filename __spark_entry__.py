@@ -974,6 +974,25 @@ def q_interleave_shards(spark, sf_dir):
     )
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Contamination-safe train/val/test split keyed on the near-dup
+    CLUSTER id (operators/sampling.py leakage_safe_split over
+    near_dup_clusters): no near-duplicate pair ever straddles a split
+    boundary; cuts 0.75/0.875 are exact binary doubles. The twin wraps
+    the cluster twin and replays the same md5 coin."""
+    from pagerank_spark.operators.dedup import ngram_jaccard_pairs
+    from pagerank_spark.operators.sampling import (
+        leakage_safe_split,
+        near_dup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=NGRAM_THRESHOLD, max_shingle_df=NGRAM_MAX_DF
+    )
+    return leakage_safe_split(near_dup_clusters(docs, pairs))
+
+
 def q_dedup_clusters(spark, sf_dir):
     from pagerank_spark.operators.dedup import ngram_jaccard_pairs
     from pagerank_spark.operators.sampling import near_dup_clusters
@@ -3330,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delay": q_crawl_delay,
         "dedup_agreement": q_dedup_agreement,
         "mean_distance": q_mean_distance,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -4299,6 +4319,17 @@ reach(id, r) AS (
 )
 SELECT id AS doc_id, MIN(r) AS canonical_id, (MIN(r) <> id) AS is_dup
 FROM reach GROUP BY id
+"""
+
+    # cluster-keyed split: the cluster twin wrapped, same md5 coin,
+    # exact-binary cuts 0.75 / 0.875
+    _sp_u = U01.format(x="'split,' || CAST(canonical_id AS VARCHAR)")
+    sqls["leakage_safe_split"] = f"""
+SELECT doc_id, canonical_id,
+       CASE WHEN ({_sp_u}) < 0.75 THEN 'train'
+            WHEN ({_sp_u}) < 0.875 THEN 'val'
+            ELSE 'test' END AS split
+FROM ({sqls["dedup_clusters"]}) c
 """
 
     allowed = ", ".join(f"'{lang}'" for lang in CURATE_LANGS)

@@ -556,3 +556,32 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    train: float = 0.75,
+    val: float = 0.125,
+    seed: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, canonical_id, split) — train/val/test assignment keyed on
+    the NEAR-DUP CLUSTER id (:func:`near_dup_clusters` output), not the
+    document id, so every member of a near-duplicate cluster lands in
+    the SAME split: the contamination-safe split rule (a doc's near-copy
+    in the eval split is exactly the leakage benchmark decontamination
+    exists to stop). The md5 coin is the engine-wide deterministic
+    uniform — re-runs, engines, and partitionings agree on every
+    assignment. Pure Column filter on an already-clustered table: zero
+    additional shuffle. Default cuts 0.75/0.125 are exact binary
+    doubles, so the CASE boundaries cannot wobble cross-engine.
+    """
+    if not (0 < train < 1 and 0 <= val and train + val < 1):
+        raise ValueError("need 0 < train, 0 <= val, train + val < 1")
+    u = uniform01(F.col("canonical_id"), seed)
+    split = (
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.select(id_col, "canonical_id", split.alias("split"))

@@ -394,3 +394,30 @@ def test_chunk_documents_short_and_empty_doc(spark):
         chunk_documents(docs, size=0)
     with _pytest.raises(ValueError):
         chunk_documents(docs, size=4, stride=0)
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from pagerank_spark.operators.sampling import (
+        leakage_safe_split,
+        near_dup_clusters,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], ["doc_id"])
+    # chains 0~1~2, 10~11; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    cl = near_dup_clusters(docs, pairs)
+    out = leakage_safe_split(cl).collect()
+    assert len(out) == 60
+    by_canon = {}
+    for r in out:
+        by_canon.setdefault(r["canonical_id"], set()).add(r["split"])
+    # every cluster maps to exactly one split
+    assert all(len(v) == 1 for v in by_canon.values())
+    # with 57 clusters all three splits should be populated
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        leakage_safe_split(cl, train=0.9, val=0.2)
