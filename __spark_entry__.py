@@ -1999,6 +1999,30 @@ def q_dup_line_stats(spark, sf_dir):
     return dup_line_stats(spark.sql(DUPLN_SQL))
 
 
+RBO_D = 50
+RBO_P = 0.9
+
+
+def q_rank_overlap(spark, sf_dir):
+    """Top-heavy ranking agreement (operators/graphstats.py
+    rank_biased_overlap, Webber et al. RBO@50, p=0.9) between converged
+    PageRank and raw in-degree on the branching B graph — the prefix
+    complement of rank_correlation's全-vertex Spearman. Twin rebuilds
+    both top-50 lists and the same per-max-position weight literals."""
+    from pagerank_spark.operators.graph_build import LinkGraph
+    from pagerank_spark.operators.graphstats import rank_biased_overlap
+
+    _views(spark, sf_dir, ("events",))
+    g = LinkGraph.from_edges(spark.sql(B_SQL).distinct())
+    pr = g.pagerank(alpha=0.85, epsilon=1e-6).select(
+        "url", F.round("rank", 6).alias("score")
+    )
+    ind = g.edges.groupBy(F.col("dst").alias("url")).agg(
+        F.count(F.lit(1)).cast("long").cast("double").alias("score")
+    )
+    return rank_biased_overlap(pr, ind, d=RBO_D, p=RBO_P)
+
+
 def q_rank_correlation(spark, sf_dir):
     """Spearman rho between converged PageRank and in-degree on the G-ish
     graph — 'is in-degree a cheap PageRank proxy?' (operators/graphstats.py
@@ -3350,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "mean_distance": q_mean_distance,
         "leakage_safe_split": q_leakage_safe_split,
+        "rank_overlap": q_rank_overlap,
     }
 
 
@@ -5030,6 +5055,29 @@ bwedges AS (
   SELECT bedges.src, bedges.dst, CAST(1 AS DOUBLE) / bod.od AS weight
   FROM bedges JOIN bod USING (src)
 )"""
+    # RBO@50: both top-50 prefixes (score desc, url), per-common-element
+    # weight w(max(pa, pb)) from the same literal table, DECIMAL sum
+    _rbo_w = "[2.557551391667858, 1.5575513916678567, 1.1075513916678574, 0.8375513916678579, 0.6553013916678578, 0.5240813916678576, 0.4256663916678576, 0.34974624881071475, 0.28995913631071474, 0.24212944631071465, 0.20338739741071463, 0.17168935740162372, 0.14553847439412368, 0.12381312543404674, 0.10565694094598246, 0.09040574597600845, 0.07753755022009289, 0.0666374314621409, 0.05737233051788168, 0.04947261287067119, 0.04271835428230623, 0.0369289897779934, 0.03195539936292466, 0.027673786744735047, 0.023980895861546496, 0.020790238138471594, 0.018029092031964473, 0.0156360987396583, 0.013559322418121154, 0.011754675407681978, 0.010184632508599894, 0.008817175790044532, 0.007624924463554072, 0.006584414214980583, 0.005675497909609034, 0.0048808453683413374, 0.004185524394732104, 0.003576648731355369, 0.0030430813737120726, 0.0025751838447017968, 0.002164603762995279, 0.001804094422960289, 0.0014873612170724047, 0.0012089306314314275, 0.0009640382754244768, 0.00074853300213836, 0.0005587946637016705, 0.00039166344644041615, 0.00024437906122893585, 0.0001145283379404471]"
+    sqls["rank_overlap"] = f"""
+WITH {BEDGE_CTE.strip()},
+rb_ind AS (SELECT dst AS url, CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS score
+           FROM bedges GROUP BY dst),
+rb_pr AS (SELECT url, rank AS score
+          FROM ({_pr_conv_sql(bw_cte, "bwedges", "bverts")})),
+rb_a AS (SELECT url, ROW_NUMBER() OVER (ORDER BY score DESC, url) AS pa
+         FROM rb_pr ORDER BY score DESC, url LIMIT 50),
+rb_b AS (SELECT url, ROW_NUMBER() OVER (ORDER BY score DESC, url) AS pb
+         FROM rb_ind ORDER BY score DESC, url LIMIT 50),
+rb_j AS (
+  SELECT ({_rbo_w})[greatest(pa, pb)] AS w
+  FROM rb_a JOIN rb_b USING (url)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+       ROUND(0.09999999999999998 * COALESCE(
+         CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(28,9))) AS DOUBLE), 0.0), 6) AS rbo
+FROM rb_j
+"""
+
     sqls["rank_correlation"] = f"""
 WITH {BEDGE_CTE.strip()},
 ind AS (SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS y FROM bedges GROUP BY dst),

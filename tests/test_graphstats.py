@@ -348,3 +348,46 @@ def test_reciprocity_hand(spark):
     # distinct non-loop edges: ab, ba, ac, cd, dc -> 4 reciprocated
     assert (row["n_edges"], row["n_reciprocated"]) == (5, 4)
     assert row["reciprocity"] == 0.8
+
+
+def test_rank_biased_overlap_identity_disjoint_and_head_weight(spark):
+    import math
+
+    from pagerank_spark.operators.graphstats import rank_biased_overlap
+
+    a = spark.createDataFrame(
+        [(f"u{i}", float(100 - i)) for i in range(10)], ["url", "score"]
+    )
+    # identical lists: RBO@d = (1-p) * sum_{k<=d} p^(k-1) (full overlap)
+    row = rank_biased_overlap(a, a, d=10, p=0.9).collect()[0]
+    exp = 0.1 * sum(0.9 ** (k - 1) for k in range(1, 11))
+    assert row["n_common"] == 10 and abs(row["rbo"] - exp) < 1e-6
+    # disjoint lists: zero
+    b = spark.createDataFrame(
+        [(f"v{i}", float(100 - i)) for i in range(10)], ["url", "score"]
+    )
+    row0 = rank_biased_overlap(a, b, d=10, p=0.9).collect()[0]
+    assert row0["n_common"] == 0 and row0["rbo"] == 0.0
+    # TOP-heaviness: disturbing the head (rank-1/2 swap breaks the k=1
+    # prefix, the heaviest term) costs MORE than losing the rank-10 item
+    # (only the k=10 prefix shrinks)
+    a_swap = spark.createDataFrame(
+        [("u1", 100.0), ("u0", 99.0)] + [(f"u{i}", float(100 - i))
+                                         for i in range(2, 10)],
+        ["url", "score"],
+    )
+    a_tail = spark.createDataFrame(
+        [(f"u{i}", float(100 - i)) for i in range(9)] + [("zz", 1.0)],
+        ["url", "score"],
+    )
+    r_swap = rank_biased_overlap(a, a_swap, d=10, p=0.9).collect()[0]["rbo"]
+    r_tail = rank_biased_overlap(a, a_tail, d=10, p=0.9).collect()[0]["rbo"]
+    assert r_swap < exp + 1e-9 and r_tail < exp
+    assert r_swap < r_tail
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rank_biased_overlap(a, b, d=0)
+    with _pytest.raises(ValueError):
+        rank_biased_overlap(a, b, p=1.0)
