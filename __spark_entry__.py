@@ -2007,7 +2007,7 @@ def q_rank_overlap(spark, sf_dir):
     """Top-heavy ranking agreement (operators/graphstats.py
     rank_biased_overlap, Webber et al. RBO@50, p=0.9) between converged
     PageRank and raw in-degree on the branching B graph — the prefix
-    complement of rank_correlation's全-vertex Spearman. Twin rebuilds
+    complement of rank_correlation's all-vertex Spearman. Twin rebuilds
     both top-50 lists and the same per-max-position weight literals."""
     from pagerank_spark.operators.graph_build import LinkGraph
     from pagerank_spark.operators.graphstats import rank_biased_overlap
