@@ -2023,6 +2023,17 @@ def q_rank_overlap(spark, sf_dir):
     return rank_biased_overlap(pr, ind, d=RBO_D, p=RBO_P)
 
 
+def q_concentration(spark, sf_dir):
+    """Corpus concentration report over the documents source column
+    (operators/sampling.py concentration_report): Shannon entropy,
+    normalized entropy, Gini and HHI — 9dp-DECIMAL term sums, exact-int
+    Gini numerator, one final division each."""
+    from pagerank_spark.operators.sampling import concentration_report
+
+    _views(spark, sf_dir, ("documents",))
+    return concentration_report(spark.table("documents"), group_col="source")
+
+
 def q_rank_correlation(spark, sf_dir):
     """Spearman rho between converged PageRank and in-degree on the G-ish
     graph — 'is in-degree a cheap PageRank proxy?' (operators/graphstats.py
@@ -3375,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_distance": q_mean_distance,
         "leakage_safe_split": q_leakage_safe_split,
         "rank_overlap": q_rank_overlap,
+        "concentration": q_concentration,
     }
 
 
@@ -5076,6 +5088,32 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
        ROUND(0.09999999999999998 * COALESCE(
          CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(28,9))) AS DOUBLE), 0.0), 6) AS rbo
 FROM rb_j
+"""
+
+    # concentration report: identical term quantization and exact Gini
+    sqls["concentration"] = """
+WITH g AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM g),
+r AS (
+  SELECT g.grp, g.c, t.n, t.k,
+         ROW_NUMBER() OVER (ORDER BY g.c, g.grp) AS i,
+         CAST(g.c AS DOUBLE) / t.n AS p
+  FROM g CROSS JOIN t
+),
+a AS (
+  SELECT MAX(k) AS n_groups, MAX(n) AS n_items,
+         CAST(SUM(CAST(ROUND(-p * log2(p), 9) AS DECIMAL(28,9))) AS DOUBLE) AS ent,
+         CAST(SUM(CAST(ROUND(p * p, 9) AS DECIMAL(28,9))) AS DOUBLE) AS hhi,
+         CAST(SUM(CAST((2 * i - k - 1) * c AS DECIMAL(38,0))) AS DOUBLE) AS gn
+  FROM r
+)
+SELECT n_groups, n_items,
+       ROUND(ent, 6) AS entropy,
+       CASE WHEN n_groups > 1 THEN
+         ROUND(ent / log2(CAST(n_groups AS DOUBLE)), 6) END AS norm_entropy,
+       ROUND(gn / (CAST(n_groups AS DOUBLE) * n_items), 6) AS gini,
+       ROUND(hhi, 6) AS hhi
+FROM a
 """
 
     sqls["rank_correlation"] = f"""

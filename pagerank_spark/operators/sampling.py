@@ -585,3 +585,64 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return clusters.select(id_col, "canonical_id", split.alias("split"))
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """One row (n_groups, n_items, entropy, norm_entropy, gini, hhi) —
+    the corpus-concentration diagnostics a data-governance pass reads
+    before training: Shannon entropy (bits) of the group distribution,
+    entropy normalized by log2(n_groups) (NULL for one group), the Gini
+    coefficient of group sizes, and the Herfindahl-Hirschman index
+    Σ p² (the antitrust concentration measure — here, "is the corpus
+    one host in a trenchcoat?").
+
+    Scale shape: ONE map-side-combined count per group; everything after
+    runs on the GROUP table (hosts/langs/sources — corpus-count-free).
+    The Gini rank is a group-sized sort (same honest cost note as
+    allocate_budget). Float hygiene: entropy/HHI terms are 9dp-quantized
+    and DECIMAL-summed; Gini's numerator is exact BIGINT->DECIMAL
+    arithmetic with ONE final double division.
+    """
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    tot = g.agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    )
+    w = Window.orderBy(F.col("_c"), F.col("_g"))
+    ranked = g.crossJoin(F.broadcast(tot)).select(
+        "_g", "_c", "_n", "_k", F.row_number().over(w).alias("_i")
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    ent_term = F.round(-p * F.log2(p), 9).cast("decimal(28,9)")
+    hhi_term = F.round(p * p, 9).cast("decimal(28,9)")
+    gini_num = (
+        (F.lit(2) * F.col("_i") - F.col("_k") - 1) * F.col("_c")
+    ).cast("decimal(38,0)")
+    agg = ranked.agg(
+        F.max("_k").alias("n_groups"),
+        F.max("_n").alias("n_items"),
+        F.sum(ent_term).alias("_ent"),
+        F.sum(hhi_term).alias("_hhi"),
+        F.sum(gini_num).alias("_gn"),
+    )
+    ent = F.col("_ent").cast("double")
+    return agg.select(
+        "n_groups",
+        "n_items",
+        F.round(ent, 6).alias("entropy"),
+        F.when(
+            F.col("n_groups") > 1,
+            F.round(ent / F.log2(F.col("n_groups").cast("double")), 6),
+        ).alias("norm_entropy"),
+        F.round(
+            F.col("_gn").cast("double")
+            / (F.col("n_groups") * F.col("n_items")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("_hhi").cast("double"), 6).alias("hhi"),
+    )

@@ -421,3 +421,32 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
 
     with _pytest.raises(ValueError):
         leakage_safe_split(cl, train=0.9, val=0.2)
+
+
+def test_concentration_report_hand(spark):
+    import math
+
+    from pagerank_spark.operators.sampling import concentration_report
+
+    # 4 groups with counts 1,1,2,4 (n=8)
+    rows = ([("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 4)
+    df = spark.createDataFrame(rows, ["source"])
+    r = concentration_report(df).collect()[0]
+    assert (r["n_groups"], r["n_items"]) == (4, 8)
+    ps = [1 / 8, 1 / 8, 2 / 8, 4 / 8]
+    ent = sum(round(-p * math.log2(p), 9) for p in ps)
+    assert abs(r["entropy"] - round(ent, 6)) < 1e-9
+    assert abs(r["norm_entropy"] - round(ent / 2, 6)) < 1e-6
+    assert abs(r["hhi"] - round(sum(p * p for p in ps), 6)) < 1e-9
+    # Gini with counts ascending 1,1,2,4: sum((2i-n-1)c)/(n*total)
+    gn = sum((2 * i - 4 - 1) * c for i, c in enumerate([1, 1, 2, 4], 1))
+    assert abs(r["gini"] - round(gn / (4 * 8), 6)) < 1e-9
+    # uniform distribution: gini 0, norm_entropy 1
+    u = spark.createDataFrame([(s,) for s in "abcd" * 5], ["source"])
+    ru = concentration_report(u).collect()[0]
+    assert ru["gini"] == 0.0 and ru["norm_entropy"] == 1.0
+    # single group: norm_entropy NULL, entropy 0, hhi 1
+    one = spark.createDataFrame([("x",)] * 6, ["source"])
+    ro = concentration_report(one).collect()[0]
+    assert ro["entropy"] == 0.0 and ro["norm_entropy"] is None
+    assert ro["hhi"] == 1.0
