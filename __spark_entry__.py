@@ -2314,6 +2314,24 @@ def q_bipartite(spark, sf_dir):
     return bipartite_check(spark.sql(BIP_SQL))
 
 
+def q_distance_histogram(spark, sf_dir):
+    """Exact landmark distance distribution on the branching B graph
+    (operators/distance.py distance_histogram): the per-depth pair
+    counts behind closeness — and the exact calibrator the HyperBall NF
+    estimate is judged against. Twin rolls up the same unrolled BFS."""
+    from pagerank_spark.operators.distance import distance_histogram
+
+    _views(spark, sf_dir, ("events",))
+    e = spark.sql(B_SQL)
+    sources = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .filter(F.col("url").endswith("00"))
+    )
+    return distance_histogram(e, sources, max_depth=BFS_DEPTH)
+
+
 def q_closeness(spark, sf_dir):
     """Exact depth-capped out-closeness for the '%00' landmark sample over
     the branching B graph (operators/distance.py closeness_sample):
@@ -3387,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "rank_overlap": q_rank_overlap,
         "concentration": q_concentration,
+        "distance_histogram": q_distance_histogram,
     }
 
 
@@ -6115,6 +6134,14 @@ GROUP BY comp.component
             f"WHERE p.source = f.source AND p.url = e.dst))"
         )
     _callu = " UNION ALL ".join(f"SELECT * FROM c{_j}" for _j in range(BFS_DEPTH + 1))
+    sqls["distance_histogram"] = f"""
+WITH {BEDGE_CTE},
+{",".join(_cparts)},
+allc AS ({_callu})
+SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM allc GROUP BY dist
+"""
+
     sqls["closeness"] = f"""
 WITH {BEDGE_CTE},
 {",".join(_cparts)},

@@ -326,3 +326,23 @@ def closeness_sample(
             ).alias("closeness"),
         )
     )
+
+
+def distance_histogram(
+    edges, sources, max_depth: int = 8
+):
+    """(dist, n_pairs) — the exact distance distribution from the
+    ``sources`` landmark set (one row per BFS depth 0..``max_depth``
+    that has any pair): the small-multiple view behind mean/median
+    distance and the exact calibrator for HyperBall's estimated
+    neighborhood function. One tiny rollup over
+    :func:`multi_source_distance`'s (source, url, dist) rows — the BFS
+    cost structure (frontier-sized shuffles, per-level checkpoint) is
+    inherited unchanged."""
+    from pyspark.sql import functions as F
+
+    d = multi_source_distance(edges, sources, max_depth=max_depth)
+    return (
+        d.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -187,3 +187,17 @@ def test_betweenness_sample_depth_cap(spark):
     got = {r["url"]: r["betweenness"]
            for r in betweenness_sample(e, s, max_depth=2).collect()}
     assert got == {"a": 1.0, "b": 0.0}
+
+
+def test_distance_histogram_hand(spark):
+    from pagerank_spark.operators.distance import distance_histogram
+
+    # path a->b->c->d, sources {a, c}
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    src = spark.createDataFrame([("a",), ("c",)], ["url"])
+    got = {r["dist"]: r["n_pairs"]
+           for r in distance_histogram(e, src, max_depth=5).collect()}
+    # dist 0: a,c (2); dist 1: a->b, c->d (2); dist 2: a->c (1); 3: a->d (1)
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
