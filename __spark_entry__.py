@@ -1539,6 +1539,32 @@ def q_session_stats(spark, sf_dir):
     )
 
 
+COVIS_ITEM_MOD = 97
+COVIS_MIN_SUPPORT = 2
+COVIS_CAP = 50
+
+
+def q_covisitation(spark, sf_dir):
+    """Session co-visitation pairs (operators/sessions.py
+    covisitation_pairs): items derived as 'p' || event_id % 97, the
+    engine's own sessionizer underneath, per-session distinct pairing
+    with the bot-session cap, min-support 2. Twin composes the shared
+    session CTE with the same distinct/cap/pair rollup."""
+    from pagerank_spark.operators.sessions import covisitation_pairs
+
+    _views(spark, sf_dir, ("events",))
+    ev = spark.table("events").withColumn(
+        "item",
+        F.concat(F.lit("p"), (F.col("event_id") % COVIS_ITEM_MOD).cast("string")),
+    )
+    return covisitation_pairs(
+        ev,
+        gap_seconds=SESSION_GAP_SECONDS,
+        max_session_items=COVIS_CAP,
+        min_support=COVIS_MIN_SUPPORT,
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Per-event session assignment (operators/sessions.py sessionize):
     every event's (session_seq, idx_in_session) — a single user-keyed
@@ -3406,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_overlap": q_rank_overlap,
         "concentration": q_concentration,
         "distance_histogram": q_distance_histogram,
+        "covisitation": q_covisitation,
     }
 
 
@@ -4620,6 +4647,29 @@ assigned AS (
   WINDOW v AS (PARTITION BY user_id ORDER BY t, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
+"""
+
+    sqls["covisitation"] = f"""
+WITH {session_cte},
+cv_items AS (
+  SELECT DISTINCT user_id, session_seq,
+         'p' || CAST(event_id % {COVIS_ITEM_MOD} AS VARCHAR) AS item
+  FROM assigned
+),
+cv_sz AS (
+  SELECT user_id, session_seq FROM cv_items
+  GROUP BY user_id, session_seq HAVING COUNT(*) <= {COVIS_CAP}
+),
+cv_ok AS (SELECT i.* FROM cv_items i JOIN cv_sz USING (user_id, session_seq)),
+cv_pr AS (
+  SELECT a.item AS item_a, b.item AS item_b
+  FROM cv_ok a JOIN cv_ok b
+    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+   AND a.item < b.item
+)
+SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM cv_pr GROUP BY item_a, item_b
+HAVING COUNT(*) >= {COVIS_MIN_SUPPORT}
 """
 
     sqls["sessionize"] = f"""

@@ -246,3 +246,65 @@ def funnel(
     for sc in stage_counts[1:]:
         out = out.unionByName(sc)
     return out
+
+
+def covisitation_pairs(
+    events: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    item_col: str = "item",
+    max_session_items: int = 50,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(item_a, item_b, n_sessions) — the session co-visitation graph:
+    two items are connected once per session that touched BOTH (each
+    session counts a pair once regardless of repeat visits), item_a <
+    item_b, pairs below ``min_support`` sessions dropped. This is the
+    classic behavioral related-items signal (Amazon's item-item CF,
+    Linden et al. 2003) built on the engine's own sessionizer — and the
+    co-visitation edges feed every graph operator upstream (components
+    over them cluster browsing intents).
+
+    Scale guards: sessions with more than ``max_session_items`` DISTINCT
+    items are dropped whole (bot/crawler sessions — also the quadratic
+    bound: the per-session self-join is <= cap^2); the pair aggregate is
+    the only post-join exchange and it map-side combines on the pair
+    key. The (user, session) self-join rides the user-keyed partitioning
+    the sessionizer already produced.
+    """
+    if max_session_items < 2:
+        raise ValueError("max_session_items must be >= 2")
+    s = sessionize(
+        events, gap_seconds=gap_seconds, user_col=user_col,
+        ts_col=ts_col, id_col=id_col,
+    )
+    items = s.select(
+        F.col(user_col).alias("_u"), "session_seq", F.col(item_col).alias("_i")
+    ).distinct()
+    sz = (
+        items.groupBy("_u", "session_seq")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= max_session_items)
+        .select("_u", "session_seq")
+    )
+    ok = items.join(sz, ["_u", "session_seq"])
+    b = ok.select(
+        F.col("_u").alias("_u2"),
+        F.col("session_seq").alias("_s2"),
+        F.col("_i").alias("_i2"),
+    )
+    pairs = ok.join(
+        b,
+        (ok["_u"] == b["_u2"])
+        & (ok["session_seq"] == b["_s2"])
+        & (ok["_i"] < b["_i2"]),
+    )
+    return (
+        pairs.groupBy(
+            F.col("_i").alias("item_a"), F.col("_i2").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .where(F.col("n_sessions") >= min_support)
+    )

@@ -120,3 +120,38 @@ def test_funnel_anchor_is_first_event(spark):
     )
     got = {r["stage"]: r["n_users"] for r in funnel(ev).collect()}
     assert got == {"view": 1, "click": 1, "purchase": 0}
+
+
+def test_covisitation_pairs_hand(spark):
+    from datetime import datetime
+
+    from pagerank_spark.operators.sessions import covisitation_pairs
+
+    def t(m):
+        return datetime(2026, 1, 1, 10, m)
+
+    rows = [
+        # user 1 session 1: a,b,a (a repeats — pair counted once)
+        (1, 1, t(0), "a"), (2, 1, t(1), "b"), (3, 1, t(2), "a"),
+        # user 1 session 2 (gap): a,b again -> support 2
+        (4, 1, t(50), "a"), (5, 1, t(51), "b"),
+        # user 2: a,c (pair below min_support 2)
+        (6, 2, t(0), "a"), (7, 2, t(1), "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "item"])
+    got = {(r["item_a"], r["item_b"]): r["n_sessions"]
+           for r in covisitation_pairs(df, gap_seconds=600,
+                                       min_support=2).collect()}
+    assert got == {("a", "b"): 2}
+    # min_support 1 reveals the a-c pair
+    got1 = {(r["item_a"], r["item_b"]): r["n_sessions"]
+            for r in covisitation_pairs(df, gap_seconds=600,
+                                        min_support=1).collect()}
+    assert got1 == {("a", "b"): 2, ("a", "c"): 1}
+    # bot guard: a 3-item session vanishes whole at cap 2
+    bot = spark.createDataFrame(
+        [(10, 9, t(0), "x"), (11, 9, t(1), "y"), (12, 9, t(2), "z")],
+        ["event_id", "user_id", "ts", "item"],
+    )
+    assert covisitation_pairs(bot, gap_seconds=600, max_session_items=2,
+                              min_support=1).count() == 0
