@@ -1565,6 +1565,17 @@ def q_covisitation(spark, sf_dir):
     )
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Per-doc type-token ratio and hapax fraction
+    (operators/textops.py lexical_diversity) — vocabulary-level
+    repetition diagnostics next to the n-gram Gopher rules; zero-shuffle
+    sorted-array run counting."""
+    from pagerank_spark.operators.textops import lexical_diversity
+
+    _views(spark, sf_dir, ("documents",))
+    return lexical_diversity(spark.table("documents"))
+
+
 def q_sessionize(spark, sf_dir):
     """Per-event session assignment (operators/sessions.py sessionize):
     every event's (session_seq, idx_in_session) — a single user-keyed
@@ -3433,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration": q_concentration,
         "distance_histogram": q_distance_histogram,
         "covisitation": q_covisitation,
+        "lexical_diversity": q_lexical_diversity,
     }
 
 
@@ -4647,6 +4659,24 @@ assigned AS (
   WINDOW v AS (PARTITION BY user_id ORDER BY t, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
+"""
+
+    # lexical diversity: same sorted-run hapax count in DuckDB list ops
+    sqls["lexical_diversity"] = f"""
+WITH tk AS (
+  SELECT doc_id, list_sort({TOKS}) AS s,
+         CAST(len({TOKS}) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, n AS n_tokens,
+       CAST(len(list_distinct(s)) AS BIGINT) AS n_types,
+       CASE WHEN n > 0 THEN
+         ROUND(CAST(len(list_distinct(s)) AS DOUBLE) / n, 6) END AS ttr,
+       CASE WHEN n > 0 THEN
+         ROUND(CAST(len(list_filter(range(1, n + 1), i ->
+           (i = 1 OR s[i] <> s[i - 1]) AND (i = n OR s[i] <> s[i + 1])))
+           AS DOUBLE) / n, 6) END AS hapax_frac
+FROM tk
 """
 
     sqls["covisitation"] = f"""

@@ -599,3 +599,50 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         n_phones.alias("n_phones"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, hapax_frac) — per-document
+    lexical diversity: type-token ratio and the fraction of tokens that
+    occur exactly once in the doc (hapax legomena). Low TTR flags
+    templated/repetitive boilerplate the Gopher repetition rules catch
+    at n-gram granularity; TTR catches it at the vocabulary level, and
+    hapax-rate is the classic Zipf-head diagnostic. Same [a-z0-9]+
+    tokenizer as the retrieval stack.
+
+    Shape: sort_array once per doc, hapax counted by comparing each
+    sorted position to its neighbors (a run of length 1) inside ONE
+    filter lambda — pure Column expressions, one codegen'd scan, zero
+    shuffle, zero Python (plan-audited). NULL ratios for token-free
+    docs.
+    """
+    from pagerank_spark.operators.textsearch import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(toks).alias("_s"),
+    ).select(
+        "doc_id", "_s", F.size("_s").cast("long").alias("n_tokens")
+    )
+    hapax = F.size(
+        F.expr(
+            "filter(sequence(1, size(_s)), i -> "
+            "(i = 1 OR _s[i - 1] <> _s[i - 2]) AND "
+            "(i = size(_s) OR _s[i - 1] <> _s[i]))"
+        )
+    ).cast("long")
+    n = F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("_s")).cast("long").alias("n_types"),
+        F.when(n > 0, F.round(
+            F.size(F.array_distinct("_s")).cast("double") / n.cast("double"), 6
+        )).alias("ttr"),
+        F.when(n > 0, F.round(
+            hapax.cast("double") / n.cast("double"), 6
+        )).alias("hapax_frac"),
+    )

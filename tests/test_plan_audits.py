@@ -1002,3 +1002,11 @@ def test_rmat_zero_shuffle_zero_python(spark):
     plan = _physical(rmat_edges(idx, scale=8))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_lexical_diversity_zero_shuffle(spark, docs_path):
+    from pagerank_spark.operators.textops import lexical_diversity
+
+    plan = _physical(lexical_diversity(spark.read.parquet(docs_path)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

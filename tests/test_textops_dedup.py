@@ -765,3 +765,20 @@ def test_zipf_alpha_hand(spark):
     assert (row["n_types"], row["n_tail"]) == (4, 2)
     slog = round(math.log(4 / 1.5), 9) + round(math.log(2 / 1.5), 9)
     assert row["alpha"] == pytest.approx(round(1.0 + 2 / slog, 6), abs=1e-6)
+
+
+def test_lexical_diversity_hand(spark):
+    from pagerank_spark.operators.textops import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a b a c c c"), (2, ""), (3, "x"), (4, "Tok tok TOK")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_types"], r["ttr"],
+                         r["hapax_frac"])
+           for r in lexical_diversity(df).collect()}
+    assert got[1] == (6, 3, 0.5, 0.166667)   # hapax: only 'b'
+    assert got[2] == (0, 0, None, None)
+    assert got[3] == (1, 1, 1.0, 1.0)
+    # lowercased tokenizer: 'Tok tok TOK' is one type, zero hapax
+    assert got[4] == (3, 1, round(1 / 3, 6), 0.0)
