@@ -1565,6 +1565,25 @@ def q_covisitation(spark, sf_dir):
     )
 
 
+DDUP_SQL = (
+    "SELECT doc_id, source, "
+    "CASE WHEN doc_id % 4 = 0 THEN 'shared boilerplate body' ELSE text END AS text "
+    "FROM documents"
+)
+
+
+def q_dedup_rates(spark, sf_dir):
+    """Per-source exact-duplicate pressure (operators/dedup.py
+    dedup_rate_by_group) over a dup-laced shared-SQL substrate (every
+    4th doc becomes one boilerplate body, so each source's rate is
+    non-trivially witnessed): distinct normalized texts per source, one
+    (group, md5) aggregate + one rollup."""
+    from pagerank_spark.operators.dedup import dedup_rate_by_group
+
+    _views(spark, sf_dir, ("documents",))
+    return dedup_rate_by_group(spark.sql(DDUP_SQL))
+
+
 def q_lexical_diversity(spark, sf_dir):
     """Per-doc type-token ratio and hapax fraction
     (operators/textops.py lexical_diversity) — vocabulary-level
@@ -3445,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram": q_distance_histogram,
         "covisitation": q_covisitation,
         "lexical_diversity": q_lexical_diversity,
+        "dedup_rates": q_dedup_rates,
     }
 
 
@@ -4659,6 +4679,20 @@ assigned AS (
   WINDOW v AS (PARTITION BY user_id ORDER BY t, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
+"""
+
+    # per-source dup pressure over the dup-laced substrate
+    sqls["dedup_rates"] = f"""
+WITH dd AS ({DDUP_SQL}),
+pt AS (
+  SELECT source AS grp, md5({NORM_TEXT}) AS th, CAST(COUNT(*) AS BIGINT) AS c
+  FROM dd GROUP BY source, md5({NORM_TEXT})
+)
+SELECT grp AS source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_rate
+FROM pt GROUP BY grp
 """
 
     # lexical diversity: same sorted-run hapax count in DuckDB list ops

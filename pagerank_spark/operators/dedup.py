@@ -811,3 +811,43 @@ def host_boilerplate(
         )
         .select("doc_id", "n_lines", "n_kept", "clean_text")
     )
+
+
+def dedup_rate_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(group, n_docs, n_unique, dup_rate) — per-source exact-duplicate
+    pressure: n_unique counts DISTINCT normalized texts within the
+    group, dup_rate = 1 - n_unique/n_docs (6dp). The governance view
+    that decides which feeds get the expensive near-dup passes — a
+    source shipping 40% byte-identical re-crawls gets triaged before
+    MinHash ever runs.
+
+    One aggregate on (group, text-md5) with map-side combine, then one
+    group rollup — no joins, the 16-byte binary key from the exact-dedup
+    path keeps shuffle bytes down.
+    """
+    from pagerank_spark.operators.textops import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    per_text = (
+        docs.select(F.col(group_col).alias("grp"), F.unhex(F.md5(norm)).alias("_th"))
+        .groupBy("grp", "_th")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    return per_text.groupBy("grp").agg(
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_unique",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

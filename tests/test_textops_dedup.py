@@ -782,3 +782,19 @@ def test_lexical_diversity_hand(spark):
     assert got[3] == (1, 1, 1.0, 1.0)
     # lowercased tokenizer: 'Tok tok TOK' is one type, zero hapax
     assert got[4] == (3, 1, round(1 / 3, 6), 0.0)
+
+
+def test_dedup_rate_by_group_hand(spark):
+    from pagerank_spark.operators.dedup import dedup_rate_by_group
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "same text"), (2, "s1", "Same  TEXT "),  # normalize-equal
+            (3, "s1", "other"),
+            (4, "s2", "unique a"), (5, "s2", "unique b"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {r["source"]: (r["n_docs"], r["n_unique"], r["dup_rate"])
+           for r in dedup_rate_by_group(df).collect()}
+    assert got == {"s1": (3, 2, round(1 - 2 / 3, 6)), "s2": (2, 2, 0.0)}
