@@ -1584,6 +1584,17 @@ def q_dedup_rates(spark, sf_dir):
     return dedup_rate_by_group(spark.sql(DDUP_SQL))
 
 
+def q_cluster_quality(spark, sf_dir):
+    """Labeled-embedding separation report (operators/similarity.py
+    label_cluster_quality): per-label cohesion (mean member-to-centroid
+    cosine) and the most-confusable other centroid — symmetric 9/15dp
+    DECIMAL quantization in both engines at every fold."""
+    from pagerank_spark.operators.similarity import label_cluster_quality
+
+    _views(spark, sf_dir, ("embeddings",))
+    return label_cluster_quality(spark.table("embeddings"))
+
+
 def q_lexical_diversity(spark, sf_dir):
     """Per-doc type-token ratio and hapax fraction
     (operators/textops.py lexical_diversity) — vocabulary-level
@@ -3465,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covisitation": q_covisitation,
         "lexical_diversity": q_lexical_diversity,
         "dedup_rates": q_dedup_rates,
+        "cluster_quality": q_cluster_quality,
     }
 
 
@@ -4693,6 +4705,59 @@ SELECT grp AS source,
        CAST(COUNT(*) AS BIGINT) AS n_unique,
        ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_rate
 FROM pt GROUP BY grp
+"""
+
+    # cluster-quality twin: identical stagewise quantization
+    sqls["cluster_quality"] = """
+WITH el AS (
+  SELECT vec_id AS vid, label AS lab,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+  FROM embeddings
+),
+nv AS (SELECT lab, CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_vecs FROM el GROUP BY lab),
+cent AS (
+  SELECT lab, dim,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*), 9) AS c
+  FROM el GROUP BY lab, dim
+),
+cnorm AS (
+  SELECT lab,
+         sqrt(CAST(SUM(CAST(ROUND(c * c, 15) AS DECIMAL(38,15))) AS DOUBLE)) AS cn
+  FROM cent GROUP BY lab
+),
+pv AS (
+  SELECT el.vid, el.lab,
+         CAST(SUM(CAST(ROUND(el.x * ct.c, 15) AS DECIMAL(38,15))) AS DOUBLE) AS dot,
+         sqrt(CAST(SUM(CAST(ROUND(el.x * el.x, 15) AS DECIMAL(38,15))) AS DOUBLE)) AS vn
+  FROM el JOIN cent ct ON ct.lab = el.lab AND ct.dim = el.dim
+  GROUP BY el.vid, el.lab
+),
+intra AS (
+  SELECT pv.lab,
+         ROUND(CAST(SUM(CAST(ROUND(pv.dot / (pv.vn * cn.cn), 9) AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_intra_cos
+  FROM pv JOIN cnorm cn ON cn.lab = pv.lab GROUP BY pv.lab
+),
+pair AS (
+  SELECT a.lab AS la, b.lab AS lb,
+         CAST(SUM(CAST(ROUND(a.c * b.c, 15) AS DECIMAL(38,15))) AS DOUBLE) AS d
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.lab <> b.lab
+  GROUP BY a.lab, b.lab
+),
+pcos AS (
+  SELECT la, lb, ROUND(d / (na.cn * nb.cn), 9) AS pc
+  FROM pair JOIN cnorm na ON na.lab = la JOIN cnorm nb ON nb.lab = lb
+),
+mx AS (SELECT la, MAX(pc) AS maxpc FROM pcos GROUP BY la),
+best AS (
+  SELECT p.la, CAST(MIN(p.lb) AS BIGINT) AS nearest_label,
+         MAX(p.pc) AS nearest_cos
+  FROM pcos p JOIN mx ON mx.la = p.la AND p.pc = mx.maxpc GROUP BY p.la
+)
+SELECT CAST(nv.lab AS BIGINT) AS label, nv.n_vecs, intra.mean_intra_cos,
+       best.nearest_label, ROUND(best.nearest_cos, 6) AS nearest_cos
+FROM nv JOIN intra ON intra.lab = nv.lab JOIN best ON best.la = nv.lab
 """
 
     # lexical diversity: same sorted-run hapax count in DuckDB list ops

@@ -695,3 +695,122 @@ def quantize_embeddings(
             6,
         ).alias("dequantized"),
     )
+
+
+def label_cluster_quality(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n_vecs, mean_intra_cos, nearest_label, nearest_cos) — the
+    labeled-clustering separation report: per label, the mean cosine of
+    its members to their own centroid (cohesion) and the most-similar
+    OTHER centroid (the confusion direction; a nearest_cos approaching
+    mean_intra_cos flags merging clusters). The silhouette-style view a
+    pipeline checks before trusting labels as training strata or IVF
+    seeds.
+
+    Cross-engine float discipline, applied symmetrically in BOTH
+    engines: every element is 9dp-quantized on entry, every dot/norm
+    accumulates 15dp-quantized per-dim terms in DECIMAL(38,15) (exact,
+    order-free — the twin's GROUP BY order and Spark's partial-agg tree
+    cannot disagree), each cosine is 9dp-rounded before the final means.
+    Shapes: one posexplode, centroid build = one (label, dim)
+    partial-agg (640 keys here), member cosines = one (label, dim) join
+    + vec-keyed partial agg, centroid-pair matrix = L² x d rows of tiny.
+    """
+    el = embs.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lab"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    ).select(
+        "vid", "lab", "dim", F.round(F.col("_x").cast("double"), 9).alias("x")
+    )
+    nv = el.groupBy("lab").agg(
+        F.countDistinct("vid").cast("long").alias("n_vecs")
+    )
+    dec = "decimal(38,15)"
+    cent = (
+        el.groupBy("lab", "dim")
+        .agg(F.sum(F.col("x").cast(dec)).alias("_sx"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "lab",
+            "dim",
+            F.round(
+                F.col("_sx").cast("double") / F.col("_n").cast("double"), 9
+            ).alias("c"),
+        )
+    )
+    cnorm = cent.groupBy("lab").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("c") * F.col("c"), 15).cast(dec)).cast("double")
+        ).alias("cn")
+    )
+    # member-to-own-centroid cosine
+    j = el.join(
+        cent.select(F.col("lab").alias("lab2"), "dim", "c"),
+        (el["lab"] == F.col("lab2")) & (el["dim"] == cent["dim"]),
+    ).select("vid", "lab", "x", "c")
+    per_vec = j.groupBy("vid", "lab").agg(
+        F.sum(F.round(F.col("x") * F.col("c"), 15).cast(dec)).cast("double").alias("_dot"),
+        F.sqrt(
+            F.sum(F.round(F.col("x") * F.col("x"), 15).cast(dec)).cast("double")
+        ).alias("_vn"),
+    )
+    intra = (
+        per_vec.join(cnorm, per_vec["lab"] == cnorm["lab"])
+        .select(
+            per_vec["lab"].alias("lab"),
+            F.round(F.col("_dot") / (F.col("_vn") * F.col("cn")), 9).alias("_cos"),
+        )
+        .groupBy("lab")
+        .agg(
+            F.round(
+                F.sum(F.col("_cos").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_intra_cos")
+        )
+    )
+    # centroid-pair cosines, nearest OTHER label (max cos, ties by label asc)
+    ca = cent.select(F.col("lab").alias("la"), "dim", F.col("c").alias("xa"))
+    cb = cent.select(F.col("lab").alias("lb"), F.col("dim").alias("dimb"), F.col("c").alias("xb"))
+    pair = (
+        ca.join(cb, (ca["dim"] == cb["dimb"]) & (ca["la"] != cb["lb"]))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.round(F.col("xa") * F.col("xb"), 15).cast(dec)).cast("double").alias("_d")
+        )
+    )
+    na = cnorm.select(F.col("lab").alias("la"), F.col("cn").alias("cna"))
+    nb = cnorm.select(F.col("lab").alias("lb"), F.col("cn").alias("cnb"))
+    pcos = pair.join(na, "la").join(nb, "lb").select(
+        "la", "lb",
+        F.round(F.col("_d") / (F.col("cna") * F.col("cnb")), 9).alias("pc"),
+    )
+    nearest = pcos.groupBy("la").agg(F.max("pc").alias("_maxpc"))
+    # deterministic tie-break: smallest lb among argmax rows
+    best = (
+        pcos.join(
+            nearest.select(F.col("la").alias("_la"), F.col("_maxpc")),
+            (pcos["la"] == F.col("_la")) & (pcos["pc"] == F.col("_maxpc")),
+        )
+        .groupBy("la")
+        .agg(
+            F.min("lb").cast("long").alias("nearest_label"),
+            F.max("pc").alias("nearest_cos"),
+        )
+    )
+    return (
+        nv.join(intra, nv["lab"] == intra["lab"])
+        .select(nv["lab"].alias("label"), "n_vecs", "mean_intra_cos")
+        .join(best, F.col("label") == best["la"])
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "mean_intra_cos",
+            "nearest_label",
+            F.round("nearest_cos", 6).alias("nearest_cos"),
+        )
+    )

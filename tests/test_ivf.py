@@ -255,3 +255,29 @@ def test_quantize_embeddings_roundtrip_and_edges(spark):
     # packed form: one codes array per vector
     packed = quantize_embeddings(embs).collect()
     assert {r["vec_id"]: list(r["codes"]) for r in packed}[2] == [255, 0, 255]
+
+
+def test_label_cluster_quality_separated_fixture(spark):
+    """Two tight orthogonal-ish clusters + one stray label: cohesion near
+    1 for tight clusters, nearest-centroid picks the geometrically
+    closest other label."""
+    from pagerank_spark.operators.similarity import label_cluster_quality
+
+    rows = []
+    # label 0 near e1, label 1 near e2, label 2 between 0 and 1's axes
+    for i in range(4):
+        rows.append((i, [10.0, float(i % 2), 0.0], 0))
+    for i in range(4, 8):
+        rows.append((i, [0.0, 10.0, float(i % 2)], 1))
+    for i in range(8, 12):
+        rows.append((i, [7.0, 7.0, float(i % 2)], 2))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["label"]: r for r in label_cluster_quality(df).collect()}
+    assert set(got) == {0, 1, 2}
+    for lab in (0, 1, 2):
+        assert got[lab]["n_vecs"] == 4
+        assert got[lab]["mean_intra_cos"] > 0.99
+    # the diagonal cluster 2 is everyone's nearest; clusters 0/1 are
+    # near-orthogonal to each other
+    assert got[0]["nearest_label"] == 2 and got[1]["nearest_label"] == 2
+    assert got[2]["nearest_cos"] > 0.6
