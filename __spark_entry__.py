@@ -1584,6 +1584,19 @@ def q_dedup_rates(spark, sf_dir):
     return dedup_rate_by_group(spark.sql(DDUP_SQL))
 
 
+DEG_PCTS = (0.5, 0.9, 0.99)
+
+
+def q_degree_percentiles(spark, sf_dir):
+    """Exact in/out-degree percentiles from the degree VALUE histogram
+    (operators/graphstats.py degree_percentiles) on the G graph —
+    missing-side vertices counted at degree 0, no row-sized sort."""
+    from pagerank_spark.operators.graphstats import degree_percentiles
+
+    _views(spark, sf_dir, ("events",))
+    return degree_percentiles(spark.sql(G_SQL), ps=DEG_PCTS)
+
+
 def q_cluster_quality(spark, sf_dir):
     """Labeled-embedding separation report (operators/similarity.py
     label_cluster_quality): per-label cohesion (mean member-to-centroid
@@ -3477,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "dedup_rates": q_dedup_rates,
         "cluster_quality": q_cluster_quality,
+        "degree_percentiles": q_degree_percentiles,
     }
 
 
@@ -4705,6 +4719,29 @@ SELECT grp AS source,
        CAST(COUNT(*) AS BIGINT) AS n_unique,
        ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_rate
 FROM pt GROUP BY grp
+"""
+
+    # degree percentiles: histogram running sum, ceil(p*n) target
+    sqls["degree_percentiles"] = f"""
+WITH g AS ({G_SQL}),
+dp_v AS (SELECT DISTINCT url FROM (SELECT src AS url FROM g UNION ALL SELECT dst FROM g)),
+dp_out AS (SELECT COALESCE(d.deg, 0) AS deg FROM dp_v v LEFT JOIN (SELECT src AS url, CAST(COUNT(*) AS BIGINT) AS deg FROM g GROUP BY src) d ON d.url = v.url),
+dp_h_out AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS c FROM dp_out GROUP BY deg),
+dp_c_out AS (SELECT deg, CAST(SUM(c) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, (SELECT SUM(c) FROM dp_h_out) AS n FROM dp_h_out),
+dp_in AS (SELECT COALESCE(d.deg, 0) AS deg FROM dp_v v LEFT JOIN (SELECT dst AS url, CAST(COUNT(*) AS BIGINT) AS deg FROM g GROUP BY dst) d ON d.url = v.url),
+dp_h_in AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS c FROM dp_in GROUP BY deg),
+dp_c_in AS (SELECT deg, CAST(SUM(c) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, (SELECT SUM(c) FROM dp_h_in) AS n FROM dp_h_in)
+SELECT 'out' AS direction, CAST(0.5 AS DOUBLE) AS p, CAST(MIN(deg) AS BIGINT) AS value FROM dp_c_out WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+UNION ALL
+SELECT 'out' AS direction, CAST(0.9 AS DOUBLE) AS p, CAST(MIN(deg) AS BIGINT) AS value FROM dp_c_out WHERE cum >= CAST(ceil(0.9 * n) AS BIGINT)
+UNION ALL
+SELECT 'out' AS direction, CAST(0.99 AS DOUBLE) AS p, CAST(MIN(deg) AS BIGINT) AS value FROM dp_c_out WHERE cum >= CAST(ceil(0.99 * n) AS BIGINT)
+UNION ALL
+SELECT 'in' AS direction, CAST(0.5 AS DOUBLE) AS p, CAST(MIN(deg) AS BIGINT) AS value FROM dp_c_in WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+UNION ALL
+SELECT 'in' AS direction, CAST(0.9 AS DOUBLE) AS p, CAST(MIN(deg) AS BIGINT) AS value FROM dp_c_in WHERE cum >= CAST(ceil(0.9 * n) AS BIGINT)
+UNION ALL
+SELECT 'in' AS direction, CAST(0.99 AS DOUBLE) AS p, CAST(MIN(deg) AS BIGINT) AS value FROM dp_c_in WHERE cum >= CAST(ceil(0.99 * n) AS BIGINT)
 """
 
     # cluster-quality twin: identical stagewise quantization

@@ -736,3 +736,62 @@ def rank_biased_overlap(
             6,
         ).alias("rbo"),
     )
+
+
+def degree_percentiles(
+    edges: DataFrame, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """(direction, p, value) — EXACT in/out-degree percentiles computed
+    from the degree VALUE HISTOGRAM (the quantile_buckets recipe): the
+    percentile is the smallest degree whose cumulative vertex count
+    reaches ceil(p * n), found with one running-sum window over the
+    DISTINCT degree values — never a row-sized sort. Dangling /
+    source-only vertices count as degree 0 on the missing side (the part
+    approx_percentile-over-joined-degrees silently gets wrong when the
+    join drops zeros). The web-graph p99/median contrast IS the
+    power-law story in two numbers.
+    """
+    for p in ps:
+        if not (0 < p <= 1):
+            raise ValueError("percentiles must be in (0, 1]")
+    e = edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    verts = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    outs = []
+    for direction, key in (("out", "src"), ("in", "dst")):
+        deg = (
+            verts.join(
+                e.groupBy(F.col(key).alias("url")).agg(
+                    F.count(F.lit(1)).cast("long").alias("deg")
+                ),
+                "url",
+                "left",
+            )
+            .select(F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+        )
+        hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.select(
+            "deg", F.sum("c").over(w).cast("long").alias("cum")
+        ).crossJoin(
+            F.broadcast(hist.agg(F.sum("c").cast("long").alias("n")))
+        )
+        for p in ps:
+            # smallest degree with cum >= ceil(p*n), exact integer target
+            target = F.ceil(F.lit(float(p)) * F.col("n")).cast("long")
+            outs.append(
+                cum.where(F.col("cum") >= target)
+                .agg(F.min("deg").alias("value"))
+                .select(
+                    F.lit(direction).alias("direction"),
+                    F.lit(float(p)).alias("p"),
+                    F.col("value").cast("long").alias("value"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

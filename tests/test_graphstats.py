@@ -391,3 +391,24 @@ def test_rank_biased_overlap_identity_disjoint_and_head_weight(spark):
         rank_biased_overlap(a, b, d=0)
     with _pytest.raises(ValueError):
         rank_biased_overlap(a, b, p=1.0)
+
+
+def test_degree_percentiles_hand(spark):
+    from pagerank_spark.operators.graphstats import degree_percentiles
+
+    # hub h -> 9 leaves; leaves have out-deg 0, in-deg 1; h out 9, in 0
+    e = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(9)], ["src", "dst"]
+    )
+    got = {(r["direction"], r["p"]): r["value"]
+           for r in degree_percentiles(e, ps=(0.5, 0.9, 1.0)).collect()}
+    # out degrees: nine 0s and one 9 -> p50=0, p90=0 (ceil(.9*10)=9th), p100=9
+    assert got[("out", 0.5)] == 0
+    assert got[("out", 0.9)] == 0
+    assert got[("out", 1.0)] == 9
+    # in degrees: one 0 (h) and nine 1s -> p50=1, p100=1
+    assert got[("in", 0.5)] == 1 and got[("in", 1.0)] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        degree_percentiles(e, ps=(0.0,))
