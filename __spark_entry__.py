@@ -1587,6 +1587,37 @@ def q_dedup_rates(spark, sf_dir):
 DEG_PCTS = (0.5, 0.9, 0.99)
 
 
+RANKCONC_FRAC = 0.01
+
+
+def q_rank_concentration(spark, sf_dir):
+    """Authority concentration: the share of total converged PageRank
+    mass held by the top ceil(1%) of G-graph vertices (6dp-pinned ranks,
+    url tie-break, DECIMAL-exact sums — the 'how oligarchic is the web
+    graph' single number next to the full degree/power-law reports)."""
+    import math
+
+    g = _graph_g(spark, sf_dir)
+    ranks = g.pagerank(alpha=0.85, epsilon=1e-6).select(
+        "url", F.round("rank", 6).alias("r")
+    )
+    n = ranks.count()
+    k = max(1, math.ceil(RANKCONC_FRAC * n))
+    top = ranks.orderBy(F.desc("r"), F.col("url")).limit(k)
+    tot = ranks.agg(
+        F.sum(F.col("r").cast("decimal(28,6)")).cast("double").alias("_t")
+    )
+    ts = top.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r").cast("decimal(28,6)")).cast("double").alias("_s"),
+    )
+    return ts.crossJoin(tot).select(
+        F.lit(n).cast("long").alias("n_vertices"),
+        "k",
+        F.round(F.col("_s") / F.col("_t"), 6).alias("top_share"),
+    )
+
+
 def q_degree_percentiles(spark, sf_dir):
     """Exact in/out-degree percentiles from the degree VALUE histogram
     (operators/graphstats.py degree_percentiles) on the G graph —
@@ -3491,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rates": q_dedup_rates,
         "cluster_quality": q_cluster_quality,
         "degree_percentiles": q_degree_percentiles,
+        "rank_concentration": q_rank_concentration,
     }
 
 
@@ -4719,6 +4751,22 @@ SELECT grp AS source,
        CAST(COUNT(*) AS BIGINT) AS n_unique,
        ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_rate
 FROM pt GROUP BY grp
+"""
+
+    # rank concentration: top ceil(1% n) of the converged PR twin
+    sqls["rank_concentration"] = f"""
+WITH pr AS ({PR_CONV_SQL}),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pr),
+tp AS (
+  SELECT rank FROM pr ORDER BY rank DESC, url
+  LIMIT (SELECT greatest(1, CAST(ceil({RANKCONC_FRAC} * n) AS BIGINT)) FROM nn)
+)
+SELECT (SELECT n FROM nn) AS n_vertices,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       ROUND(CAST(SUM(CAST(rank AS DECIMAL(28,6))) AS DOUBLE)
+             / (SELECT CAST(SUM(CAST(rank AS DECIMAL(28,6))) AS DOUBLE) FROM pr),
+             6) AS top_share
+FROM tp
 """
 
     # degree percentiles: histogram running sum, ceil(p*n) target
