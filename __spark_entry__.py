@@ -1590,6 +1590,19 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+def q_core_numbers(spark, sf_dir):
+    """Exact per-vertex core numbers of the G graph
+    (operators/kcore.py core_numbers): the h-index fixpoint of
+    Lü et al. (PNAS 2016), which converges to coreness — the whole
+    k-core decomposition in one run. Exact integers end to end; the
+    twin replays the identical fixpoint (degree init, per-round
+    histogram h-index, stop on no change) as a recursive CTE."""
+    from pagerank_spark.operators.kcore import core_numbers
+
+    _views(spark, sf_dir, ("events",))
+    return core_numbers(spark.sql(G_SQL))
+
+
 def q_rank_concentration(spark, sf_dir):
     """Authority concentration: the share of total converged PageRank
     mass held by the top ceil(1%) of G-graph vertices (6dp-pinned ranks,
@@ -3523,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_quality": q_cluster_quality,
         "degree_percentiles": q_degree_percentiles,
         "rank_concentration": q_rank_concentration,
+        "core_numbers": q_core_numbers,
     }
 
 
@@ -7112,6 +7126,44 @@ FROM e
 JOIN fin fs ON fs.pid = e.i
 JOIN fin fd ON fd.pid = e.t
 GROUP BY fs.fin, fd.fin
+"""
+
+    # core numbers: the SAME h-index fixpoint as operators/kcore.py
+    # core_numbers — state (iter, v, c) starts at undirected simple
+    # degree; each round recomputes c as the h-index of the neighbors'
+    # values via the (v, value) histogram (cum(x) = #neighbors >= x,
+    # H = max min(x, cum)); stops the round nothing changes. In DuckDB's
+    # recursion `it` means the previous round's rows.
+    sqls["core_numbers"] = f"""
+WITH RECURSIVE cg AS ({G_SQL}),
+cund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM cg WHERE src <> dst
+),
+cadj AS (
+  SELECT a AS v, b AS u FROM cund UNION ALL SELECT b AS v, a AS u FROM cund
+),
+it(iter, v, c) AS (
+  SELECT 0, v, CAST(COUNT(*) AS BIGINT) FROM cadj GROUP BY v
+  UNION ALL
+  SELECT iter + 1, v, newc FROM (
+    SELECT p.iter, h.v, h.newc,
+           SUM(CASE WHEN h.newc <> p.c THEN 1 ELSE 0 END) OVER () AS n_chg
+    FROM (
+      SELECT v, CAST(MAX(LEAST(x, cum)) AS BIGINT) AS newc FROM (
+        SELECT h1.v, h1.x, SUM(h2.cnt) AS cum
+        FROM (SELECT a.v, c.c AS x, COUNT(*) AS cnt
+              FROM cadj a JOIN it c ON c.v = a.u GROUP BY a.v, c.c) h1
+        JOIN (SELECT a.v, c.c AS x, COUNT(*) AS cnt
+              FROM cadj a JOIN it c ON c.v = a.u GROUP BY a.v, c.c) h2
+          ON h2.v = h1.v AND h2.x >= h1.x
+        GROUP BY h1.v, h1.x
+      ) cm GROUP BY v
+    ) h JOIN it p ON p.v = h.v
+  ) s
+  WHERE n_chg > 0
+)
+SELECT v AS url, c AS core FROM it WHERE iter = (SELECT MAX(iter) FROM it)
 """
 
     return sqls

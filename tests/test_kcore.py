@@ -70,3 +70,69 @@ def test_k_core_duplicate_and_self_edges_ignored(spark):
 def test_k_core_rejects_bad_k(edges_df):
     with pytest.raises(ValueError):
         k_core(edges_df, k=0)
+
+
+# --- core_numbers (exact coreness via the h-index fixpoint) ---------------
+
+from pagerank_spark.operators.kcore import core_numbers  # noqa: E402
+
+
+def _py_coreness(edges):
+    """Coreness by definition: max k such that v is in the k-core."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    verts = {v for e in und for v in e}
+    core = {v: 0 for v in verts}
+    k = 1
+    while True:
+        kept = _py_k_core(edges, k)
+        if not kept:
+            return core
+        for v in kept:
+            core[v] = k
+        k += 1
+
+
+def test_core_numbers_matches_definition(edges_df):
+    got = {r["url"]: r["core"] for r in core_numbers(edges_df).collect()}
+    assert got == _py_coreness(EDGES)
+    # spot values: 4-clique members are 3-core; the triangle AND the
+    # 3-4-5 chain are 2-core (the chain is anchored at both ends — the
+    # triangle and the clique — so no vertex ever drops below degree 2)
+    assert got["6"] == 3 and got["9"] == 3
+    assert got["1"] == 2 and got["3"] == 2
+    assert got["4"] == 2 and got["5"] == 2
+
+
+def test_core_numbers_pendant_chain_is_one_core(spark):
+    # triangle with a dangling chain: the chain (open-ended) is 1-core
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        ["src", "dst"],
+    )
+    got = {r["url"]: r["core"] for r in core_numbers(df).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 1}
+
+
+def test_core_numbers_random_graph_matches_definition(spark):
+    import hashlib
+
+    # deterministic pseudo-random graph, 60 vertices / 150 edges
+    edges = []
+    for i in range(150):
+        h = hashlib.md5(f"core{i}".encode()).hexdigest()
+        a, b = int(h[:8], 16) % 60, int(h[8:16], 16) % 60
+        edges.append((f"v{a}", f"v{b}"))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["url"]: r["core"] for r in core_numbers(df).collect()}
+    assert got == _py_coreness(edges)
+
+
+def test_core_numbers_max_rounds_raises(edges_df):
+    with pytest.raises(RuntimeError):
+        core_numbers(edges_df, max_rounds=0)
+
+
+def test_core_numbers_leaves_no_cache(spark, edges_df):
+    core_numbers(edges_df).collect()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
