@@ -331,6 +331,8 @@ QUALITY_STOPWORDS_SQL = "'the','a','of','to','and','in','is','it','that','for','
 NORM_TEXT = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 HEX15 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 U01 = "(" + HEX15 + ") / 1152921504606846976.0"  # 60-bit md5 / 2^60, bit-identical to sampling.uniform01
+QCLS_BUCKETS = 256  # hashed-feature buckets for the linear quality classifier
+QCLS_BIAS = -0.05
 SHINGLE_N = 3
 MINHASH_K = 16
 LSH_ROWS = 4
@@ -1588,6 +1590,27 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 
 
 RANKCONC_FRAC = 0.01
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-bag-of-words linear classifier inference over the documents
+    corpus (operators/classify.py linear_text_classifier) — the
+    fastText-shaped quality-filter step. The model is synthesized from
+    the shared md5 uniforms (weight(b) = 2*u01('qw,'||b) - 1, 9dp-
+    quantized) so both engines score the same weights; logits are exact
+    (DECIMAL sums, one double division) and `pass` thresholds the
+    ROUNDED logit."""
+    from pagerank_spark.operators.classify import linear_text_classifier
+    from pagerank_spark.operators.sampling import uniform01
+
+    _views(spark, sf_dir, ("documents",))
+    w = spark.range(QCLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (F.lit(2.0) * uniform01(F.col("id"), "qw") - F.lit(1.0)).alias("weight"),
+    )
+    return linear_text_classifier(
+        spark.table("documents"), w, QCLS_BUCKETS, bias=QCLS_BIAS
+    )
 
 
 def q_core_numbers(spark, sf_dir):
@@ -3537,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_percentiles": q_degree_percentiles,
         "rank_concentration": q_rank_concentration,
         "core_numbers": q_core_numbers,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -7164,6 +7188,39 @@ it(iter, v, c) AS (
   WHERE n_chg > 0
 )
 SELECT v AS url, c AS core FROM it WHERE iter = (SELECT MAX(iter) FROM it)
+"""
+
+    # linear classifier: same synthesized weights (2*u01-1, 9dp), same md5
+    # bucketing, DECIMAL token-weight sums, one double division + 6dp round
+    _qwu = U01.format(x="'qw,' || CAST(range AS VARCHAR)")
+    sqls["quality_classifier"] = f"""
+WITH w AS (
+  SELECT CAST(range AS BIGINT) AS bucket,
+         CAST(ROUND(2.0 * ({_qwu}) - 1.0, 9) AS DECIMAL(38,9)) AS wt
+  FROM range({QCLS_BUCKETS})
+),
+tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+bk AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(term), 1, 15))::BIGINT % {QCLS_BUCKETS}) AS bucket
+  FROM tk
+),
+agg AS (
+  SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(COALESCE(w.wt, CAST(0 AS DECIMAL(38,9)))) AS s
+  FROM bk LEFT JOIN w USING (bucket) GROUP BY bk.doc_id
+),
+z AS (
+  SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+         ROUND(CASE WHEN a.n_tokens > 0
+                    THEN CAST(a.s AS DOUBLE) / a.n_tokens + ({QCLS_BIAS})
+                    ELSE {QCLS_BIAS} END, 6) AS logit
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_tokens, logit, (logit >= 0.0) AS "pass" FROM z
 """
 
     return sqls

@@ -1010,3 +1010,41 @@ def test_lexical_diversity_zero_shuffle(spark, docs_path):
     plan = _physical(lexical_diversity(spark.read.parquet(docs_path)))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_linear_classifier_broadcast_model_one_rollup_exchange(spark, docs_path):
+    # the model must BROADCAST (never shuffle the token stream against it)
+    # and the only exchanges allowed are the doc_id rollup + the final
+    # left join back to the doc list — both partial-aggregated / hash joins
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.classify import linear_text_classifier
+    from pagerank_spark.operators.sampling import uniform01
+
+    w = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        (F.lit(2.0) * uniform01(F.col("id"), "qw") - F.lit(1.0)).alias("weight"),
+    )
+    out = linear_text_classifier(spark.read.parquet(docs_path), w, 64)
+    plan = _physical(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    n_exchange = sum(
+        1 for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchange <= 3, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_core_numbers_histogram_window_is_vertex_partitioned(spark):
+    # the h-index window must partition by vertex (tiny per-vertex
+    # histogram groups), never a global single-partition sort
+    from pagerank_spark.operators.kcore import core_numbers
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]
+    )
+    out = core_numbers(edges)
+    plan = _physical(out)
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
