@@ -333,6 +333,18 @@ HEX15 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 U01 = "(" + HEX15 + ") / 1152921504606846976.0"  # 60-bit md5 / 2^60, bit-identical to sampling.uniform01
 QCLS_BUCKETS = 256  # hashed-feature buckets for the linear quality classifier
 QCLS_BIAS = -0.05
+
+# documents decorated with deterministic multi-script suffixes so the
+# Unicode script census has non-Latin content to witness (same SQL text on
+# both engines; all characters BMP so the two regex engines count alike)
+SCRIPT_DOCS_SQL = (
+    "SELECT doc_id, text || CASE"
+    " WHEN doc_id % 5 = 1 THEN ' Привет мир ёж'"
+    " WHEN doc_id % 5 = 2 THEN ' 中文网页内容 42'"
+    " WHEN doc_id % 5 = 3 THEN ' ελληνικά κείμενο'"
+    " WHEN doc_id % 5 = 4 THEN ' مرحبا بالعالم गगन 가나다'"
+    " ELSE '' END AS text FROM documents"
+)
 SHINGLE_N = 3
 MINHASH_K = 16
 LSH_ROWS = 4
@@ -1590,6 +1602,19 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 
 
 RANKCONC_FRAC = 0.01
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode script census (operators/textops.py script_profile) over
+    documents decorated with deterministic multi-script suffixes
+    (SCRIPT_DOCS_SQL, same text both engines) — exact per-range
+    code-point counts, non-ASCII fraction, dominant script with the
+    fixed priority tie-break. The twin rewrites the same BMP ranges in
+    RE2's escape syntax."""
+    from pagerank_spark.operators.textops import script_profile
+
+    _views(spark, sf_dir, ("documents",))
+    return script_profile(spark.sql(SCRIPT_DOCS_SQL))
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -3561,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_concentration": q_rank_concentration,
         "core_numbers": q_core_numbers,
         "quality_classifier": q_quality_classifier,
+        "script_profile": q_script_profile,
     }
 
 
@@ -7221,6 +7247,46 @@ z AS (
   FROM documents d LEFT JOIN agg a USING (doc_id)
 )
 SELECT doc_id, n_tokens, logit, (logit >= 0.0) AS "pass" FROM z
+"""
+
+    # script census twin: same BMP ranges in RE2 escape syntax, counts via
+    # len(regexp_extract_all), same greatest + priority-CASE dominant pick
+    from pagerank_spark.operators.textops import SCRIPT_RANGES
+
+    def _re2_class(rng: str) -> str:
+        if all(ord(c) < 128 for c in rng):
+            return f"[{rng}]"
+        lo, _, hi = rng
+        return f"[\\x{{{ord(lo):04X}}}-\\x{{{ord(hi):04X}}}]"
+
+    _sp_counts = ",\n".join(
+        f"         CAST(len(regexp_extract_all(text, '{_re2_class(rng)}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    _sp_greatest = "greatest(" + ", ".join(f"n_{name}" for name, _ in SCRIPT_RANGES) + ")"
+    _sp_case = (
+        "CASE WHEN " + _sp_greatest + " = 0 THEN 'none' "
+        + " ".join(
+            f"WHEN n_{name} = {_sp_greatest} THEN '{name}'"
+            for name, _ in SCRIPT_RANGES
+        )
+        + " END"
+    )
+    sqls["script_profile"] = f"""
+WITH sdoc AS ({SCRIPT_DOCS_SQL}),
+c AS (
+  SELECT doc_id,
+{_sp_counts},
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^\\x{{00}}-\\x{{7F}}]')) AS BIGINT) AS na
+  FROM sdoc
+)
+SELECT doc_id, {', '.join(f'n_{name}' for name, _ in SCRIPT_RANGES)}, n_chars,
+       CASE WHEN n_chars > 0 THEN ROUND(CAST(na AS DOUBLE) / n_chars, 6) END
+         AS nonascii_frac,
+       {_sp_case} AS dominant_script
+FROM c
 """
 
     return sqls

@@ -646,3 +646,59 @@ def lexical_diversity(
             hapax.cast("double") / n.cast("double"), 6
         )).alias("hapax_frac"),
     )
+
+
+# Unicode script ranges (BMP-only, so UTF-16 Java regex and UTF-8 RE2 count
+# the same code points). Priority order = tie-break order for the dominant
+# script. The DuckDB twin writes the same ranges with RE2's \x{....} escapes.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "a-zA-Z"),
+    ("digit", "0-9"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+    ("hangul", "가-힯"),
+    ("devanagari", "ऀ-ॿ"),
+)
+
+
+def script_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_latin, n_digit, n_cyrillic, n_greek, n_cjk, n_arabic,
+    n_hangul, n_devanagari, n_chars, nonascii_frac, dominant_script) —
+    per-document Unicode-script census: exact per-range code-point
+    counts, the non-ASCII fraction, and the dominant script (max count,
+    ties broken by SCRIPT_RANGES priority order; 'none' when no script
+    character occurs). The script census is the multilingual-pipeline
+    complement to the n-gram lang-ID heuristic (with_lang_id): lang-ID
+    separates languages WITHIN a script, the census separates scripts —
+    and mixed-script pages (Latin boilerplate around CJK body text, spam
+    keyword stuffing across scripts) show up as split counts.
+
+    All ranges are BMP so Java-regex (UTF-16) and RE2 (UTF-8) count the
+    same code points. Pure Column expressions — one codegen'd scan, zero
+    shuffle, zero Python; exact BIGINT counts, the one fraction is a
+    single double division rounded to 6dp.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(f"[{rng}]")).cast("long")
+        for name, rng in SCRIPT_RANGES
+    }
+    n_chars = F.length(t).cast("long")
+    nonascii = F.regexp_count(t, F.lit(r"[^\x00-\x7F]")).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_RANGES],
+        n_chars.alias("n_chars"),
+        F.when(n_chars > 0, F.round(nonascii.cast("double") / n_chars, 6)).alias(
+            "nonascii_frac"
+        ),
+    )
+    mx = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_RANGES])
+    dom = F.when(mx == 0, F.lit("none"))
+    for name, _ in SCRIPT_RANGES:
+        dom = dom.when(F.col(f"n_{name}") == mx, F.lit(name))
+    return base.withColumn("dominant_script", dom)

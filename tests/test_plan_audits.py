@@ -1048,3 +1048,11 @@ def test_core_numbers_histogram_window_is_vertex_partitioned(spark):
     plan = _physical(out)
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_script_profile_zero_shuffle_zero_python(spark, docs_path):
+    from pagerank_spark.operators.textops import script_profile
+
+    plan = _physical(script_profile(spark.read.parquet(docs_path)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
