@@ -334,6 +334,8 @@ U01 = "(" + HEX15 + ") / 1152921504606846976.0"  # 60-bit md5 / 2^60, bit-identi
 QCLS_BUCKETS = 256  # hashed-feature buckets for the linear quality classifier
 QCLS_BIAS = -0.05
 
+EIG_ITERS = 6  # fixed power steps for eigenvector centrality
+
 # documents decorated with deterministic multi-script suffixes so the
 # Unicode script census has non-Latin content to witness (same SQL text on
 # both engines; all characters BMP so the two regex engines count alike)
@@ -1602,6 +1604,19 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 
 
 RANKCONC_FRAC = 0.01
+
+
+def q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality on the G graph
+    (operators/eigencentrality.py): EIG_ITERS fixed power steps from the
+    uniform unit vector, 9dp-quantized per round with DECIMAL-exact SpMV
+    and norm sums so the twin's recursive CTE replays the identical
+    IEEE sequence."""
+    from pagerank_spark.operators.eigencentrality import eigenvector_centrality
+
+    _views(spark, sf_dir, ("events",))
+    out = eigenvector_centrality(spark.sql(G_SQL), iterations=EIG_ITERS)
+    return out.select("url", F.round("eig", 6).alias("eig"))
 
 
 def q_script_profile(spark, sf_dir):
@@ -3587,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": q_core_numbers,
         "quality_classifier": q_quality_classifier,
         "script_profile": q_script_profile,
+        "eigenvector": q_eigenvector,
     }
 
 
@@ -7287,6 +7303,40 @@ SELECT doc_id, {', '.join(f'n_{name}' for name, _ in SCRIPT_RANGES)}, n_chars,
          AS nonascii_frac,
        {_sp_case} AS dominant_script
 FROM c
+"""
+
+    # eigenvector centrality: same fixed-step power iteration — 9dp state,
+    # DECIMAL(38,9) SpMV sums, 15dp-quantized squared norm in DECIMAL(38,15),
+    # one sqrt + one division per round on bit-identical inputs
+    sqls["eigenvector"] = f"""
+WITH RECURSIVE eg AS (SELECT DISTINCT src, dst FROM ({G_SQL})),
+ev AS (
+  SELECT DISTINCT url FROM (SELECT src AS url FROM eg UNION ALL SELECT dst FROM eg)
+),
+it(iter, url, x) AS (
+  SELECT 0, url, ROUND(1.0 / sqrt((SELECT COUNT(*) FROM ev)), 9) FROM ev
+  UNION ALL
+  SELECT p.iter + 1, p.url,
+         CASE WHEN t.nrm > 0 THEN ROUND(COALESCE(c.y, 0.0) / t.nrm, 9)
+              ELSE 0.0 END
+  FROM it p
+  LEFT JOIN (SELECT e.dst, CAST(SUM(CAST(p2.x AS DECIMAL(38,9))) AS DOUBLE) AS y
+             FROM eg e JOIN it p2 ON p2.url = e.src GROUP BY e.dst) c
+    ON c.dst = p.url
+  CROSS JOIN (
+    SELECT sqrt(CAST(SUM(CAST(ROUND(q.yv * q.yv, 15) AS DECIMAL(38,15)))
+                     AS DOUBLE)) AS nrm
+    FROM (SELECT v.url, COALESCE(c2.y, 0.0) AS yv
+          FROM (SELECT url FROM it) v
+          LEFT JOIN (SELECT e2.dst,
+                            CAST(SUM(CAST(p3.x AS DECIMAL(38,9))) AS DOUBLE) AS y
+                     FROM eg e2 JOIN it p3 ON p3.url = e2.src
+                     GROUP BY e2.dst) c2
+            ON c2.dst = v.url) q
+  ) t
+  WHERE p.iter < {EIG_ITERS}
+)
+SELECT url, ROUND(x, 6) AS eig FROM it WHERE iter = {EIG_ITERS}
 """
 
     return sqls
