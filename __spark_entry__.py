@@ -335,6 +335,7 @@ QCLS_BUCKETS = 256  # hashed-feature buckets for the linear quality classifier
 QCLS_BIAS = -0.05
 
 EIG_ITERS = 6  # fixed power steps for eigenvector centrality
+FEATPROP_ROUNDS = 2  # fixed smoothing rounds for graph feature propagation
 
 # documents decorated with deterministic multi-script suffixes so the
 # Unicode script census has non-Latin content to witness (same SQL text on
@@ -1604,6 +1605,36 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 
 
 RANKCONC_FRAC = 0.01
+
+
+def q_feature_propagation(spark, sf_dir):
+    """SGC-style embedding smoothing over the G link graph
+    (operators/featprop.py feature_propagation): vertex n_i carries
+    embedding vec_id = i mod |embeddings|, exploded to the
+    dimension-parallel (url, dim, x) layout, then FEATPROP_ROUNDS
+    synchronous half-mix rounds with in-neighbor means. 9dp state +
+    DECIMAL sums keep the twin's unrolled CTEs bit-identical."""
+    from pagerank_spark.operators.featprop import feature_propagation
+
+    _views(spark, sf_dir, ("events", "embeddings"))
+    g = spark.sql(G_SQL)
+    verts = (
+        g.select(F.col("src").alias("url"))
+        .union(g.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    emb = spark.table("embeddings")
+    nvec = emb.count()
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    feats = verts.withColumn(
+        "_vid", F.substring("url", 2, 32).cast("bigint") % F.lit(nvec)
+    ).join(ex, F.col("_vid") == F.col("vec_id")).select(
+        "url", "dim", F.col("val").cast("double").alias("x")
+    )
+    out = feature_propagation(g, feats, rounds=FEATPROP_ROUNDS, lam=0.5)
+    return out.select("url", "dim", F.round("x", 6).alias("x"))
 
 
 def q_eigenvector(spark, sf_dir):
@@ -3603,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "script_profile": q_script_profile,
         "eigenvector": q_eigenvector,
+        "feature_propagation": q_feature_propagation,
     }
 
 
@@ -7337,6 +7369,41 @@ it(iter, url, x) AS (
   WHERE p.iter < {EIG_ITERS}
 )
 SELECT url, ROUND(x, 6) AS eig FROM it WHERE iter = {EIG_ITERS}
+"""
+
+    # feature propagation: same exploded layout, same half-mix update,
+    # unrolled FEATPROP_ROUNDS times (9dp state, DECIMAL neighbor sums)
+    _fp_round = """
+r{k} AS (
+  SELECT s.url, s.dim, ROUND(0.5 * s.x + 0.5 * COALESCE(c.m, 0.0), 9) AS x
+  FROM r{p} s
+  LEFT JOIN (SELECT e.dst, p.dim,
+                    CAST(SUM(CAST(p.x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+             FROM fpe e JOIN r{p} p ON p.url = e.src GROUP BY e.dst, p.dim) c
+    ON c.dst = s.url AND c.dim = s.dim
+)"""
+    _fp_rounds = ",".join(
+        _fp_round.format(k=k, p=k - 1) for k in range(1, FEATPROP_ROUNDS + 1)
+    )
+    sqls["feature_propagation"] = f"""
+WITH fpg AS ({G_SQL}),
+fpe AS (SELECT DISTINCT src, dst FROM fpg),
+fpv AS (
+  SELECT DISTINCT url FROM (SELECT src AS url FROM fpg UNION ALL SELECT dst FROM fpg)
+),
+fel AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         ROUND(CAST(unnest(embedding) AS DOUBLE), 9) AS x
+  FROM embeddings
+),
+r0 AS (
+  SELECT fpv.url, fel.dim, fel.x
+  FROM fpv JOIN fel
+    ON fel.vec_id = CAST(substr(fpv.url, 2) AS BIGINT)
+                    % (SELECT COUNT(*) FROM embeddings)
+),
+{_fp_rounds}
+SELECT url, dim, ROUND(x, 6) AS x FROM r{FEATPROP_ROUNDS}
 """
 
     return sqls
