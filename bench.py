@@ -834,6 +834,57 @@ def run_suite(spark, sf_dir: str) -> dict:
     entry_mod.q_sitemap_entries(spark, sf_dir).count()
     timings["sitemap_entries"] = time.monotonic() - t0
 
+    # exact coreness (h-index fixpoint on the bench graph)
+    from pagerank_spark.operators.kcore import core_numbers
+
+    t0 = time.monotonic()
+    core_numbers(graph.edges).count()
+    timings["core_numbers"] = time.monotonic() - t0
+
+    # eigenvector centrality (6 fixed power steps)
+    from pagerank_spark.operators.eigencentrality import eigenvector_centrality
+
+    t0 = time.monotonic()
+    eigenvector_centrality(graph.edges, iterations=6).count()
+    timings["eigenvector6"] = time.monotonic() - t0
+
+    # hashed linear classifier inference over documents
+    from pagerank_spark.operators.classify import linear_text_classifier
+    from pagerank_spark.operators.sampling import uniform01
+
+    t0 = time.monotonic()
+    wdf = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (F.lit(2.0) * uniform01(F.col("id"), "qw") - F.lit(1.0)).alias("weight"),
+    )
+    linear_text_classifier(docs, wdf, 4096, bias=-0.05).count()
+    timings["quality_classifier"] = time.monotonic() - t0
+
+    # Unicode script census (zero-shuffle scan)
+    from pagerank_spark.operators.textops import script_profile
+
+    t0 = time.monotonic()
+    script_profile(docs).count()
+    timings["script_profile"] = time.monotonic() - t0
+
+    # 2-round embedding smoothing over the bench graph (dimension-parallel)
+    from pagerank_spark.operators.featprop import feature_propagation
+
+    t0 = time.monotonic()
+    fp_verts = graph.vertices.withColumn(
+        "_vid",
+        F.abs(F.hash("url")).cast("bigint") % F.lit(max(1, emb.count())),
+    )
+    fp_feats = fp_verts.join(
+        emb.select(
+            F.col("vec_id").alias("_vid"),
+            F.posexplode("embedding").alias("dim", "x"),
+        ),
+        "_vid",
+    ).select("url", "dim", "x")
+    feature_propagation(graph.edges, fp_feats, rounds=2).count()
+    timings["feature_propagation2"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 
