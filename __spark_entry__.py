@@ -1607,6 +1607,17 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """First-merge BPE pair statistics over the documents vocabulary
+    (operators/textsearch.py bpe_pair_counts) — corpus collapses to its
+    word vocabulary first, pairs explode vocabulary-side only. Exact
+    BIGINT counts."""
+    from pagerank_spark.operators.textsearch import bpe_pair_counts
+
+    _views(spark, sf_dir, ("documents",))
+    return bpe_pair_counts(spark.table("documents"))
+
+
 def q_feature_propagation(spark, sf_dir):
     """SGC-style embedding smoothing over the G link graph
     (operators/featprop.py feature_propagation): vertex n_i carries
@@ -3635,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "eigenvector": q_eigenvector,
         "feature_propagation": q_feature_propagation,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -7404,6 +7416,24 @@ r0 AS (
 ),
 {_fp_rounds}
 SELECT url, dim, ROUND(x, 6) AS x FROM r{FEATPROP_ROUNDS}
+"""
+
+    # BPE pair twin: same vocabulary collapse, same within-word character
+    # bigrams (range() is end-exclusive -> i in 1..len-1)
+    sqls["bpe_pairs"] = """
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+),
+wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+  GROUP BY w HAVING length(w) >= 2
+),
+pr AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS l, substr(w, CAST(i AS INT) + 1, 1) AS r, n
+  FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM wc)
+)
+SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS pair_count
+FROM pr GROUP BY l, r
 """
 
     return sqls

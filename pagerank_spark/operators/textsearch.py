@@ -726,3 +726,52 @@ def vocab_growth(
             F.sum("new_terms").over(w).cast("long").alias("cum_terms"),
         )
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_word_count: int = 1,
+) -> DataFrame:
+    """(left, right, pair_count) — corpus-wide adjacent-character pair
+    frequencies over the word vocabulary, i.e. the statistics of the
+    FIRST merge step of byte-pair-encoding tokenizer training (Sennrich
+    et al. 2016): each distinct word contributes its within-word
+    character bigrams weighted by the word's corpus frequency, and the
+    argmax pair is the first merge a BPE trainer would take. Running
+    this over a 100 TB corpus is the "which tokenizer fits this data"
+    probe; iterating merges needs the sequential merge loop (driver-side
+    over the TINY pair table — the corpus is never re-scanned).
+
+    Scale shape: one token explode + a term-keyed partial-aggregated
+    word count collapses the corpus to its VOCABULARY (Heaps' law:
+    ~10^7 rows at web scale), and every later step is vocabulary-sized:
+    the character-pair explode multiplies by word length (<= ~20), the
+    final (left, right) rollup is alphabet^2-sized. Words shorter than
+    2 characters carry no pair. ``min_word_count`` prunes hapax noise
+    before the pair explode. Exact BIGINT counts; same [a-z0-9]+
+    tokenizer as the retrieval stack."""
+    wc = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").cast("long").alias("_n"))
+        .where(
+            (F.char_length("_w") >= 2) & (F.col("_n") >= int(min_word_count))
+        )
+    )
+    pairs = wc.select(
+        F.col("_n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(_w) - 1), i -> "
+                "named_struct('l', substring(_w, i, 1), "
+                "'r', substring(_w, i + 1, 1)))"
+            )
+        ).alias("_p"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("_p.l").alias("left"), F.col("_p.r").alias("right")
+        )
+        .agg(F.sum("_n").cast("long").alias("pair_count"))
+    )
