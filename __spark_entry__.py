@@ -1607,6 +1607,19 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+def q_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring of the G graph
+    (operators/coloring.py greedy_coloring): hash-priority rounds, mex
+    color pick, exact ints end to end. The twin replays the identical
+    synchronous rounds as a recursive CTE (winner = no uncolored
+    neighbor with priority <= own; color = smallest int absent from the
+    colored neighborhood)."""
+    from pagerank_spark.operators.coloring import greedy_coloring
+
+    _views(spark, sf_dir, ("events",))
+    return greedy_coloring(spark.sql(G_SQL))
+
+
 def q_bpe_pairs(spark, sf_dir):
     """First-merge BPE pair statistics over the documents vocabulary
     (operators/textsearch.py bpe_pair_counts) — corpus collapses to its
@@ -3647,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector": q_eigenvector,
         "feature_propagation": q_feature_propagation,
         "bpe_pairs": q_bpe_pairs,
+        "coloring": q_coloring,
     }
 
 
@@ -7434,6 +7448,41 @@ pr AS (
 )
 SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS pair_count
 FROM pr GROUP BY l, r
+"""
+
+    # Jones-Plassmann coloring: recursive replay of the synchronous rounds;
+    # `it` inside the recursion = the previous round's full vertex state
+    sqls["coloring"] = f"""
+WITH RECURSIVE jg AS ({G_SQL}),
+jund AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM jg WHERE src <> dst
+),
+jadj AS (SELECT a AS u, b AS v FROM jund UNION ALL SELECT b AS u, a AS v FROM jund),
+jv AS (SELECT DISTINCT u AS url FROM jadj),
+nums AS (SELECT unnest(range(0, 256)) AS i),
+it(iter, url, color) AS (
+  SELECT 0, url, CAST(NULL AS INT) FROM jv
+  UNION ALL
+  SELECT p.iter + 1, p.url,
+    CASE
+      WHEN p.color IS NOT NULL THEN p.color
+      WHEN NOT EXISTS (
+        SELECT 1 FROM jadj a JOIN it q ON q.url = a.v
+        WHERE a.u = p.url AND q.color IS NULL
+          AND ('0x' || substr(md5(q.url), 1, 15))::BIGINT
+              <= ('0x' || substr(md5(p.url), 1, 15))::BIGINT
+      ) THEN CAST((
+        SELECT MIN(nm.i) FROM nums nm
+        WHERE nm.i NOT IN (
+          SELECT q2.color FROM jadj a2 JOIN it q2 ON q2.url = a2.v
+          WHERE a2.u = p.url AND q2.color IS NOT NULL)
+      ) AS INT)
+      ELSE NULL END
+  FROM it p
+  WHERE (SELECT COUNT(*) FROM it WHERE color IS NULL) > 0
+)
+SELECT url, color FROM it WHERE iter = (SELECT MAX(iter) FROM it)
 """
 
     return sqls
