@@ -1607,6 +1607,21 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust length-outlier report over the documents table
+    (operators/sampling.py mad_outliers): MAD robust z on the
+    whitespace-token count, med/MAD both histogram-exact lower medians,
+    flag on the 6dp-rounded z at the standard 3.5 cut."""
+    from pagerank_spark.operators.sampling import mad_outliers
+
+    _views(spark, sf_dir, ("documents",))
+    v = spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("value"),
+    )
+    return mad_outliers(v, "value")
+
+
 def q_coloring(spark, sf_dir):
     """Jones-Plassmann greedy coloring of the G graph
     (operators/coloring.py greedy_coloring): hash-priority rounds, mex
@@ -3661,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_propagation": q_feature_propagation,
         "bpe_pairs": q_bpe_pairs,
         "coloring": q_coloring,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -7483,6 +7499,40 @@ it(iter, url, color) AS (
   WHERE (SELECT COUNT(*) FROM it WHERE color IS NULL) > 0
 )
 SELECT url, color FROM it WHERE iter = (SELECT MAX(iter) FROM it)
+"""
+
+    # MAD outliers: same histogram lower-medians, same single division
+    sqls["mad_outliers"] = """
+WITH v AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS value
+  FROM documents
+),
+h AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY value),
+m1 AS (
+  SELECT MIN(value) AS med FROM (
+    SELECT value, SUM(c) OVER (ORDER BY value) AS cum,
+           (SELECT SUM(c) FROM h) AS n
+    FROM h) t
+  WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+),
+d AS (
+  SELECT doc_id, value, ABS(value - (SELECT med FROM m1)) AS dev FROM v
+),
+h2 AS (SELECT dev, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY dev),
+m2 AS (
+  SELECT MIN(dev) AS mad FROM (
+    SELECT dev, SUM(c) OVER (ORDER BY dev) AS cum,
+           (SELECT SUM(c) FROM h2) AS n
+    FROM h2) t
+  WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+)
+SELECT doc_id, value,
+  CASE WHEN (SELECT mad FROM m2) > 0
+       THEN ROUND(dev / (1.4826 * (SELECT mad FROM m2)), 6) END AS robust_z,
+  CASE WHEN (SELECT mad FROM m2) > 0
+       THEN ROUND(dev / (1.4826 * (SELECT mad FROM m2)), 6) > 3.5
+       ELSE dev > 0 END AS is_outlier
+FROM d
 """
 
     return sqls

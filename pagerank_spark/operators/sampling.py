@@ -646,3 +646,68 @@ def concentration_report(
         ).alias("gini"),
         F.round(F.col("_hhi").cast("double"), 6).alias("hhi"),
     )
+
+
+def _hist_median(values: DataFrame, col: str) -> DataFrame:
+    """1-row (med,) — the EXACT lower median (smallest value whose
+    cumulative count reaches ceil(n/2)) from the value histogram: one
+    partial-aggregated groupBy + a window over the DISTINCT values, never
+    a row-sized sort (the quantile_buckets/degree_percentiles recipe)."""
+    hist = values.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col(col), F.sum("_c").over(w).cast("long").alias("_cum")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("_c").cast("long").alias("_n"))))
+    return cum.where(
+        F.col("_cum") >= F.ceil(F.lit(0.5) * F.col("_n")).cast("long")
+    ).agg(F.min(col).alias("med"))
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    z: float = 3.5,
+) -> DataFrame:
+    """(doc_id, value, robust_z, is_outlier) — robust outlier detection by
+    the median-absolute-deviation rule (Iglewicz-Hoaglin 1993): with
+    med = median(x) and MAD = median(|x - med|),
+
+        robust_z = |x - med| / (1.4826 * MAD)
+
+    and a row is an outlier when the 6dp-ROUNDED robust_z exceeds ``z``
+    (3.5 is the standard cut). Unlike mean/stddev z-scores the rule
+    doesn't let the outliers inflate their own yardstick — the corpus-QC
+    standard for length / quality-score / duplication-rate distributions.
+    Degenerate corpus (MAD = 0, half the mass on one value): robust_z is
+    NULL and any deviation at all is flagged.
+
+    Scale shape: TWO histogram medians (each a partial-aggregated count
+    over distinct values + a tiny running-sum window — no row-sized sort
+    anywhere) and one broadcast of the two scalars back over the rows.
+    Exact arithmetic until the single rounded division."""
+    v = df.select(
+        F.col(id_col).alias("doc_id"), F.col(value_col).alias("value")
+    )
+    med = _hist_median(v, "value")
+    dev = v.crossJoin(F.broadcast(med)).select(
+        "doc_id", "value", F.abs(F.col("value") - F.col("med")).alias("_dev")
+    )
+    mad = _hist_median(
+        dev.select(F.col("_dev").alias("value")), "value"
+    ).withColumnRenamed("med", "mad")
+    rz = F.when(
+        F.col("mad") > 0,
+        F.round(F.col("_dev") / (F.lit(1.4826) * F.col("mad")), 6),
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "doc_id",
+            "value",
+            rz.alias("robust_z"),
+            F.when(F.col("mad") > 0, rz > F.lit(float(z)))
+            .otherwise(F.col("_dev") > 0)
+            .alias("is_outlier"),
+        )
+    )

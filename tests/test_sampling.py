@@ -450,3 +450,50 @@ def test_concentration_report_hand(spark):
     ro = concentration_report(one).collect()[0]
     assert ro["entropy"] == 0.0 and ro["norm_entropy"] is None
     assert ro["hhi"] == 1.0
+
+
+# --- MAD robust outliers ----------------------------------------------------
+
+
+def test_mad_outliers_hand_fixture(spark):
+    from pagerank_spark.operators.sampling import mad_outliers
+
+    # values: nine near 10, one wild 100 -> med 10, MAD 1
+    vals = [10, 9, 11, 10, 12, 8, 10, 11, 9, 100]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["doc_id", "value"]
+    )
+    got = {r["doc_id"]: r for r in mad_outliers(df, "value").collect()}
+    med, mad = 10, 1
+    for i, v in enumerate(vals):
+        want_rz = round(abs(v - med) / (1.4826 * mad), 6)
+        assert got[i]["robust_z"] == want_rz, i
+        assert got[i]["is_outlier"] == (want_rz > 3.5), i
+    assert got[9]["is_outlier"] is True
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+def test_mad_outliers_degenerate_mad_zero(spark):
+    from pagerank_spark.operators.sampling import mad_outliers
+
+    # > half the mass on one value -> MAD 0: NULL z, any deviation flags
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(8)] + [(8, 7)], ["doc_id", "value"]
+    )
+    got = {r["doc_id"]: r for r in mad_outliers(df, "value").collect()}
+    assert all(r["robust_z"] is None for r in got.values())
+    assert got[8]["is_outlier"] is True
+    assert all(not got[i]["is_outlier"] for i in range(8))
+
+
+def test_mad_outliers_even_count_lower_median(spark):
+    from pagerank_spark.operators.sampling import mad_outliers
+
+    # n=4: lower median = value at cum >= ceil(2) -> 2nd smallest
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["doc_id", "value"]
+    )
+    got = {r["doc_id"]: r for r in mad_outliers(df, "value").collect()}
+    # med = 2, devs = 1,0,1,2 -> MAD = lower-median(0,1,1,2) = 1
+    assert got[0]["robust_z"] == round(1 / 1.4826, 6)
+    assert got[3]["robust_z"] == round(2 / 1.4826, 6)
