@@ -335,6 +335,8 @@ QCLS_BUCKETS = 256  # hashed-feature buckets for the linear quality classifier
 QCLS_BIAS = -0.05
 
 EIG_ITERS = 6  # fixed power steps for eigenvector centrality
+BLOOM_M = 4096  # bloom filter bits
+BLOOM_K = 3  # bloom hash count
 FEATPROP_ROUNDS = 2  # fixed smoothing rounds for graph feature propagation
 
 # documents decorated with deterministic multi-script suffixes so the
@@ -1605,6 +1607,25 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 
 
 RANKCONC_FRAC = 0.01
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter build + probe (operators/bloom.py): the filter is
+    built over the U feed's distinct dst urls and probed with EVERY url
+    (src ∪ dst) — members witness no-false-negative, src-only urls
+    witness the negative path AND the deterministic false positives,
+    which hash bit-identically because the bit positions are the shared
+    md5 primitive."""
+    from pagerank_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    _views(spark, sf_dir, ("events",))
+    u = spark.sql(U_SQL)
+    keys = u.select(F.col("dst").alias("url")).distinct()
+    probes = u.select(F.col("src").alias("url")).union(
+        u.select(F.col("dst").alias("url"))
+    )
+    bits = build_bloom(keys, m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    return bloom_might_contain(bits, probes, m_bits=BLOOM_M, k_hashes=BLOOM_K)
 
 
 def q_mad_outliers(spark, sf_dir):
@@ -3677,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "coloring": q_coloring,
         "mad_outliers": q_mad_outliers,
+        "bloom_filter": q_bloom_filter,
     }
 
 
@@ -7533,6 +7555,34 @@ SELECT doc_id, value,
        THEN ROUND(dev / (1.4826 * (SELECT mad FROM m2)), 6) > 3.5
        ELSE dev > 0 END AS is_outlier
 FROM d
+"""
+
+    # Bloom twin: same 'bf{i},key' md5 positions, verdict = all K set
+    sqls["bloom_filter"] = f"""
+WITH u AS ({U_SQL}),
+mem AS (SELECT DISTINCT dst AS key FROM u),
+ks AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+bits AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5('bf' || i || ',' || key), 1, 15))::BIGINT
+     % {BLOOM_M}) AS pos
+  FROM mem, ks
+),
+pro AS (
+  SELECT DISTINCT url AS key
+  FROM (SELECT src AS url FROM u UNION ALL SELECT dst FROM u) t
+),
+pp AS (
+  SELECT key,
+         (('0x' || substr(md5('bf' || i || ',' || key), 1, 15))::BIGINT
+          % {BLOOM_M}) AS pos
+  FROM pro, ks
+)
+SELECT key,
+       (COUNT(CASE WHEN b.pos IS NOT NULL THEN 1 END) = {BLOOM_K})
+         AS might_contain
+FROM pp LEFT JOIN bits b USING (pos)
+GROUP BY key
 """
 
     return sqls
