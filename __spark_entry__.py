@@ -339,6 +339,15 @@ BLOOM_M = 4096  # bloom filter bits
 BLOOM_K = 3  # bloom hash count
 FEATPROP_ROUNDS = 2  # fixed smoothing rounds for graph feature propagation
 
+# documents decorated with deterministic serial-number anchors so bitext
+# candidate mining has cross-language pairs to witness (same SQL text on
+# both engines); 'ref' df ~ 12, 'sn' df ~ 10, both under the df cap
+BITEXT_DOCS_SQL = (
+    "SELECT doc_id, lang, text || ' ref' || CAST(doc_id % 40 AS STRING)"
+    " || ' sn' || CAST(doc_id % 50 AS STRING) AS text FROM documents"
+)
+BITEXT_DF_CAP = 20
+
 # documents decorated with deterministic multi-script suffixes so the
 # Unicode script census has non-Latin content to witness (same SQL text on
 # both engines; all characters BMP so the two regex engines count alike)
@@ -1607,6 +1616,23 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 
 
 RANKCONC_FRAC = 0.01
+
+
+def q_bitext_candidates(spark, sf_dir):
+    """Cross-language bitext candidate pairs (operators/bitext.py) over
+    documents decorated with deterministic serial anchors
+    (BITEXT_DOCS_SQL, same text both engines): rare digit-bearing
+    anchors (df-capped), canonical lang_a < lang_b orientation,
+    exact-integer length-ratio gate."""
+    from pagerank_spark.operators.bitext import bitext_candidates
+
+    _views(spark, sf_dir, ("documents",))
+    return bitext_candidates(
+        spark.sql(BITEXT_DOCS_SQL),
+        df_cap=BITEXT_DF_CAP,
+        min_shared=1,
+        max_len_ratio=2.0,
+    )
 
 
 def q_bloom_filter(spark, sf_dir):
@@ -3699,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "mad_outliers": q_mad_outliers,
         "bloom_filter": q_bloom_filter,
+        "bitext_candidates": q_bitext_candidates,
     }
 
 
@@ -7583,6 +7610,41 @@ SELECT key,
          AS might_contain
 FROM pp LEFT JOIN bits b USING (pos)
 GROUP BY key
+"""
+
+    # bitext twin: same distinct-per-doc digit anchors, df cap, canonical
+    # cross-language self-join, exact-integer length gate
+    sqls["bitext_candidates"] = f"""
+WITH bd AS ({BITEXT_DOCS_SQL}),
+btk AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+  FROM bd
+),
+an AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS a
+  FROM btk WHERE length(tok) >= 2 AND regexp_matches(tok, '[0-9]')
+),
+rare AS (SELECT a FROM an GROUP BY a HAVING COUNT(*) <= {BITEXT_DF_CAP}),
+prs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.lang AS lang_a, y.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_anchors
+  FROM an x JOIN an y USING (a) JOIN rare USING (a)
+  WHERE x.lang < y.lang
+  GROUP BY 1, 2, 3, 4
+),
+ln AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+  FROM bd
+)
+SELECT p.doc_a, p.doc_b, p.lang_a, p.lang_b, p.shared_anchors,
+       la.n AS len_a, lb.n AS len_b
+FROM prs p
+JOIN ln la ON la.doc_id = p.doc_a
+JOIN ln lb ON lb.doc_id = p.doc_b
+WHERE la.n <= 2.0 * lb.n AND lb.n <= 2.0 * la.n
 """
 
     return sqls
