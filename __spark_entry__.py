@@ -348,6 +348,18 @@ BITEXT_DOCS_SQL = (
 )
 BITEXT_DF_CAP = 20
 
+# documents decorated with a shared 7-token quote per doc_id%30 cohort so
+# pairwise alignment has known spans; pairs = consecutive cohort members
+ALIGN_DOCS_SQL = (
+    "SELECT doc_id, text || ' quote' || CAST(doc_id % 30 AS STRING)"
+    " || ' alpha beta gamma delta epsilon zeta' AS text FROM documents"
+)
+ALIGN_PAIRS_SQL = (
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a"
+    " JOIN documents b ON a.doc_id % 30 = b.doc_id % 30"
+    " AND b.doc_id = a.doc_id + 30"
+)
+
 # documents decorated with deterministic multi-script suffixes so the
 # Unicode script census has non-Latin content to witness (same SQL text on
 # both engines; all characters BMP so the two regex engines count alike)
@@ -1616,6 +1628,20 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 
 
 RANKCONC_FRAC = 0.01
+
+
+def q_align_spans(spark, sf_dir):
+    """Longest aligned n-gram run per candidate pair
+    (operators/dedup.py align_spans) over quote-decorated documents
+    (ALIGN_DOCS_SQL/ALIGN_PAIRS_SQL, same text both engines): the
+    gaps-and-islands alignment with deterministic top-1 tie-break —
+    exact integer offsets and run lengths."""
+    from pagerank_spark.operators.dedup import align_spans
+
+    _views(spark, sf_dir, ("documents",))
+    return align_spans(
+        spark.sql(ALIGN_DOCS_SQL), spark.sql(ALIGN_PAIRS_SQL), n=3
+    )
 
 
 def q_bitext_candidates(spark, sf_dir):
@@ -3726,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "bloom_filter": q_bloom_filter,
         "bitext_candidates": q_bitext_candidates,
+        "align_spans": q_align_spans,
     }
 
 
@@ -7645,6 +7672,51 @@ FROM prs p
 JOIN ln la ON la.doc_id = p.doc_a
 JOIN ln lb ON lb.doc_id = p.doc_b
 WHERE la.n <= 2.0 * lb.n AND lb.n <= 2.0 * la.n
+"""
+
+    # align_spans twin: same positional shingle hashes, same
+    # gaps-and-islands run detection and top-1 tie-break
+    sqls["align_spans"] = f"""
+WITH pdocs AS ({ALIGN_DOCS_SQL}),
+ppairs AS ({ALIGN_PAIRS_SQL}),
+tkl AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM pdocs),
+pg AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         ('0x' || substr(md5(array_to_string(
+            toks[CAST(i AS INT):CAST(i AS INT) + 2], ' ')), 1, 15))::BIGINT AS sh
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM tkl WHERE len(toks) >= 3) t
+),
+m AS (
+  SELECT p.doc_a, p.doc_b, ga.pos AS pos_a, gb.pos AS pos_b,
+         ga.pos - gb.pos AS diag
+  FROM ppairs p
+  JOIN pg ga ON ga.doc_id = p.doc_a
+  JOIN pg gb ON gb.doc_id = p.doc_b AND gb.sh = ga.sh
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, grp,
+         CAST(MIN(pos_a) AS INT) AS start_a,
+         CAST(COUNT(*) AS BIGINT) AS run_grams
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+),
+top AS (
+  SELECT doc_a, doc_b, start_a,
+         CAST(start_a - diag AS INT) AS start_b, run_grams,
+         ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                            ORDER BY run_grams DESC, start_a,
+                                     start_a - diag) AS rn
+  FROM runs
+)
+SELECT doc_a, doc_b, start_a, start_b, run_grams,
+       CAST(run_grams + 2 AS BIGINT) AS span_tokens
+FROM top WHERE rn = 1
 """
 
     return sqls

@@ -851,3 +851,107 @@ def dedup_rate_by_group(
             6,
         ).alias("dup_rate"),
     )
+
+
+def _positional_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, pos, sh) — every word n-gram with its 1-based token
+    position, hashed with the shared 60-bit md5 primitive (the exact
+    shingle_hashes formula, positions kept). Docs shorter than n carry
+    no gram."""
+    toks = f"split(lower({text_col}), ' ')"
+    grams = F.expr(
+        f"transform(sequence(1, size({toks}) - {n - 1}), i -> "
+        f"named_struct('pos', i, 'g', concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+    return (
+        docs.where(F.expr(f"size({toks}) >= {n}"))
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("_pg"))
+        .select(
+            "doc_id",
+            F.col("_pg.pos").cast("int").alias("pos"),
+            hexint15(F.col("_pg.g")).alias("sh"),
+        )
+    )
+
+
+def align_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_a_col: str = "doc_a",
+    doc_b_col: str = "doc_b",
+) -> DataFrame:
+    """(doc_a, doc_b, start_a, start_b, run_grams, span_tokens) — the
+    LONGEST aligned n-gram run between each candidate pair, with its
+    1-based token offsets in both documents: the quotation/syndication
+    detector that upgrades a set-overlap signal (ngram_jaccard /
+    containment says "how much is shared") to an alignment ("WHERE and
+    how long is the shared passage"). Lee et al. 2022's within-corpus
+    dup_spans profiles substrings corpus-wide; this is its pairwise
+    form over an explicit candidate list (feed it LSH/containment pairs).
+
+    Shape: positional n-gram hashes (the shingle_hashes formula with
+    positions kept) join the pair list — a candidate-bounded fan-out,
+    never all-pairs — then the classic gaps-and-islands trick turns
+    matched positions into runs: matches on one alignment DIAGONAL
+    (pos_a - pos_b) with consecutive pos_a share (pos_a - row_number)
+    inside a (pair, diagonal)-partitioned window, so the per-window sort
+    is bounded by the shorter document, not the corpus. One rollup per
+    island, one top-1 window per pair (run desc, then leftmost in a,
+    then leftmost in b — deterministic). Pairs sharing no gram are
+    absent from the output. ``span_tokens`` = run_grams + n - 1."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    g = _positional_grams(docs, n, text_col, id_col)
+    p = pairs.select(
+        F.col(doc_a_col).alias("doc_a"), F.col(doc_b_col).alias("doc_b")
+    ).distinct()
+    m = (
+        p.join(
+            g.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("pos").alias("pos_a"),
+                "sh",
+            ),
+            "doc_a",
+        )
+        .join(
+            g.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("pos").alias("pos_b"),
+                "sh",
+            ),
+            ["doc_b", "sh"],
+        )
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("_diag"),
+        )
+    )
+    w_isl = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pos_a")
+    runs = (
+        m.withColumn("_grp", F.col("pos_a") - F.row_number().over(w_isl))
+        .groupBy("doc_a", "doc_b", "_diag", "_grp")
+        .agg(
+            F.min("pos_a").cast("int").alias("start_a"),
+            F.count(F.lit(1)).cast("long").alias("run_grams"),
+        )
+        .select(
+            "doc_a", "doc_b", "start_a",
+            (F.col("start_a") - F.col("_diag")).cast("int").alias("start_b"),
+            "run_grams",
+        )
+    )
+    w_top = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.desc("run_grams"), F.col("start_a"), F.col("start_b")
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(w_top))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_a", "doc_b", "start_a", "start_b", "run_grams",
+            (F.col("run_grams") + F.lit(n - 1)).cast("long").alias("span_tokens"),
+        )
+    )
