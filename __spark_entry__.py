@@ -1630,6 +1630,21 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+def q_url_traps(spark, sf_dir):
+    """Crawler-trap URL-template mining over the U feed's url universe
+    (operators/crawl.py url_trap_templates): digit runs collapse to 'D',
+    one map-side-combined rollup per template, deterministic MIN sample,
+    exact-count trap flag."""
+    from pagerank_spark.operators.crawl import url_trap_templates
+
+    _views(spark, sf_dir, ("events",))
+    u = spark.sql(U_SQL)
+    uu = u.select(F.col("src").alias("url")).union(
+        u.select(F.col("dst").alias("url"))
+    )
+    return url_trap_templates(uu, trap_threshold=100)
+
+
 def q_align_spans(spark, sf_dir):
     """Longest aligned n-gram run per candidate pair
     (operators/dedup.py align_spans) over quote-decorated documents
@@ -3753,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter": q_bloom_filter,
         "bitext_candidates": q_bitext_candidates,
         "align_spans": q_align_spans,
+        "url_traps": q_url_traps,
     }
 
 
@@ -7717,6 +7733,19 @@ top AS (
 SELECT doc_a, doc_b, start_a, start_b, run_grams,
        CAST(run_grams + 2 AS BIGINT) AS span_tokens
 FROM top WHERE rn = 1
+"""
+
+    # url trap twin: same digit-collapse template + one rollup
+    sqls["url_traps"] = f"""
+WITH u AS ({U_SQL}),
+uu AS (
+  SELECT DISTINCT url
+  FROM (SELECT src AS url FROM u UNION ALL SELECT dst FROM u) t
+),
+tm AS (SELECT regexp_replace(url, '[0-9]+', 'D', 'g') AS template, url FROM uu)
+SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls, MIN(url) AS sample_url,
+       (COUNT(*) >= 100) AS is_trap
+FROM tm GROUP BY template
 """
 
     return sqls

@@ -566,3 +566,38 @@ def robots_crawl_delay(
         .groupBy("host")
         .agg(F.min("delay").alias("crawl_delay"))
     )
+
+
+def url_trap_templates(
+    urls: DataFrame,
+    url_col: str = "url",
+    trap_threshold: int = 100,
+) -> DataFrame:
+    """(template, n_urls, sample_url, is_trap) — URL-template mining for
+    crawler-trap detection (the Heritrix/Nutch "infinite calendar"
+    problem): every digit run in the url collapses to 'D', so
+    ``/cal/2024/01/03`` and ``/cal/1997/12/31`` share the template
+    ``/cal/D/D/D``, and a template whose DISTINCT-url count explodes is a
+    parameterized page generator the frontier should cap, not crawl out.
+    ``sample_url`` is the MIN url of the template (deterministic), the
+    canonical representative a scheduler keeps.
+
+    Scale shape: one pure-Column template projection (no Python) and ONE
+    partial-aggregated groupBy on the template key — the count and the
+    min combine map-side, so even a trap with 10^9 member urls ships one
+    row per partition. Exact BIGINT counts; threshold compare on the
+    exact integer."""
+    if trap_threshold < 1:
+        raise ValueError("trap_threshold must be >= 1")
+    t = F.regexp_replace(F.col(url_col), "[0-9]+", "D")
+    return (
+        urls.where(F.col(url_col).isNotNull())
+        .select(t.alias("template"), F.col(url_col).alias("u"))
+        .distinct()
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("u").alias("sample_url"),
+        )
+        .withColumn("is_trap", F.col("n_urls") >= F.lit(int(trap_threshold)))
+    )

@@ -310,3 +310,36 @@ def test_robots_crawl_delay_groups_and_precedence(spark):
     bot = {r["host"]: r["crawl_delay"]
            for r in robots_crawl_delay(df, agent="GruftBot").collect()}
     assert bot["h1"] == 0.5 and bot["h2"] == 10.0
+
+
+# --- crawler-trap URL templates --------------------------------------------
+
+
+def test_url_trap_templates_hand(spark):
+    from pagerank_spark.operators.crawl import url_trap_templates
+
+    urls = (
+        [(f"www.cal.test/day/{y}/{m}",) for y in range(2000, 2010)
+         for m in range(1, 13)]
+        + [("www.a.test/about",), ("www.a.test/about",)]  # duplicate url
+        + [("www.a.test/p1",), ("www.a.test/p2",)]
+    )
+    df = spark.createDataFrame(urls, ["url"])
+    got = {r["template"]: r for r in
+           url_trap_templates(df, trap_threshold=50).collect()}
+    trap = got["www.cal.test/day/D/D"]
+    assert trap["n_urls"] == 120 and trap["is_trap"] is True
+    assert trap["sample_url"] == "www.cal.test/day/2000/1"
+    assert got["www.a.test/about"]["n_urls"] == 1  # distinct urls counted
+    assert got["www.a.test/pD"]["n_urls"] == 2
+    assert not got["www.a.test/pD"]["is_trap"]
+
+
+def test_url_trap_templates_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from pagerank_spark.operators.crawl import url_trap_templates
+
+    df = spark.createDataFrame([("a",)], ["url"])
+    with _pytest.raises(ValueError):
+        url_trap_templates(df, trap_threshold=0)
