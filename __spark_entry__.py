@@ -1630,6 +1630,19 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+def q_graph_similarity(spark, sf_dir):
+    """WL subtree-kernel cosine between the two re-crawl snapshots
+    (operators/wl.py wl_graph_similarity, depth 1): exact histogram
+    counts, DECIMAL dot/norms, one fixed double expression. The twin
+    replays both label chains with the wl_labels CTE machinery."""
+    from pagerank_spark.operators.wl import wl_graph_similarity
+
+    _views(spark, sf_dir, ("events",))
+    return wl_graph_similarity(
+        spark.sql(SNAP_OLD_SQL), spark.sql(SNAP_NEW_SQL), rounds=1
+    )
+
+
 def q_url_traps(spark, sf_dir):
     """Crawler-trap URL-template mining over the U feed's url universe
     (operators/crawl.py url_trap_templates): digit runs collapse to 'D',
@@ -3769,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_candidates": q_bitext_candidates,
         "align_spans": q_align_spans,
         "url_traps": q_url_traps,
+        "graph_similarity": q_graph_similarity,
     }
 
 
@@ -7746,6 +7760,67 @@ tm AS (SELECT regexp_replace(url, '[0-9]+', 'D', 'g') AS template, url FROM uu)
 SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls, MIN(url) AS sample_url,
        (COUNT(*) >= 100) AS is_trap
 FROM tm GROUP BY template
+"""
+
+    # WL graph similarity: the wl_labels chain, parameterized per snapshot
+    def _wl_chain(edges_cte: str, px: str, rounds: int) -> str:
+        parts = [
+            f"{px}v AS (SELECT DISTINCT url FROM ("
+            f"SELECT src AS url FROM {edges_cte} "
+            f"UNION ALL SELECT dst FROM {edges_cte}))",
+            f"{px}0 AS (SELECT url, CAST(0 AS BIGINT) AS lab FROM {px}v)",
+        ]
+        h = HEX15.format(x="CAST(l.lab AS VARCHAR)")
+        cat = (
+            "CAST(w.lab AS VARCHAR) || '|' || "
+            "CAST(COALESCE(o.s, 0) AS VARCHAR) || '|' || "
+            "CAST(COALESCE(o.c, 0) AS VARCHAR) || '|' || "
+            "CAST(COALESCE(i.s, 0) AS VARCHAR) || '|' || "
+            "CAST(COALESCE(i.c, 0) AS VARCHAR)"
+        )
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"{px}o{r} AS (SELECT e.src AS url, "
+                f"SUM(CAST(({h}) AS DECIMAL(38,0))) AS s, "
+                f"CAST(COUNT(*) AS BIGINT) AS c "
+                f"FROM {edges_cte} e JOIN {px}{r - 1} l ON l.url = e.dst "
+                f"GROUP BY e.src)"
+            )
+            parts.append(
+                f"{px}i{r} AS (SELECT e.dst AS url, "
+                f"SUM(CAST(({h}) AS DECIMAL(38,0))) AS s, "
+                f"CAST(COUNT(*) AS BIGINT) AS c "
+                f"FROM {edges_cte} e JOIN {px}{r - 1} l ON l.url = e.src "
+                f"GROUP BY e.dst)"
+            )
+            parts.append(
+                f"{px}{r} AS (SELECT w.url, {HEX15.format(x=cat)} AS lab "
+                f"FROM {px}{r - 1} w LEFT JOIN {px}o{r} o USING (url) "
+                f"LEFT JOIN {px}i{r} i USING (url))"
+            )
+        return ",\n".join(parts)
+
+    sqls["graph_similarity"] = f"""
+WITH ga AS ({SNAP_OLD_SQL}),
+gb AS ({SNAP_NEW_SQL}),
+{_wl_chain("ga", "wa", 1)},
+{_wl_chain("gb", "wb", 1)},
+hA AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS ca FROM wa1 GROUP BY lab),
+hB AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS cb FROM wb1 GROUP BY lab),
+jj AS (SELECT ca, cb FROM hA FULL OUTER JOIN hB USING (lab))
+SELECT CAST(COUNT(ca) AS BIGINT) AS n_labels_a,
+       CAST(COUNT(cb) AS BIGINT) AS n_labels_b,
+       CAST(COUNT(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 END)
+            AS BIGINT) AS common_labels,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                    THEN CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))
+                    END), 0) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(ca AS DECIMAL(38,0))
+                               * CAST(ca AS DECIMAL(38,0))) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(cb AS DECIMAL(38,0))
+                                * CAST(cb AS DECIMAL(38,0))) AS DOUBLE))),
+             6) AS cosine
+FROM jj
 """
 
     return sqls

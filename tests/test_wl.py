@@ -70,3 +70,47 @@ def test_wl_regular_graph_stays_uniform(spark):
     assert len(hist) == 1 and hist[0]["n_vertices"] == 4
     with pytest.raises(ValueError):
         wl_refinement(e, rounds=-1)
+
+
+def test_wl_graph_similarity_identical_graphs(spark):
+    from pagerank_spark.operators.wl import wl_graph_similarity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]
+    )
+    row = wl_graph_similarity(e, e, rounds=2).collect()[0]
+    assert row["n_labels_a"] == row["n_labels_b"] == row["common_labels"]
+    assert row["cosine"] == 1.0
+
+
+def test_wl_graph_similarity_disjoint_structures(spark):
+    from pagerank_spark.operators.wl import wl_graph_similarity
+
+    # a directed 3-cycle vs a star: degree-pair histograms share nothing
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    star = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("h", "z")], ["src", "dst"]
+    )
+    row = wl_graph_similarity(cyc, star, rounds=1).collect()[0]
+    assert row["common_labels"] == 0 and row["cosine"] == 0.0
+
+
+def test_wl_graph_similarity_partial_overlap_hand(spark):
+    import math
+
+    from pagerank_spark.operators.wl import wl_graph_similarity
+
+    # same 3-cycle + one graph adds a pendant: cycle vertices keep the
+    # (1,1)-degree label in A; in B, 'c' gains out-degree 2 and 'd' is a
+    # sink — hand histogram cosine over round-1 labels
+    a = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    b = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]
+    )
+    row = wl_graph_similarity(a, b, rounds=1).collect()[0]
+    # A: {(out1,in1): 3}; B: {(1,1): 2, (2,1): 1, (0,1): 1}
+    want = (3 * 2) / (math.sqrt(9) * math.sqrt(4 + 1 + 1))
+    assert row["cosine"] == round(want, 6)
+    assert row["common_labels"] == 1
