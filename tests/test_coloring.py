@@ -15,6 +15,9 @@ def _pri(u: str) -> int:
 
 
 def _py_jp(edges):
+    # speculative coloring replay: every uncolored vertex picks its mex
+    # over COLORED neighbors; same-pick adjacent conflicts lose to the
+    # smaller md5 priority and retry next round
     und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
     nbr: dict[str, set[str]] = {}
     for a, b in und:
@@ -23,21 +26,24 @@ def _py_jp(edges):
     color: dict[str, int] = {}
     remaining = set(nbr)
     while remaining:
-        winners = [
-            v
-            for v in remaining
-            if all(
-                _pri(v) < _pri(u) for u in nbr[v] if u in remaining
-            )
-        ]
-        assert winners, "tie stall in fixture"
-        for v in winners:
+        picks = {}
+        for v in remaining:
             used = {color[u] for u in nbr[v] if u in color}
             c = 0
             while c in used:
                 c += 1
-            color[v] = c
-        remaining -= set(winners)
+            picks[v] = c
+        keeps = {
+            v: c
+            for v, c in picks.items()
+            if not any(
+                u in picks and picks[u] == c and _pri(u) < _pri(v)
+                for u in nbr[v]
+            )
+        }
+        assert keeps, "tie stall in fixture"
+        color.update(keeps)
+        remaining -= set(keeps)
     return color
 
 
