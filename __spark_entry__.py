@@ -337,6 +337,8 @@ QCLS_BIAS = -0.05
 EIG_ITERS = 6  # fixed power steps for eigenvector centrality
 BLOOM_M = 4096  # bloom filter bits
 BLOOM_K = 3  # bloom hash count
+CMS_W = 1024  # count-min sketch width
+CMS_D = 4  # count-min sketch depth
 FEATPROP_ROUNDS = 2  # fixed smoothing rounds for graph feature propagation
 
 # documents decorated with deterministic serial-number anchors so bitext
@@ -1628,6 +1630,34 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 
 
 RANKCONC_FRAC = 0.01
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality report over the U feed's url stream
+    (operators/sketches.py hll_distinct): 64 md5 registers (exact
+    binary-string rho, BIGINT-scaled harmonic sum), estimate next to
+    the exact distinct count and the realized relative error — the
+    approximate structure with an exact cross-engine contract."""
+    from pagerank_spark.operators.sketches import hll_distinct
+
+    _views(spark, sf_dir, ("events",))
+    u = spark.sql(U_SQL)
+    allrows = u.select(F.col("src").alias("url")).union(
+        u.select(F.col("dst").alias("url"))
+    )
+    return hll_distinct(allrows, "url")
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min frequency estimates for every distinct src url of the U
+    feed (operators/sketches.py cms_build/cms_estimate, 4x1024 md5
+    counters): deterministic overestimates, bit-identical collisions."""
+    from pagerank_spark.operators.sketches import cms_build, cms_estimate
+
+    _views(spark, sf_dir, ("events",))
+    srcs = spark.sql(U_SQL).select(F.col("src").alias("url"))
+    cms = cms_build(srcs, "url", width=CMS_W, depth=CMS_D)
+    return cms_estimate(cms, srcs, key_col="url", width=CMS_W, depth=CMS_D)
 
 
 def q_graph_similarity(spark, sf_dir):
@@ -3783,6 +3813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_spans": q_align_spans,
         "url_traps": q_url_traps,
         "graph_similarity": q_graph_similarity,
+        "hll_distinct": q_hll_distinct,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -7828,6 +7860,78 @@ SELECT CAST(COUNT(ca) AS BIGINT) AS n_labels_a,
                                 * CAST(cb AS DECIMAL(38,0))) AS DOUBLE))),
              6) AS cosine
 FROM jj
+"""
+
+    # HLL twin: same registers (h%64, exact binary-string rho of h>>6),
+    # BIGINT-scaled harmonic sum, same fixed double estimate expression
+    sqls["hll_distinct"] = f"""
+WITH u AS ({U_SQL}),
+ar AS (SELECT src AS url FROM u UNION ALL SELECT dst FROM u),
+hh AS (
+  SELECT ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+  FROM ar WHERE url IS NOT NULL
+),
+hr AS (
+  SELECT h % 64 AS reg,
+         CAST(MAX(CASE WHEN (h >> 6) = 0 THEN 55
+                       ELSE instr(lpad(bin(h >> 6), 54, '0'), '1') END)
+              AS BIGINT) AS maxrho
+  FROM hh GROUP BY reg
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+         CAST(SUM(CAST(pow(2.0, 55 - maxrho) AS BIGINT)) AS BIGINT) AS s_hit
+  FROM hr
+),
+ex AS (
+  SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS exact_distinct
+  FROM ar WHERE url IS NOT NULL
+),
+c AS (
+  SELECT n_hit AS n_registers_hit,
+         CAST(64 - n_hit AS BIGINT) AS n_zero_registers,
+         CAST(0.709 AS DOUBLE) * CAST(64.0 AS DOUBLE) * CAST(64.0 AS DOUBLE)
+           * CAST(36028797018963968.0 AS DOUBLE)
+           / CAST(s_hit + (64 - n_hit) * 36028797018963968 AS DOUBLE) AS raw,
+         exact_distinct
+  FROM s CROSS JOIN ex
+),
+e AS (
+  SELECT n_registers_hit, n_zero_registers, exact_distinct,
+         CASE WHEN raw <= 160.0 AND n_zero_registers > 0
+              THEN 64.0 * ln(64.0 / CAST(n_zero_registers AS DOUBLE))
+              ELSE raw END AS est
+  FROM c
+)
+SELECT n_registers_hit, n_zero_registers, ROUND(est, 6) AS estimate,
+       exact_distinct,
+       CASE WHEN exact_distinct > 0
+            THEN ROUND(ABS(ROUND(est, 6) - exact_distinct)
+                       / exact_distinct, 6) END AS rel_error
+FROM e
+"""
+
+    # CMS twin: same 'cms{i},key' cells, same min-over-rows estimate
+    sqls["cms_counts"] = f"""
+WITH u AS ({U_SQL}),
+ks AS (SELECT unnest(range(0, {CMS_D})) AS i),
+cells AS (
+  SELECT i AS row,
+         (('0x' || substr(md5('cms' || i || ',' || src), 1, 15))::BIGINT
+          % {CMS_W}) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM u, ks GROUP BY 1, 2
+),
+pro AS (SELECT DISTINCT src AS key FROM u),
+pp AS (
+  SELECT key, i AS row,
+         (('0x' || substr(md5('cms' || i || ',' || key), 1, 15))::BIGINT
+          % {CMS_W}) AS pos
+  FROM pro, ks
+)
+SELECT key, CAST(MIN(COALESCE(cl.c, 0)) AS BIGINT) AS estimate
+FROM pp LEFT JOIN cells cl USING (row, pos)
+GROUP BY key
 """
 
     return sqls
