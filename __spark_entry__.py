@@ -1632,6 +1632,17 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+def q_corpus_cube(spark, sf_dir):
+    """OLAP CUBE corpus composition over (lang, source)
+    (operators/sampling.py dimensional_report): every subtotal
+    combination in one grouping-sets pass, per-dimension GROUPING flags
+    (no engine-specific grouping_id bit order in the contract)."""
+    from pagerank_spark.operators.sampling import dimensional_report
+
+    _views(spark, sf_dir, ("documents",))
+    return dimensional_report(spark.table("documents"))
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog cardinality report over the U feed's url stream
     (operators/sketches.py hll_distinct): 64 md5 registers (exact
@@ -3815,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_similarity": q_graph_similarity,
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
+        "corpus_cube": q_corpus_cube,
     }
 
 
@@ -7932,6 +7944,18 @@ pp AS (
 SELECT key, CAST(MIN(COALESCE(cl.c, 0)) AS BIGINT) AS estimate
 FROM pp LEFT JOIN cells cl USING (row, pos)
 GROUP BY key
+"""
+
+    # cube twin: GROUP BY CUBE with per-dimension GROUPING flags
+    sqls["corpus_cube"] = """
+SELECT lang, source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS total,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean
+FROM documents
+GROUP BY CUBE (lang, source)
 """
 
     return sqls

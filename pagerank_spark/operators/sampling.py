@@ -711,3 +711,36 @@ def mad_outliers(
             .alias("is_outlier"),
         )
     )
+
+
+def dimensional_report(
+    df: DataFrame,
+    dims: tuple[str, ...] = ("lang", "source"),
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """(dim..., g_dim..., n_rows, total, mean) — the OLAP CUBE rollup over
+    the dimension columns: every subtotal combination (per-lang,
+    per-source, per-lang-x-source, grand total) in ONE pass. The corpus
+    composition dashboard a curation run reads before/after filtering —
+    and the one aggregation shape (GROUPING SETS) the engine's plain
+    groupBy operators don't otherwise witness.
+
+    ``g_<dim>`` = 1 when the row aggregates AWAY that dimension (the
+    SQL-standard GROUPING() flag, emitted per-dimension rather than as a
+    combined grouping_id so no engine-specific bit order is in the
+    contract; the dimension column itself is NULL on those rows).
+
+    Scale shape: Catalyst expands the cube to grouping sets inside ONE
+    partial-aggregated exchange (rows replicate 2^d times map-side, d=2
+    here); counts/sums exact BIGINTs, the mean one rounded division."""
+    gb = df.cube(*[F.col(d) for d in dims])
+    return gb.agg(
+        *[F.grouping(d).cast("int").alias(f"g_{d}") for d in dims],
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(value_col).cast("long")).cast("long").alias("total"),
+        F.round(
+            F.sum(F.col(value_col).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )

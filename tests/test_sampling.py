@@ -497,3 +497,28 @@ def test_mad_outliers_even_count_lower_median(spark):
     # med = 2, devs = 1,0,1,2 -> MAD = lower-median(0,1,1,2) = 1
     assert got[0]["robust_z"] == round(1 / 1.4826, 6)
     assert got[3]["robust_z"] == round(2 / 1.4826, 6)
+
+
+def test_dimensional_report_cube_subtotals(spark):
+    from pagerank_spark.operators.sampling import dimensional_report
+
+    rows = [
+        ("en", "web", 10), ("en", "web", 20), ("en", "book", 30),
+        ("de", "web", 40),
+    ]
+    df = spark.createDataFrame(rows, ["lang", "source", "n_chars"])
+    got = {
+        (r["lang"], r["source"]): r
+        for r in dimensional_report(df).collect()
+    }
+    # cells: (en,web) (en,book) (de,web); lang subtotals: (en,N)(de,N);
+    # source subtotals: (N,web)(N,book); grand total (N,N)
+    assert len(got) == 3 + 2 + 2 + 1
+    assert got[("en", "web")]["n_rows"] == 2
+    assert got[("en", "web")]["total"] == 30
+    assert got[("en", None)]["n_rows"] == 3
+    assert got[("en", None)]["g_source"] == 1 and got[("en", None)]["g_lang"] == 0
+    assert got[(None, "web")]["total"] == 70
+    assert got[(None, None)]["n_rows"] == 4
+    assert got[(None, None)]["mean"] == 25.0
+    assert got[(None, None)]["g_lang"] == 1 and got[(None, None)]["g_source"] == 1
