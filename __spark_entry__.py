@@ -1632,6 +1632,28 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-truncation coverage curve over the documents corpus
+    (operators/textsearch.py vocab_coverage): per min-count threshold,
+    surviving terms + covered token instances off the count-value
+    histogram — exact BIGINTs, one rounded division."""
+    from pagerank_spark.operators.textsearch import vocab_coverage
+
+    _views(spark, sf_dir, ("documents",))
+    return vocab_coverage(spark.table("documents"))
+
+
+def q_crawl_trend(spark, sf_dir):
+    """Daily event volume + exact trailing-7-day RANGE window over the
+    events log (operators/sessions.py crawl_volume_trend): day ordinal
+    from epoch microseconds (no timezone), calendar gaps shorten the
+    trailing set, ratio in one rounded division."""
+    from pagerank_spark.operators.sessions import crawl_volume_trend
+
+    _views(spark, sf_dir, ("events",))
+    return crawl_volume_trend(spark.table("events"))
+
+
 def q_corpus_cube(spark, sf_dir):
     """OLAP CUBE corpus composition over (lang, source)
     (operators/sampling.py dimensional_report): every subtotal
@@ -3827,6 +3849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
         "corpus_cube": q_corpus_cube,
+        "vocab_coverage": q_vocab_coverage,
+        "crawl_trend": q_crawl_trend,
     }
 
 
@@ -7956,6 +7980,56 @@ SELECT lang, source,
        ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean
 FROM documents
 GROUP BY CUBE (lang, source)
+"""
+
+    # vocab coverage twin: same count-value histogram + threshold sums
+    sqls["vocab_coverage"] = """
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY t),
+h AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(c * COUNT(*) AS BIGINT) AS inst
+  FROM tc GROUP BY c
+),
+tot AS (SELECT CAST(SUM(inst) AS BIGINT) AS total_instances FROM h),
+th AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS threshold),
+pt AS (
+  SELECT th.threshold,
+         CAST(COALESCE(SUM(CASE WHEN h.c >= th.threshold THEN h.n END), 0)
+              AS BIGINT) AS n_terms_kept,
+         CAST(COALESCE(SUM(CASE WHEN h.c >= th.threshold THEN h.inst END), 0)
+              AS BIGINT) AS covered_instances
+  FROM th LEFT JOIN h ON TRUE GROUP BY th.threshold
+)
+SELECT CAST(threshold AS INT) AS threshold, n_terms_kept, covered_instances,
+       tot.total_instances,
+       CASE WHEN tot.total_instances > 0
+            THEN ROUND(CAST(covered_instances AS DOUBLE)
+                       / tot.total_instances, 6) END AS coverage
+FROM pt CROSS JOIN tot
+"""
+
+    # crawl trend twin: same epoch-day ordinal + RANGE window
+    sqls["crawl_trend"] = """
+WITH d AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dn,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT dn, n,
+         CAST(COUNT(*) OVER win AS BIGINT) AS td,
+         CAST(SUM(n) OVER win AS BIGINT) AS tt
+  FROM d WINDOW win AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(DATE '1970-01-01' + CAST(dn AS INT) AS VARCHAR) AS day,
+       n AS n_events, td AS trailing_days, tt AS trailing_total,
+       ROUND(CAST(tt AS DOUBLE) / td, 6) AS trailing_avg,
+       ROUND(CAST(n * td AS DOUBLE) / tt, 6) AS ratio_to_trailing
+FROM t
 """
 
     return sqls

@@ -308,3 +308,62 @@ def covisitation_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
         .where(F.col("n_sessions") >= min_support)
     )
+
+
+def crawl_volume_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """(day, n_events, trailing_days, trailing_total, trailing_avg,
+    ratio_to_trailing) — daily event volume with an exact trailing
+    ``window_days``-day window: the crawl-throughput trend + burst
+    detector (ratio >> 1 = a spike against the trailing baseline, << 1
+    = a stall). The RANGE window runs over the integer day ordinal, so
+    calendar GAPS shorten the trailing set correctly (a row-based window
+    would silently span missing days).
+
+    Scale shape: the corpus collapses to one row per DAY in a
+    map-side-combined aggregate before any window runs — the window's
+    single-partition sort touches #days rows (thousands for years of
+    crawl), never the event log. Exact BIGINT counts; ratio =
+    n * trailing_days / trailing_total in one rounded division (no
+    compounding through a rounded average)."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    # day ordinal from exact epoch microseconds (the sessionize
+    # convention) — integer division, no timezone anywhere
+    daily = (
+        events.select(
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 86400000000"
+            ).alias("_dn")
+        )
+        .groupBy("_dn")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = (
+        Window.orderBy("_dn")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("_dn").cast("int"))
+        .cast("string")
+        .alias("day"),
+        "n_events",
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_days"),
+        F.sum("n_events").over(w).cast("long").alias("trailing_total"),
+    ).select(
+        "day",
+        "n_events",
+        "trailing_days",
+        "trailing_total",
+        F.round(
+            F.col("trailing_total").cast("double") / F.col("trailing_days"), 6
+        ).alias("trailing_avg"),
+        F.round(
+            (F.col("n_events") * F.col("trailing_days")).cast("double")
+            / F.col("trailing_total"),
+            6,
+        ).alias("ratio_to_trailing"),
+    )

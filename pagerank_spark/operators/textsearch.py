@@ -775,3 +775,64 @@ def bpe_pair_counts(
         )
         .agg(F.sum("_n").cast("long").alias("pair_count"))
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    thresholds: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    text_col: str = "text",
+) -> DataFrame:
+    """(threshold, n_terms_kept, covered_instances, total_instances,
+    coverage) — the vocabulary-truncation curve: for each min-count
+    threshold, how many distinct terms survive and what fraction of all
+    token INSTANCES they cover. The tokenizer/vocab sizing diagnostic
+    (what OOV rate does a count-pruned vocabulary buy?) read together
+    with vocab_growth (Heaps) and zipf_alpha: a power-law corpus covers
+    ~all instances with a tiny high-count vocabulary.
+
+    Scale shape: one token explode -> term-keyed partial-aggregated
+    count (vocabulary-sized), then everything runs on the COUNT-VALUE
+    HISTOGRAM (distinct count values — hundreds of rows at any corpus
+    size): per-threshold sums are tiny filtered aggregates, never a
+    vocabulary sort. Exact BIGINTs until the one rounded division."""
+    for t in thresholds:
+        if t < 1:
+            raise ValueError("thresholds must be >= 1")
+    tc = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    hist = tc.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    hist = hist.select(
+        "_c", "_n", (F.col("_c") * F.col("_n")).cast("long").alias("_inst")
+    ).localCheckpoint(eager=True)
+    total = hist.agg(F.sum("_inst").cast("long").alias("total_instances"))
+    outs = []
+    for t in thresholds:
+        kept = hist.where(F.col("_c") >= int(t)).agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_terms_kept"),
+            F.coalesce(F.sum("_inst"), F.lit(0))
+            .cast("long")
+            .alias("covered_instances"),
+        )
+        outs.append(
+            kept.crossJoin(F.broadcast(total)).select(
+                F.lit(int(t)).alias("threshold"),
+                "n_terms_kept",
+                "covered_instances",
+                "total_instances",
+                F.when(
+                    F.col("total_instances") > 0,
+                    F.round(
+                        F.col("covered_instances").cast("double")
+                        / F.col("total_instances"),
+                        6,
+                    ),
+                ).alias("coverage"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
