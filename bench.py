@@ -942,6 +942,40 @@ def run_suite(spark, sf_dir: str) -> dict:
     entry_mod.q_graph_similarity(spark, sf_dir).count()
     timings["graph_similarity"] = time.monotonic() - t0
 
+    # sketches / cube / vocab curve / trend
+    from pagerank_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        hll_distinct,
+    )
+
+    t0 = time.monotonic()
+    hll_distinct(graph.vertices, "url").collect()
+    timings["hll_distinct"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    srcs = graph.edges.select(F.col("src").alias("url"))
+    cms_estimate(cms_build(srcs, "url"), srcs, key_col="url").count()
+    timings["cms_counts"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.sampling import dimensional_report
+
+    t0 = time.monotonic()
+    dimensional_report(docs).count()
+    timings["corpus_cube"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.textsearch import vocab_coverage
+
+    t0 = time.monotonic()
+    vocab_coverage(docs).count()
+    timings["vocab_coverage"] = time.monotonic() - t0
+
+    from pagerank_spark.operators.sessions import crawl_volume_trend
+
+    t0 = time.monotonic()
+    crawl_volume_trend(spark.table("events")).count()
+    timings["crawl_trend"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

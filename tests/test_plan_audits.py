@@ -1056,3 +1056,81 @@ def test_script_profile_zero_shuffle_zero_python(spark, docs_path):
     plan = _physical(script_profile(spark.read.parquet(docs_path)))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_bits_no_python(spark, docs_path):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.bloom import bloom_might_contain, build_bloom
+
+    keys = spark.read.parquet(docs_path).select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("url")
+    )
+    bits = build_bloom(keys, m_bits=4096)
+    plan = _physical(bloom_might_contain(bits, keys, m_bits=4096))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_hll_registers_partial_aggregated(spark, docs_path):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.sketches import hll_registers
+
+    df = spark.read.parquet(docs_path).select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("url")
+    )
+    plan = _physical(hll_registers(df, "url"))
+    # the register max must combine map-side: partial then final aggregate
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_vocab_coverage_no_vocabulary_sort(spark, docs_path):
+    from pagerank_spark.operators.textsearch import vocab_coverage
+
+    plan = _physical(vocab_coverage(spark.read.parquet(docs_path)))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_crawl_trend_window_after_daily_collapse(spark):
+    import datetime
+
+    from pagerank_spark.operators.sessions import crawl_volume_trend
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1 + i % 5, 8, 0, 0),) for i in range(50)],
+        ["ts"],
+    )
+    plan = _physical(crawl_volume_trend(df))
+    # the single-partition window is fine ONLY because it runs on the
+    # day-collapsed aggregate: the partial agg must appear BELOW the window
+    w = plan.lower().find("window")
+    agg = plan.lower().find("partial_count")
+    assert w != -1 and agg != -1 and agg > w, plan
+
+
+def test_bitext_join_is_hash_equi_no_cartesian(spark, docs_path):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.bitext import bitext_candidates
+
+    df = spark.read.parquet(docs_path).select(
+        "doc_id", "text", F.col("lang")
+    )
+    plan = _physical(bitext_candidates(df))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_align_spans_windows_are_pair_partitioned(spark, docs_path):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.dedup import align_spans
+
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["doc_a", "doc_b"])
+    plan = _physical(align_spans(docs, pairs))
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
