@@ -3680,7 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
         "repetition_stats": q_repetition_stats,
-        "length_quantiles": q_length_quantiles,
+        "hll_distinct": q_hll_distinct,
         "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -3698,8 +3698,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "gopher_filter": q_gopher_filter,
         # --- sampling / curation / multimodal / redirects -------------- 44-50
+        # (temperature_sample -> past the window, sampling stays witnessed
+        #  by stratified_sample; length_quantiles -> past the window,
+        #  textops stays witnessed by text_profile/gopher_filter — their
+        #  slots carry the continuation flagships: model inference and the
+        #  sketch family)
         "stratified_sample": q_stratified_sample,
-        "temperature_sample": q_temperature_sample,
+        "quality_classifier": q_quality_classifier,
         "resolve_redirects": q_resolve_redirects,
         "pack_sequences": q_pack_sequences,
         "dedup_clusters": q_dedup_clusters,
@@ -3834,7 +3839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_percentiles": q_degree_percentiles,
         "rank_concentration": q_rank_concentration,
         "core_numbers": q_core_numbers,
-        "quality_classifier": q_quality_classifier,
         "script_profile": q_script_profile,
         "eigenvector": q_eigenvector,
         "feature_propagation": q_feature_propagation,
@@ -3846,11 +3850,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_spans": q_align_spans,
         "url_traps": q_url_traps,
         "graph_similarity": q_graph_similarity,
-        "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
         "corpus_cube": q_corpus_cube,
         "vocab_coverage": q_vocab_coverage,
         "crawl_trend": q_crawl_trend,
+        # family-mates displaced from the window by the continuation
+        # flagships (families stay witnessed in-window as noted above)
+        "temperature_sample": q_temperature_sample,
+        "length_quantiles": q_length_quantiles,
     }
 
 
