@@ -1632,6 +1632,53 @@ DEG_PCTS = (0.5, 0.9, 0.99)
 RANKCONC_FRAC = 0.01
 
 
+MIXTURE_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Training-mixture plan over the documents source inventory
+    (operators/sampling.py mixture_plan): budget sized so the binding
+    source sits at exactly 1 epoch, share-proportional allocations,
+    untargeted sources listed at share 0."""
+    from pagerank_spark.operators.sampling import mixture_plan
+
+    _views(spark, sf_dir, ("documents",))
+    inv = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    return mixture_plan(inv, MIXTURE_TARGETS)
+
+
+def q_host_churn(spark, sf_dir):
+    """Per-host link churn between the 37-host page-graph snapshots
+    (operators/graphdiff.py host_churn): change-sized anti joins from
+    edge_diff, host rollups, one rounded ratio (NULL for brand-new
+    hosts)."""
+    from pagerank_spark.operators.graphdiff import host_churn
+
+    _views(spark, sf_dir, ("events",))
+    return host_churn(
+        spark.sql(HOSTG_SQL + " WHERE event_id % 10 <> 0"),
+        spark.sql(HOSTG_SQL + " WHERE event_id % 10 <> 1"),
+    )
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility over documents
+    (operators/textops.py tokenizer_fertility): exact char/ws/BPE-token
+    sums in one scan + one tiny-key rollup, two rounded ratios."""
+    from pagerank_spark.operators.textops import tokenizer_fertility
+
+    _views(spark, sf_dir, ("documents",))
+    return tokenizer_fertility(spark.table("documents"))
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary-truncation coverage curve over the documents corpus
     (operators/textsearch.py vocab_coverage): per min-count threshold,
@@ -3854,6 +3901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "vocab_coverage": q_vocab_coverage,
         "crawl_trend": q_crawl_trend,
+        "host_churn": q_host_churn,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "mixture_plan": q_mixture_plan,
         # family-mates displaced from the window by the continuation
         # flagships (families stay witnessed in-window as noted above)
         "temperature_sample": q_temperature_sample,
@@ -8037,6 +8087,97 @@ SELECT CAST(DATE '1970-01-01' + CAST(dn AS INT) AS VARCHAR) AS day,
        ROUND(CAST(tt AS DOUBLE) / td, 6) AS trailing_avg,
        ROUND(CAST(n * td AS DOUBLE) / tt, 6) AS ratio_to_trailing
 FROM t
+"""
+
+    # host churn twin: EXCEPT diffs + host rollups + full outer merge
+    sqls["host_churn"] = f"""
+WITH ho AS ({HOSTG_SQL} WHERE event_id % 10 <> 0),
+hn AS ({HOSTG_SQL} WHERE event_id % 10 <> 1),
+o AS (SELECT DISTINCT src, dst FROM ho),
+n AS (SELECT DISTINCT src, dst FROM hn),
+oldh AS (
+  SELECT regexp_extract(src, '{HOST_RE}', 1) AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_old
+  FROM o GROUP BY 1
+),
+df AS (
+  SELECT regexp_extract(src, '{HOST_RE}', 1) AS host, 'added' AS status
+  FROM (SELECT src, dst FROM n EXCEPT SELECT src, dst FROM o) t
+  UNION ALL
+  SELECT regexp_extract(src, '{HOST_RE}', 1) AS host, 'removed' AS status
+  FROM (SELECT src, dst FROM o EXCEPT SELECT src, dst FROM n) t
+),
+ch AS (
+  SELECT host,
+         CAST(COUNT(CASE WHEN status = 'added' THEN 1 END) AS BIGINT)
+           AS n_added,
+         CAST(COUNT(CASE WHEN status = 'removed' THEN 1 END) AS BIGINT)
+           AS n_removed
+  FROM df GROUP BY host
+),
+m AS (
+  SELECT COALESCE(oldh.host, ch.host) AS host,
+         COALESCE(n_old, 0) AS n_old,
+         COALESCE(n_added, 0) AS n_added,
+         COALESCE(n_removed, 0) AS n_removed
+  FROM oldh FULL OUTER JOIN ch ON ch.host = oldh.host
+)
+SELECT host, n_old, n_added, n_removed,
+       CASE WHEN n_old > 0
+            THEN ROUND(CAST(n_added + n_removed AS DOUBLE) / n_old, 6)
+       END AS churn
+FROM m
+"""
+
+    # fertility twin: same exact counts, same tiny-key rollup
+    sqls["tokenizer_fertility"] = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))
+            AS BIGINT) AS total_bpe_tokens,
+       CASE WHEN SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) > 0
+            THEN ROUND(CAST(SUM(length(text)) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))), 6)
+       END AS chars_per_bpe,
+       CASE WHEN SUM(len(string_split(text, ' '))) > 0
+            THEN ROUND(CAST(SUM(len(regexp_extract_all(lower(text),
+                            '{BPE_PATTERN}'))) AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))), 6)
+       END AS bpe_per_ws
+FROM documents GROUP BY lang
+"""
+
+    # mixture plan twin: same literal shares (repr round-trip), same
+    # min-budget + fixed allocation tree; DOUBLE casts keep DuckDB's
+    # decimal-literal arithmetic out of the contract
+    _mx_norm = sum(MIXTURE_TARGETS.values())
+    _mx_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN CAST({v / _mx_norm!r} AS DOUBLE)"
+            for s, v in sorted(MIXTURE_TARGETS.items())
+        )
+        + " ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    sqls["mixture_plan"] = f"""
+WITH inv AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+sh AS (SELECT source, n_tokens, {_mx_case} AS share FROM inv),
+t AS (
+  SELECT MIN(CAST(n_tokens AS DOUBLE) * CAST(1.0 AS DOUBLE) / share) AS bt
+  FROM sh WHERE share > 0
+)
+SELECT source, n_tokens, ROUND(share, 6) AS share,
+       ROUND(share * (SELECT bt FROM t), 6) AS planned_tokens,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(share * (SELECT bt FROM t) / n_tokens, 6)
+       END AS epochs
+FROM sh
 """
 
     return sqls

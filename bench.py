@@ -976,6 +976,19 @@ def run_suite(spark, sf_dir: str) -> dict:
     crawl_volume_trend(spark.table("events")).count()
     timings["crawl_trend"] = time.monotonic() - t0
 
+    # host churn / fertility / mixture via the contract queries
+    t0 = time.monotonic()
+    entry_mod.q_host_churn(spark, sf_dir).count()
+    timings["host_churn"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    entry_mod.q_tokenizer_fertility(spark, sf_dir).count()
+    timings["tokenizer_fertility"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    entry_mod.q_mixture_plan(spark, sf_dir).count()
+    timings["mixture_plan"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

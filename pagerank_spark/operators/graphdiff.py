@@ -104,3 +104,58 @@ def rank_delta(
         (F.row_number().over(w) - 1).alias("mover_rank"),
         "url", "rank_old", "rank_new", "delta",
     )
+
+
+def host_churn(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(host, n_old, n_added, n_removed, churn) — per-source-host link
+    churn between two crawl snapshots: distinct outgoing edges in the old
+    snapshot, edges added/removed by the new one (edge_diff semantics),
+    and churn = (added + removed) / n_old (NULL for hosts with no old
+    edges — brand-new hosts). THE re-crawl scheduling signal at host
+    granularity: high-churn hosts earn tighter revisit intervals
+    (Cho-Garcia-Molina), dead hosts (churn 1.0, all removed) leave the
+    frontier.
+
+    Scale shape: the two change-sized LEFT ANTI joins are inherited from
+    edge_diff (the retained bulk never materializes); the host rollups
+    are partial-aggregated counts on the change tables plus ONE
+    host-keyed count over the old snapshot; the final join is
+    host-cardinality-sized. Exact BIGINTs, one rounded division."""
+    from pagerank_spark.functions.urls import host_col
+
+    o = old.select("src", "dst").distinct()
+    old_h = o.select(host_col(F.col("src")).alias("host")).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    diff = edge_diff(old, new).select(
+        host_col(F.col("src")).alias("host"), "status"
+    )
+    ch = diff.groupBy("host").agg(
+        F.count(F.when(F.col("status") == "added", 1))
+        .cast("long")
+        .alias("n_added"),
+        F.count(F.when(F.col("status") == "removed", 1))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        old_h.join(ch, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce(F.col("n_old"), z).alias("n_old"),
+            F.coalesce(F.col("n_added"), z).alias("n_added"),
+            F.coalesce(F.col("n_removed"), z).alias("n_removed"),
+        )
+        .withColumn(
+            "churn",
+            F.when(
+                F.col("n_old") > 0,
+                F.round(
+                    (F.col("n_added") + F.col("n_removed")).cast("double")
+                    / F.col("n_old"),
+                    6,
+                ),
+            ),
+        )
+    )

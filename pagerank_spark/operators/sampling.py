@@ -744,3 +744,63 @@ def dimensional_report(
             6,
         ).alias("mean"),
     )
+
+
+def mixture_plan(
+    source_tokens: DataFrame,
+    targets: dict[str, float],
+    max_epochs: float = 1.0,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(source, n_tokens, share, planned_tokens, epochs) — the
+    training-mixture plan (the Pile/Dolma/RedPajama mixture table): given
+    per-source token inventories and target mixture shares, size the
+    LARGEST total budget T such that no source repeats more than
+    ``max_epochs`` (T = min over targeted sources of
+    n_tokens * max_epochs / share), then allocate planned_tokens =
+    share * T per source. Sources outside ``targets`` get share 0 and a
+    0 allocation (listed, so the plan documents what it excludes);
+    ``epochs`` = planned / available shows which source binds (it sits
+    exactly at max_epochs).
+
+    Shares are normalized python-side and embedded as literals — the
+    whole computation after the one inventory aggregate runs on a
+    source-cardinality table (tiny), as a fixed IEEE expression tree both
+    engines reproduce. Raises if targets is empty, a share is negative,
+    or every share is 0."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if any(v < 0 for v in targets.values()):
+        raise ValueError("target shares must be >= 0")
+    norm = float(sum(targets.values()))
+    if norm <= 0:
+        raise ValueError("at least one target share must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    share: Column = F.lit(0.0)
+    for s, v in sorted(targets.items()):
+        share = F.when(F.col(source_col) == s, F.lit(float(v) / norm)).otherwise(
+            share
+        )
+    base = source_tokens.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        share.alias("share"),
+    )
+    budget = base.where(F.col("share") > 0).agg(
+        F.min(
+            F.col("n_tokens").cast("double") * F.lit(float(max_epochs))
+            / F.col("share")
+        ).alias("_T")
+    )
+    return base.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("share"), 6).alias("share"),
+        F.round(F.col("share") * F.col("_T"), 6).alias("planned_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("share") * F.col("_T") / F.col("n_tokens"), 6),
+        ).alias("epochs"),
+    )

@@ -702,3 +702,56 @@ def script_profile(
     for name, _ in SCRIPT_RANGES:
         dom = dom.when(F.col(f"n_{name}") == mx, F.lit(name))
     return base.withColumn("dominant_script", dom)
+
+
+def tokenizer_fertility(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """(lang, n_docs, total_chars, total_ws_tokens, total_bpe_tokens,
+    chars_per_bpe, bpe_per_ws) — per-language tokenizer fertility: how
+    many BPE-ish tokens a whitespace word explodes into, and how many
+    characters each token carries. THE multilingual tokenizer-budget
+    diagnostic (languages with high fertility pay more sequence length
+    per word — the practical reason multilingual vocabularies are
+    rebalanced); read next to script_profile and vocab_coverage.
+
+    One zero-join codegen'd scan computing the three exact counts per
+    row, then ONE map-side-combined groupBy on the (tiny-cardinality)
+    language key. Exact BIGINT sums; the two ratios are single rounded
+    divisions (NULL when the denominator is 0)."""
+    t = F.lower(F.col(text_col))
+    base = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        F.size(_ws_tokens(F.col(text_col))).cast("long").alias("_ws"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("_bpe"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.sum("_ws").cast("long").alias("total_ws_tokens"),
+        F.sum("_bpe").cast("long").alias("total_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_ws_tokens",
+        "total_bpe_tokens",
+        F.when(
+            F.col("total_bpe_tokens") > 0,
+            F.round(
+                F.col("total_chars").cast("double") / F.col("total_bpe_tokens"), 6
+            ),
+        ).alias("chars_per_bpe"),
+        F.when(
+            F.col("total_ws_tokens") > 0,
+            F.round(
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_ws_tokens"),
+                6,
+            ),
+        ).alias("bpe_per_ws"),
+    )

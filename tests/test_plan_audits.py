@@ -1134,3 +1134,31 @@ def test_align_spans_windows_are_pair_partitioned(spark, docs_path):
     plan = _physical(align_spans(docs, pairs))
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_tokenizer_fertility_one_rollup_no_python(spark, docs_path):
+    from pagerank_spark.operators.textops import tokenizer_fertility
+
+    plan = _physical(tokenizer_fertility(spark.read.parquet(docs_path)))
+    n_exchange = sum(
+        1 for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l
+    )
+    assert n_exchange <= 2, plan  # lang rollup (+ AQE final) only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_host_churn_no_full_outer_on_edges(spark):
+    from pagerank_spark.operators.graphdiff import host_churn
+
+    old = spark.createDataFrame(
+        [("http://a.test/1", "http://x.test/1")], ["src", "dst"]
+    )
+    new = spark.createDataFrame(
+        [("http://a.test/2", "http://x.test/2")], ["src", "dst"]
+    )
+    plan = _physical(host_churn(old, new))
+    # the one FullOuter allowed is the HOST-sized merge; the edge-sized
+    # diffs must stay anti joins
+    n_full = plan.count("FullOuter")
+    assert n_full <= 1, plan
+    assert "LeftAnti" in plan, plan
