@@ -1679,6 +1679,34 @@ def q_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(spark.table("documents"))
 
 
+def q_table_profile(spark, sf_dir):
+    """One-pass data-quality profile of the documents table
+    (operators/profile.py table_profile): per-column nulls, distinct
+    counts, min/max — exact counts, integer/string columns only so the
+    string casts are engine-identical."""
+    from pagerank_spark.operators.profile import table_profile
+
+    _views(spark, sf_dir, ("documents",))
+    return table_profile(spark.table("documents"))
+
+
+def q_validate_rules(spark, sf_dir):
+    """One-pass expectation validation over documents
+    (operators/profile.py validate_expectations): passing rules
+    (n_chars consistency, min length) next to failing ones (lang
+    allowlist, doc_id bound) — NULL predicates count as violations."""
+    from pagerank_spark.operators.profile import validate_expectations
+
+    _views(spark, sf_dir, ("documents",))
+    rules = [
+        ("n_chars_matches_text", F.col("n_chars") == F.length("text")),
+        ("text_min_40_chars", F.length("text") >= 40),
+        ("lang_in_allowlist", F.col("lang").isin("en", "de", "fr", "es")),
+        ("doc_id_below_400", F.col("doc_id") < 400),
+    ]
+    return validate_expectations(spark.table("documents"), rules)
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Vocabulary-truncation coverage curve over the documents corpus
     (operators/textsearch.py vocab_coverage): per min-count threshold,
@@ -3904,6 +3932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_churn": q_host_churn,
         "tokenizer_fertility": q_tokenizer_fertility,
         "mixture_plan": q_mixture_plan,
+        "table_profile": q_table_profile,
+        "validate_rules": q_validate_rules,
         # family-mates displaced from the window by the continuation
         # flagships (families stay witnessed in-window as noted above)
         "temperature_sample": q_temperature_sample,
@@ -8179,5 +8209,49 @@ SELECT source, n_tokens, ROUND(share, 6) AS share,
        END AS epochs
 FROM sh
 """
+
+    # profile twin: one aggregate row pivoted per column
+    _pf_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    _pf_aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    _pf_rows = []
+    for _i, _c in enumerate(_pf_cols):
+        _pf_aggs += [
+            f"CAST(COUNT(CASE WHEN {_c} IS NULL THEN 1 END) AS BIGINT) AS nul{_i}",
+            f"CAST(COUNT(DISTINCT {_c}) AS BIGINT) AS dis{_i}",
+            f"CAST(MIN({_c}) AS VARCHAR) AS min{_i}",
+            f"CAST(MAX({_c}) AS VARCHAR) AS max{_i}",
+        ]
+        _pf_rows.append(
+            f"SELECT '{_c}' AS \"column\", n AS n_rows, nul{_i} AS n_nulls, "
+            f"dis{_i} AS n_distinct, min{_i} AS min_value, max{_i} AS max_value "
+            "FROM a"
+        )
+    sqls["table_profile"] = (
+        "WITH a AS (SELECT " + ", ".join(_pf_aggs) + " FROM documents)\n"
+        + "\nUNION ALL\n".join(_pf_rows)
+    )
+
+    # validation twin: same rules in SQL, FALSE-or-NULL = violation
+    _vr_rules = [
+        ("n_chars_matches_text", "n_chars = length(text)"),
+        ("text_min_40_chars", "length(text) >= 40"),
+        ("lang_in_allowlist", "lang IN ('en', 'de', 'fr', 'es')"),
+        ("doc_id_below_400", "doc_id < 400"),
+    ]
+    _vr_aggs = ["CAST(COUNT(*) AS BIGINT) AS n"] + [
+        f"CAST(COUNT(CASE WHEN NOT COALESCE({p}, FALSE) THEN 1 END) AS BIGINT)"
+        f" AS v{i}"
+        for i, (_, p) in enumerate(_vr_rules)
+    ]
+    _vr_rows = [
+        f"SELECT '{name}' AS rule, n AS n_rows, v{i} AS n_violations, "
+        f"CASE WHEN n > 0 THEN ROUND(CAST(v{i} AS DOUBLE) / n, 6) END"
+        f" AS violation_frac, (v{i} = 0) AS passed FROM a"
+        for i, (name, _) in enumerate(_vr_rules)
+    ]
+    sqls["validate_rules"] = (
+        "WITH a AS (SELECT " + ", ".join(_vr_aggs) + " FROM documents)\n"
+        + "\nUNION ALL\n".join(_vr_rows)
+    )
 
     return sqls
