@@ -1679,6 +1679,34 @@ def q_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(spark.table("documents"))
 
 
+def q_skew_report(spark, sf_dir):
+    """Hot-key diagnosis on the U feed's dst column
+    (operators/skew.py skew_report): top-10 heaviest keys + skew factor
+    off one map-side-combined histogram, deterministic tie-break."""
+    from pagerank_spark.operators.skew import skew_report
+
+    _views(spark, sf_dir, ("events",))
+    return skew_report(spark.sql(U_SQL), "dst", top_k=10)
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-salted join of the U edge feed against its dst-host dim
+    (operators/skew.py salted_join): the salting rewrite whose RESULT
+    equals the plain join — the twin IS the plain join, so the gate
+    certifies the invariance."""
+    from pagerank_spark.functions.urls import host_col
+    from pagerank_spark.operators.skew import salted_join
+
+    _views(spark, sf_dir, ("events",))
+    big = spark.sql(U_SQL.replace("SELECT ", "SELECT event_id, ", 1))
+    dim = (
+        big.select("dst").distinct().select(
+            "dst", host_col(F.col("dst")).alias("host")
+        )
+    )
+    return salted_join(big, dim, "dst", salt_col="event_id")
+
+
 def q_table_profile(spark, sf_dir):
     """One-pass data-quality profile of the documents table
     (operators/profile.py table_profile): per-column nulls, distinct
@@ -3934,6 +3962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "table_profile": q_table_profile,
         "validate_rules": q_validate_rules,
+        "skew_report": q_skew_report,
+        "salted_join": q_salted_join,
         # family-mates displaced from the window by the continuation
         # flagships (families stay witnessed in-window as noted above)
         "temperature_sample": q_temperature_sample,
@@ -8253,5 +8283,33 @@ FROM sh
         "WITH a AS (SELECT " + ", ".join(_vr_aggs) + " FROM documents)\n"
         + "\nUNION ALL\n".join(_vr_rows)
     )
+
+    # skew report twin: same histogram + top-k + context scalars
+    sqls["skew_report"] = f"""
+WITH u AS ({U_SQL}),
+h AS (SELECT dst AS key, CAST(COUNT(*) AS BIGINT) AS n_rows_key
+      FROM u GROUP BY dst),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n_rows_key) AS BIGINT) AS total_rows FROM h),
+t AS (SELECT key, n_rows_key FROM h
+      ORDER BY n_rows_key DESC, key ASC LIMIT 10)
+SELECT t.key, t.n_rows_key, s.n_keys, s.total_rows,
+       ROUND(CAST(s.total_rows AS DOUBLE) / s.n_keys, 6)
+         AS mean_rows_per_key,
+       ROUND(CAST(t.n_rows_key * s.n_keys AS DOUBLE) / s.total_rows, 6)
+         AS skew_factor
+FROM t CROSS JOIN s
+"""
+
+    # salted join twin: the PLAIN join — result invariance is the contract
+    sqls["salted_join"] = f"""
+WITH big AS ({U_SQL.replace("SELECT ", "SELECT event_id, ", 1)}),
+dim AS (
+  SELECT dst, regexp_extract(dst, '{HOST_RE}', 1) AS host
+  FROM (SELECT DISTINCT dst FROM big) t
+)
+SELECT b.dst, b.event_id, b.src, d.host
+FROM big b JOIN dim d USING (dst)
+"""
 
     return sqls
