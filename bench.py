@@ -989,6 +989,27 @@ def run_suite(spark, sf_dir: str) -> dict:
     entry_mod.q_mixture_plan(spark, sf_dir).count()
     timings["mixture_plan"] = time.monotonic() - t0
 
+    # data-quality + skew tooling
+    from pagerank_spark.operators.profile import table_profile
+    from pagerank_spark.operators.skew import salted_join, skew_report
+
+    t0 = time.monotonic()
+    table_profile(docs).count()
+    timings["table_profile"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    skew_report(graph.edges, "dst").count()
+    timings["skew_report"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    sj_dim = graph.edges.select("dst").distinct().select(
+        "dst", F.length("dst").alias("dim_attr")
+    )
+    salted_join(
+        graph.edges.select("src", "dst"), sj_dim, "dst", salt_col="src"
+    ).count()
+    timings["salted_join"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 

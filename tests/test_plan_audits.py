@@ -1162,3 +1162,32 @@ def test_host_churn_no_full_outer_on_edges(spark):
     n_full = plan.count("FullOuter")
     assert n_full <= 1, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_table_profile_single_pass(spark, docs_path):
+    from pagerank_spark.operators.profile import table_profile
+
+    plan = _physical(table_profile(spark.read.parquet(docs_path)))
+    # one aggregate over one scan — profiling k columns must not scan k times
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_validate_expectations_single_pass(spark, docs_path):
+    from pyspark.sql import functions as F
+
+    from pagerank_spark.operators.profile import validate_expectations
+
+    df = spark.read.parquet(docs_path)
+    rules = [(f"r{i}", F.col("doc_id") > i) for i in range(6)]
+    plan = _physical(validate_expectations(df, rules))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_skew_report_histogram_partial_aggregated(spark, docs_path):
+    from pagerank_spark.operators.skew import skew_report
+
+    plan = _physical(skew_report(spark.read.parquet(docs_path), "lang"))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
