@@ -1679,6 +1679,17 @@ def q_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(spark.table("documents"))
 
 
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss +-1 projection of the embedding corpus to 16
+    dims (operators/similarity.py random_projection): md5-parity sign
+    matrix regenerated inline by both engines, DECIMAL-exact signed
+    sums, one scaled division."""
+    from pagerank_spark.operators.similarity import random_projection
+
+    _views(spark, sf_dir, ("embeddings",))
+    return random_projection(spark.table("embeddings"), out_dim=16)
+
+
 def q_skew_report(spark, sf_dir):
     """Hot-key diagnosis on the U feed's dst column
     (operators/skew.py skew_report): top-10 heaviest keys + skew factor
@@ -3964,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_rules": q_validate_rules,
         "skew_report": q_skew_report,
         "salted_join": q_salted_join,
+        "random_projection": q_random_projection,
         # family-mates displaced from the window by the continuation
         # flagships (families stay witnessed in-window as noted above)
         "temperature_sample": q_temperature_sample,
@@ -8310,6 +8322,25 @@ dim AS (
 )
 SELECT b.dst, b.event_id, b.src, d.host
 FROM big b JOIN dim d USING (dst)
+"""
+
+    # JL projection twin: same parity signs, same DECIMAL signed sums
+    sqls["random_projection"] = """
+WITH el AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 9)
+              AS DECIMAL(38,9)) AS xq
+  FROM embeddings
+),
+js AS (SELECT unnest(range(0, 16)) AS j)
+SELECT vec_id, CAST(j AS INT) AS dim,
+       ROUND(CAST(SUM(CASE WHEN ('0x' || substr(md5(
+                    'jl,' || CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)
+                  ), 1, 15))::BIGINT % 2 = 0
+                  THEN xq ELSE -xq END) AS DOUBLE)
+             / sqrt(CAST(16.0 AS DOUBLE)), 6) AS y
+FROM el CROSS JOIN js
+GROUP BY vec_id, j
 """
 
     return sqls

@@ -814,3 +814,77 @@ def label_cluster_quality(
             F.round("nearest_cos", 6).alias("nearest_cos"),
         )
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    seed: str = "jl",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, dim, y) — Johnson-Lindenstrauss random projection of the
+    embedding corpus to ``out_dim`` dimensions with the Achlioptas
+    (2003) +-1 sign matrix, y_j = sum_i sign(i,j) * x_i / sqrt(k): the
+    standard pre-LSH / pre-index dimensionality reduction (pairwise
+    distances preserved within 1+-eps w.h.p.). The sign matrix is a pure
+    function of the shared md5 primitive — sign(i, j) = parity of
+    hexint15('{seed},i,j') — so no matrix is stored or shuffled and both
+    engines regenerate it bit-identically.
+
+    Exactness: inputs 9dp-quantized, signed terms are exact DECIMAL(38,9)
+    (a sign flip is exact), the per-(vec, j) sum is order-free, and the
+    1/sqrt(k) scale is one double division rounded 6dp. Shape: one
+    posexplode (d rows/vec) x an out_dim-sized broadcast range join, then
+    a partial-aggregated (vec_id, j) sum — n*d*k fixed-width rows through
+    one combine-side exchange. (For very hot paths the same sign matrix
+    can be embedded as literal arrays for a zero-shuffle in-row fold —
+    the quantize_embeddings trick; this relational form is the one the
+    oracle twin replays.)
+
+    Output is the exploded (vec_id, dim, y) layout, ready for
+    feature_propagation / cluster_quality / the ANN stack after an
+    array_agg reassembly."""
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    from pagerank_spark.operators.textops import hexint15
+
+    el = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double"), 9).cast("decimal(38,9)").alias("xq"),
+    )
+    js = embeddings.sparkSession.range(int(out_dim)).select(
+        F.col("id").cast("int").alias("j")
+    )
+    sign_even = (
+        hexint15(
+            F.concat(
+                F.lit(f"{seed},"),
+                F.col("i").cast("string"),
+                F.lit(","),
+                F.col("j").cast("string"),
+            )
+        )
+        % 2
+        == 0
+    )
+    return (
+        el.crossJoin(F.broadcast(js))
+        .select(
+            "vec_id",
+            "j",
+            F.when(sign_even, F.col("xq")).otherwise(-F.col("xq")).alias("_t"),
+        )
+        .groupBy("vec_id", F.col("j").alias("dim"))
+        .agg(
+            F.round(
+                F.sum("_t").cast("double")
+                / F.sqrt(F.lit(float(out_dim))),
+                6,
+            ).alias("y")
+        )
+    )

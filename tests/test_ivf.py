@@ -281,3 +281,66 @@ def test_label_cluster_quality_separated_fixture(spark):
     # near-orthogonal to each other
     assert got[0]["nearest_label"] == 2 and got[1]["nearest_label"] == 2
     assert got[2]["nearest_cos"] > 0.6
+
+
+def test_random_projection_matches_python_replay(spark):
+    import hashlib
+
+    from pagerank_spark.operators.similarity import random_projection
+
+    vecs = {}
+    for v in range(6):
+        vecs[v] = [round((int(hashlib.md5(f"rp{v},{i}".encode())
+                              .hexdigest()[:8], 16) % 1000) / 250.0 - 2.0, 9)
+                   for i in range(8)]
+    df = spark.createDataFrame(
+        [(v, [float(x) for x in xs]) for v, xs in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    K = 4
+    got = {(r["vec_id"], r["dim"]): r["y"]
+           for r in random_projection(df, out_dim=K).collect()}
+
+    def sign(i, j):
+        h = int(hashlib.md5(f"jl,{i},{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    import math
+    for v, xs in vecs.items():
+        for j in range(K):
+            want = round(sum(sign(i, j) * xs[i] for i in range(8))
+                         / math.sqrt(K), 6)
+            assert got[(v, j)] == pytest.approx(want, abs=1e-9), (v, j)
+
+
+def test_random_projection_preserves_distances_roughly(spark):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from pagerank_spark.operators.similarity import random_projection
+
+    rng_rows = []
+    for v in range(40):
+        xs = [((int(hashlib.md5(f"dp{v},{i}".encode()).hexdigest()[:8], 16)
+                % 2000) / 500.0 - 2.0) for i in range(32)]
+        rng_rows.append((v, xs))
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    out = random_projection(df, out_dim=16).collect()
+    proj = {}
+    for r in out:
+        proj.setdefault(r["vec_id"], {})[r["dim"]] = r["y"]
+    X = {v: np.array(xs) for v, xs in rng_rows}
+    Y = {v: np.array([proj[v][j] for j in range(16)]) for v, _ in rng_rows}
+    ratios = []
+    for a in range(0, 20, 3):
+        for b in range(1, 20, 3):
+            if a == b:
+                continue
+            d0 = np.linalg.norm(X[a] - X[b])
+            d1 = np.linalg.norm(Y[a] - Y[b])
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    # JL with k=16: distances preserved within a loose band
+    assert 0.4 < min(ratios) and max(ratios) < 1.8, (min(ratios), max(ratios))
