@@ -119,12 +119,12 @@ def test_gate_window_covers_every_operator_family():
         "frontier_priority", "host_pagerank", "random_walks", "spam_mass",
         "link_distance", "neighborhood_function", "salsa", "scc",
         "clustering_coeff", "graph_report", "adamic_adar", "text_profile",
-        "dedup_exact", "repetition_stats", "length_quantiles", "decontaminate",
+        "dedup_exact", "repetition_stats", "decontaminate",
         "ngram_jaccard", "minhash_lsh", "simhash_pairs", "embedding_near_dup",
         "ann_topk", "ann_ivf", "pii_scrub", "dup_spans", "inverted_index",
         "bm25_topk", "ranked_retrieval", "c4_filter", "blocklist",
         "paragraph_dedup", "gopher_filter", "modularity",
-        "stratified_sample", "temperature_sample",
+        "stratified_sample", "quality_classifier", "hll_distinct",
         "resolve_redirects", "pack_sequences",
         "dedup_clusters", "session_stats", "frame_sample",
         # round 5: modularity (community quality) and gopher_filter (doc
@@ -142,6 +142,12 @@ def test_gate_window_covers_every_operator_family():
         # pagerank_csr's slot — that twin was byte-identical to
         # pagerank_converged's (zero oracle diversity), and the CSR engine
         # stays pinned by bit-exact v1==v2 / resume / eviction pytests.
+        # round-5 continuation: quality_classifier (model inference, a new
+        # family) took temperature_sample's slot — sampling stays witnessed
+        # by stratified_sample — and hll_distinct (the sketch family) took
+        # length_quantiles' slot — textops stays witnessed by
+        # text_profile/gopher_filter; both displaced entries re-registered
+        # past the window with their twins intact.
     }
     assert flagships <= window, f"flagships outside the window: {flagships - window}"
     # family-mates past the window still have twins (local gate covers them)
