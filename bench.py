@@ -1010,6 +1010,12 @@ def run_suite(spark, sf_dir: str) -> dict:
     ).count()
     timings["salted_join"] = time.monotonic() - t0
 
+    from pagerank_spark.operators.similarity import random_projection
+
+    t0 = time.monotonic()
+    random_projection(emb, out_dim=16).count()
+    timings["random_projection"] = time.monotonic() - t0
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     return {"timings": timings, "extra": extra}
 
