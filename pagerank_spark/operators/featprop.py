@@ -55,26 +55,44 @@ def feature_propagation(
         raise ValueError("rounds must be >= 1")
     if not (0.0 <= lam <= 1.0):
         raise ValueError("lam must be in [0, 1]")
+    from pagerank_spark.operators.textops import hexint15
+
+    # the loop runs on 60-bit md5 VERTEX IDS, not url strings: the E*d
+    # exploded shuffle rows shrink from ~40+ bytes (url, dim, x) to 20
+    # (int64, int32, double) — measured ~2x on the 64-dim 1M-edge bench
+    # substrate. Same collision budget (~n^2/2^61) the dedup/minhash
+    # stack accepts; the url spine is joined back once at the end.
     e = (
         edges.select(
-            F.col("src").cast("string").alias("src"),
-            F.col("dst").cast("string").alias("dst"),
+            hexint15(F.col("src").cast("string")).alias("s"),
+            hexint15(F.col("dst").cast("string")).alias("d"),
         )
         .distinct()
-        .repartition("src")
+        .repartition("s")
         .persist()
     )
-    x = features.select(
+    # materialize the (possibly expensive) features input ONCE — spine
+    # and state both derive from it
+    base = features.select(
         F.col(url_col).cast("string").alias("url"),
         F.col(dim_col).cast("int").alias("dim"),
         F.round(F.col(x_col).cast("double"), 9).alias("x"),
+    ).localCheckpoint(eager=True)
+    spine = (
+        base.select("url")
+        .distinct()
+        .select("url", hexint15(F.col("url")).alias("vid"))
+        .localCheckpoint(eager=True)
+    )
+    x = base.select(
+        hexint15(F.col("url")).alias("vid"), "dim", "x"
     ).localCheckpoint(eager=True)
     keep = float(1.0 - lam)
     try:
         for _ in range(rounds):
             contrib = (
-                e.join(x.withColumnRenamed("url", "src"), "src")
-                .groupBy(F.col("dst").alias("url"), "dim")
+                e.join(x.withColumnRenamed("vid", "s"), "s")
+                .groupBy(F.col("d").alias("vid"), "dim")
                 .agg(
                     (
                         F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
@@ -83,9 +101,9 @@ def feature_propagation(
                 )
             )
             x = (
-                x.join(contrib, ["url", "dim"], "left")
+                x.join(contrib, ["vid", "dim"], "left")
                 .select(
-                    "url",
+                    "vid",
                     "dim",
                     F.round(
                         F.lit(keep) * F.col("x")
@@ -95,6 +113,6 @@ def feature_propagation(
                 )
                 .localCheckpoint(eager=True)
             )
-        return x
+        return spine.join(x, "vid").select("url", "dim", "x")
     finally:
         e.unpersist()
